@@ -1,38 +1,39 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship KG-construction pipeline on the sf0.001
+stand-in corpus and returns the triples DataFrame. ``queries()`` /
+``oracle_sql()`` expose one entry per implemented SURVEY §2 operator family
+(registry in :mod:`cosmos_spark.queries`); the driver verifies each against
+DuckDB at sf0.01.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from cosmos_spark.queries import QUERIES, _docs_as_source  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: the full KG pipeline (segment -> mentions -> link ->
+    canonicalize -> triples) over sf0.001 documents mapped to the
+    (repo, path, commit, lang, content) source shape."""
+    from cosmos_spark.pipeline import run_pipeline
+
+    source = _docs_as_source(spark, "/root/testdata/sf0.001")
+    return run_pipeline(spark, source)["triples"]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _sql) in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: sql for name, (_fn, sql) in QUERIES.items()
+            if sql is not None}

@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Runs (1) the headline KG-construction pipeline on a deterministic synthetic
+source corpus sized to the scale factor, and (2) every driver-contract query
+at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]``. Prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": <sf>,
+     "kg": {"n_source_files": N, "n_triples": N, "triples_per_sec": N}}
+
+Scaling evidence (BASELINE.md: efficiency >= 0.8 between N and 4N cores) is
+produced by scripts/scaling_bench.py, which invokes this file at two
+parallelism levels.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _sf_of(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.1
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = _sf_of(sf_dir)
+
+    from cosmos_spark.corpus import corpus_to_spark, make_corpus
+    from cosmos_spark.pipeline import run_pipeline
+    from cosmos_spark.queries import QUERIES
+    from cosmos_spark.session import get_spark
+
+    spark = get_spark(app_name=f"cosmos_bench_c{cpus}",
+                      master=f"local[{cpus}]",
+                      shuffle_partitions=max(cpus, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    times: dict[str, float] = {}
+
+    # --- headline: KG pipeline throughput (triples/sec) ---
+    # corpus sized to sf: sf0.1 -> ~6.2k files (~25k segments), sf0.01 -> ~620
+    files_per_repo = max(int(2000 * sf), 4)
+    corpus = make_corpus(n_repos=10, files_per_repo=files_per_repo,
+                         skew_factor=20, seed=42)
+    n_files = len(corpus)
+    src = corpus_to_spark(spark, corpus, partitions=cpus * 2).cache()
+    src.count()  # materialize input outside the timed region
+
+    t0 = time.monotonic()
+    triples = run_pipeline(spark, src)["triples"]
+    n_triples = triples.count()
+    kg_sec = time.monotonic() - t0
+    times["kg_pipeline"] = round(kg_sec, 3)
+
+    # --- operator suite at the sf dir ---
+    for name, (fn, _sql) in QUERIES.items():
+        t0 = time.monotonic()
+        fn(spark, sf_dir).count()
+        times[name] = round(time.monotonic() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(json.dumps({
+        "metric": "kg pipeline + operator suite wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "cpus": cpus,
+        "kg": {
+            "n_source_files": n_files,
+            "n_triples": n_triples,
+            "triples_per_sec": round(n_triples / kg_sec, 1) if kg_sec else None,
+            "kg_sec": round(kg_sec, 3),
+        },
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,358 @@
+"""Pure pandas kernels shared by the Spark pipeline and the single-node oracle.
+
+Every kernel is deterministic, batch-vectorized (pandas ``Series.str`` /
+numpy — no Spark-level per-row Python, per the input_hint), and free of
+wall-clock / RNG state. The Spark side wraps these in ``mapInPandas`` /
+``pandas_udf``; the oracle calls them directly on the whole corpus. This
+mirrors the reference's test contract — same kernel, known input, count
+equality + precision gates (`cosmos_service/test/src/annotations/
+annotations_base.py:115-133`).
+
+Reference parity notes (file:line into /root/reference):
+
+- ``normalize_content``  <- normalize_text ftfy ligature fix
+  (`cosmos/ingestion/ingest/utils/normalize_text.py:19-28`) + dehyphenation
+  (`.../context_enrichment.py:162-177`).
+- ``segment_kernel``     <- whitespace-grid proposal generation: blank rows
+  split a page into regions (`.../proposals/connected_components.py:96-220`);
+  for code, blank lines split a file into segments.
+- segment ``kind``/``score`` <- per-region ranked class list
+  (`cosmos/ingestion/ingest/ingest.py:205-206` detect_cls/detect_score);
+  rules-postprocess style regex classification (`.../pp_rules.py:7-35`).
+- ``mention_kernel``     <- region content extraction + NER mention detect
+  (`.../ocr/ocr.py:53-86`, `.../entity_linking/link.py:11-39`), with
+  per-blob dedup of mentions (`link.py:24-35`).
+- ``alias_norm`` / ``trigram_jaccard`` <- candidate generation + scoring of
+  `ent._.kb_ents` with 0.8 acceptance (`link.py:26-33`).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+KERNEL_VERSION = "k1"
+
+# --- segment kinds & scores (analog of the 14-class model config,
+# deployment/configs/model_config.yaml) ---
+KIND_FUNCTION = "function"
+KIND_CLASS = "class"
+KIND_IMPORT = "import_block"
+KIND_COMMENT = "comment"
+KIND_OTHER = "other"
+
+KIND_SCORES = {
+    KIND_FUNCTION: 0.99,
+    KIND_CLASS: 0.98,
+    KIND_IMPORT: 0.95,
+    KIND_COMMENT: 0.90,
+    KIND_OTHER: 0.50,
+}
+
+MENTION_SCORES = {"def": 0.99, "import": 0.97, "call": 0.85, "ref": 0.60}
+
+LINK_THRESHOLD = 0.8  # link.py:27-33: accept top candidate iff score > 0.8
+CANON_THRESHOLD = 0.7  # same_as edge iff trigram jaccard >= 0.7
+
+_LIGATURES = [("ﬀ", "ff"), ("ﬁ", "fi"), ("ﬂ", "fl"),
+              ("ﬃ", "ffi"), ("ﬄ", "ffl"), ("ﬆ", "st")]
+
+_CALL_KEYWORDS = {
+    "if", "elif", "while", "for", "return", "switch", "catch", "with",
+    "assert", "raise", "print", "not", "and", "or", "in", "lambda",
+}
+
+SEGMENT_COLUMNS = ["repo", "path", "commit", "lang", "content_sha256",
+                   "seg_id", "kind", "line_start", "line_end", "text", "score"]
+MENTION_COLUMNS = ["repo", "path", "commit", "content_sha256", "seg_id",
+                   "mention_id", "mention_text", "mention_kind", "score"]
+
+
+def sha256_hex(s: str) -> str:
+    return hashlib.sha256(s.encode("utf-8")).hexdigest()
+
+
+def _sha_series(s: pd.Series) -> pd.Series:
+    return s.map(sha256_hex)
+
+
+# ---------------------------------------------------------------------------
+# normalization (F1/F2 analogs)
+# ---------------------------------------------------------------------------
+
+def normalize_content(content: pd.Series) -> pd.Series:
+    """Newline canonicalization + ligature expansion + dehyphenation."""
+    s = content.fillna("")
+    s = s.str.replace("\r\n", "\n", regex=False).str.replace("\r", "\n", regex=False)
+    for lig, rep in _LIGATURES:
+        s = s.str.replace(lig, rep, regex=False)
+    # token ending '-' at a line wrap merges with the next token
+    s = s.str.replace(r"(\w)-\n[ \t]*(\w)", r"\1\2", regex=True)
+    return s
+
+
+# ---------------------------------------------------------------------------
+# segmentation (M1 analog)
+# ---------------------------------------------------------------------------
+
+def segment_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Split files into blank-line-delimited segments, classify, and score.
+
+    Input columns: repo, path, commit, lang, content, content_sha256.
+    Output: SEGMENT_COLUMNS. Line numbers are 1-based inclusive, relative to
+    the *normalized* content. Fully vectorized (explode + cumsum grouping).
+    """
+    pdf = pdf.reset_index(drop=True)
+    if len(pdf) == 0:
+        return pd.DataFrame(columns=SEGMENT_COLUMNS)
+
+    norm = normalize_content(pdf["content"])
+    lines = norm.str.split("\n")
+    exploded = lines.explode()  # index = source row
+    fi = exploded.index.to_numpy()
+    line_vals = exploded.fillna("").astype(str)
+    blank = line_vals.str.strip().eq("").to_numpy()
+    line_arr = line_vals.to_numpy(dtype=object)
+
+    n = len(fi)
+    counts = lines.str.len().to_numpy()
+    starts = np.zeros(len(pdf), dtype=np.int64)
+    starts[1:] = np.cumsum(counts)[:-1]
+    line_no = np.arange(n) - np.repeat(starts, counts) + 1  # 1-based
+
+    new_file = np.empty(n, dtype=bool)
+    new_file[0] = True
+    new_file[1:] = fi[1:] != fi[:-1]
+    prev_blank = np.empty(n, dtype=bool)
+    prev_blank[0] = True
+    prev_blank[1:] = blank[:-1]
+    new_seg = (~blank) & (prev_blank | new_file)
+    seg_ord = np.cumsum(new_seg)
+
+    keep = ~blank
+    if not keep.any():
+        return pd.DataFrame(columns=SEGMENT_COLUMNS)
+
+    g = pd.DataFrame({
+        "fi": fi[keep], "seg": seg_ord[keep],
+        "line_no": line_no[keep], "line": line_arr[keep],
+    })
+    agg = (
+        g.groupby(["fi", "seg"], sort=True)
+        .agg(line_start=("line_no", "min"), line_end=("line_no", "max"),
+             text=("line", "\n".join))
+        .reset_index()
+    )
+
+    first_line = agg["text"].str.split("\n").str[0]
+    is_func = (
+        first_line.str.match(r"[ \t]*def[ \t]+\w+")
+        | first_line.str.match(
+            r"[ \t]*(?:public[ \t]+|private[ \t]+|protected[ \t]+|static[ \t]+|final[ \t]+)*"
+            r"(?:int|void|String|float|double|boolean|long)[ \t]+\w+[ \t]*\(")
+    )
+    is_class = first_line.str.match(r"[ \t]*(?:public[ \t]+)?class[ \t]+\w+")
+    # all nonblank lines start with import/from
+    is_import = ~agg["text"].str.contains(r"(?m)^[ \t]*(?!import\b|from\b)\S", regex=True)
+    # all nonblank lines start with #, //, or -
+    is_comment = ~agg["text"].str.contains(r"(?m)^[ \t]*[^#/\-\s]", regex=True)
+
+    kind = np.select(
+        [is_func.to_numpy(), is_class.to_numpy(), is_import.to_numpy(),
+         is_comment.to_numpy()],
+        [KIND_FUNCTION, KIND_CLASS, KIND_IMPORT, KIND_COMMENT],
+        default=KIND_OTHER,
+    )
+    agg["kind"] = kind
+    agg["score"] = pd.Series(kind).map(KIND_SCORES).to_numpy()
+
+    src = pdf.loc[agg["fi"], ["repo", "path", "commit", "lang", "content_sha256"]]
+    src = src.reset_index(drop=True)
+    out = pd.concat([src, agg[["kind", "line_start", "line_end", "text", "score"]]
+                     .reset_index(drop=True)], axis=1)
+    out["seg_id"] = _sha_series(
+        out["repo"] + "|" + out["path"] + "|" + out["line_start"].astype(str)
+        + "|" + out["line_end"].astype(str) + "|" + out["text"]
+    ).str[:16]
+    out["line_start"] = out["line_start"].astype("int32")
+    out["line_end"] = out["line_end"].astype("int32")
+    out["score"] = out["score"].astype("float64")
+    return out[SEGMENT_COLUMNS]
+
+
+# ---------------------------------------------------------------------------
+# mention detection (M3 analog)
+# ---------------------------------------------------------------------------
+
+_LB = r"(?<!def )(?<!int )(?<!void )(?<!class )(?<!String )(?<!float )(?<!double )(?<!boolean )(?<!long )"
+
+_DEF_PATTERNS = [
+    r"(?:^|\n)[ \t]*def[ \t]+(\w+)[ \t]*\(",
+    r"(?:^|\n)[ \t]*(?:public[ \t]+|private[ \t]+|protected[ \t]+|static[ \t]+|final[ \t]+)*"
+    r"(?:int|void|String|float|double|boolean|long)[ \t]+(\w+)[ \t]*\(",
+    r"(?:^|\n)[ \t]*(?:public[ \t]+)?class[ \t]+(\w+)",
+]
+_IMPORT_PATTERN = r"(?:^|\n)[ \t]*import[ \t]+([\w\.]+)"
+_FROM_IMPORT_PATTERN = r"(?:^|\n)[ \t]*from[ \t]+([\w\.]+)[ \t]+import[ \t]+(\w+)"
+_CALL_PATTERN = _LB + r"\b([a-zA-Z_]\w*)[ \t]*\("
+_REF_PATTERN = r"\b([a-z][a-z0-9]*(?:_[a-z0-9]+)+)\b"
+
+
+def _extract(text: pd.Series, pattern: str) -> pd.DataFrame:
+    """extractall -> DataFrame(seg_row_idx, mention_text)."""
+    m = text.str.extractall(pattern)
+    if m.empty:
+        return pd.DataFrame({"ri": pd.Series(dtype="int64"),
+                             "mention_text": pd.Series(dtype="object")})
+    if m.shape[1] == 2:  # from X import Y -> X.Y
+        vals = m[0] + "." + m[1]
+    else:
+        vals = m[0]
+    return pd.DataFrame({"ri": m.index.get_level_values(0).to_numpy(),
+                         "mention_text": vals.to_numpy()})
+
+
+def mention_kernel(seg_pdf: pd.DataFrame) -> pd.DataFrame:
+    """Extract (def | import | call | ref) mentions from segments.
+
+    Dedup within a segment per (kind, text) — the per-blob mention dedup of
+    `link.py:24-35`. ``ref`` mentions (snake_case identifiers in prose) are
+    extracted only from comment/other segments, mirroring text-side NER.
+    """
+    seg_pdf = seg_pdf.reset_index(drop=True)
+    if len(seg_pdf) == 0:
+        return pd.DataFrame(columns=MENTION_COLUMNS)
+    text = seg_pdf["text"].fillna("")
+
+    parts: list[pd.DataFrame] = []
+    for pat in _DEF_PATTERNS:
+        d = _extract(text, pat)
+        d["mention_kind"] = "def"
+        parts.append(d)
+    for pat in (_IMPORT_PATTERN, _FROM_IMPORT_PATTERN):
+        d = _extract(text, pat)
+        d["mention_kind"] = "import"
+        parts.append(d)
+    calls = _extract(text, _CALL_PATTERN)
+    calls = calls[~calls["mention_text"].isin(_CALL_KEYWORDS)]
+    calls["mention_kind"] = "call"
+    parts.append(calls)
+
+    prose_mask = seg_pdf["kind"].isin([KIND_COMMENT, KIND_OTHER])
+    refs = _extract(text.where(prose_mask, ""), _REF_PATTERN)
+    refs["mention_kind"] = "ref"
+    parts.append(refs)
+
+    m = pd.concat(parts, ignore_index=True)
+    if m.empty:
+        return pd.DataFrame(columns=MENTION_COLUMNS)
+    m = m.drop_duplicates(["ri", "mention_kind", "mention_text"])
+
+    src = seg_pdf.loc[m["ri"], ["repo", "path", "commit", "content_sha256",
+                                "seg_id"]].reset_index(drop=True)
+    out = pd.concat([src, m[["mention_text", "mention_kind"]]
+                     .reset_index(drop=True)], axis=1)
+    out["score"] = out["mention_kind"].map(MENTION_SCORES).astype("float64")
+    out["mention_id"] = _sha_series(
+        out["seg_id"] + "|" + out["mention_kind"] + "|" + out["mention_text"]
+    ).str[:16]
+    return out[MENTION_COLUMNS].sort_values(
+        ["repo", "path", "seg_id", "mention_kind", "mention_text"]
+    ).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# linking & canonicalization helpers (J4/J5/G5 analogs)
+# ---------------------------------------------------------------------------
+
+def alias_norm(names: pd.Series) -> pd.Series:
+    """Normalize an identifier: camelCase -> snake_case, lowercase, strip _."""
+    s = names.fillna("").astype(str)
+    s = s.str.replace(r"(?<=[a-z0-9])([A-Z])", r"_\1", regex=True)
+    s = s.str.lower().str.strip("_")
+    return s
+
+
+def basename(names: pd.Series) -> pd.Series:
+    """Last dotted component of a possibly-qualified name."""
+    return names.fillna("").astype(str).str.rsplit(".", n=1).str[-1]
+
+
+def defuzz(norm_names: pd.Series) -> pd.Series:
+    """Fuzzy alias: strip a version-ish suffix (_v2, _v10)."""
+    return norm_names.str.replace(r"_v\d+$", "", regex=True)
+
+
+def _trigrams(s: str) -> set:
+    if len(s) < 3:
+        return {s} if s else set()
+    return {s[i:i + 3] for i in range(len(s) - 2)}
+
+
+def trigram_jaccard(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Batched char-trigram Jaccard — the link-scoring kernel (the analog of
+    the candidate score in `link.py:26-33`). Batch-level loop, no Spark rows."""
+    av = a.fillna("").to_numpy(dtype=object)
+    bv = b.fillna("").to_numpy(dtype=object)
+    out = np.empty(len(av), dtype="float64")
+    for i in range(len(av)):
+        ta, tb = _trigrams(av[i]), _trigrams(bv[i])
+        u = len(ta | tb)
+        out[i] = (len(ta & tb) / u) if u else 1.0
+    return pd.Series(out, index=a.index)
+
+
+def entity_id_for(norm_names: pd.Series) -> pd.Series:
+    return "ent_" + _sha_series("ent|" + norm_names).str[:16]
+
+
+# ---------------------------------------------------------------------------
+# block-local connected components (G1/G5 analog)
+# ---------------------------------------------------------------------------
+
+CC_COLUMNS = ["entity_id", "canonical_id"]
+
+
+def cc_block_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Connected components within one blocking group.
+
+    Input columns: entity_id, canonical_name (one blocking key per group).
+    Edge iff trigram jaccard >= CANON_THRESHOLD; representative = min
+    (canonical_name, entity_id) per component. Blocking guarantees no edge
+    crosses groups, so per-group union-find IS the global CC — the same
+    shape as the reference's per-page fixpoint bbox merge
+    (`group_cls.py:60-144` via per-group apply).
+    """
+    ids = pdf["entity_id"].tolist()
+    names = pdf["canonical_name"].tolist()
+    n = len(ids)
+    parent = list(range(n))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    grams = [_trigrams(nm) for nm in names]
+    for i in range(n):
+        gi = grams[i]
+        for j in range(i + 1, n):
+            gj = grams[j]
+            u = len(gi | gj)
+            sim = (len(gi & gj) / u) if u else 1.0
+            if sim >= CANON_THRESHOLD:
+                ri, rj = find(i), find(j)
+                if ri != rj:
+                    parent[max(ri, rj)] = min(ri, rj)
+
+    comp: dict[int, int] = {}
+    for i in range(n):
+        r = find(i)
+        best = comp.get(r)
+        if best is None or (names[i], ids[i]) < (names[best], ids[best]):
+            comp[r] = i
+    canonical = [ids[comp[find(i)]] for i in range(n)]
+    return pd.DataFrame({"entity_id": ids, "canonical_id": canonical})

@@ -1,0 +1,192 @@
+"""Checkpoint / lineage / resume protocol.
+
+The Spark restatement of the reference's per-PDF progress files —
+``{pdf}.propose.complete`` etc. gate every phase and a finished document is
+skipped wholesale on rerun (`cosmos_service/src/util/make_parquet.py:88-97,
+665-707,739-765`) — plus its sha1 job cache (`cosmos_service/src/db/db.py:33-49`).
+
+Here the unit of completion is a *stage*: each stage writes its output
+parquet, then per-partition lineage rows
+``(stage, partition_id, input_sha256_agg, row_count, wall_ms, run_id)``,
+then an atomic meta marker carrying the stage's input fingerprint.
+Write-then-log ordering mirrors the reference's set-progress-after-success
+(`make_parquet.py:749-765`): a killed run can leave data without a marker
+(recomputed next time — safe), never a marker without data.
+
+Resume = fingerprint match: a rerun recomputes a stage only if its input
+fingerprint (chained from the source digest + kernel version) changed.
+Fingerprints are O(1) to compare and cost one columnar agg over the source —
+not a recompute of the stage.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from collections.abc import Callable
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from .. import kernels as K
+from ..kernels import sha256_hex
+
+_META = "_cosmos_meta.json"
+
+LINEAGE_COLUMNS = ["stage", "partition_id", "input_sha256_agg",
+                   "row_count", "wall_ms", "run_id"]
+
+
+def _digest_agg(df: DataFrame, col: str | None = None):
+    """Order-insensitive 60-bit xor digest of a DataFrame (or one column).
+
+    conv(hex-prefix of sha256) -> long -> bit_xor: commutative, so the digest
+    is stable across partitioning and row order.
+    """
+    if col is not None and col in df.columns:
+        h = F.sha2(F.col(col).cast("string"), 256)
+    else:
+        h = F.sha2(F.to_json(F.struct(*[F.col(c) for c in df.columns])), 256)
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+
+
+class Checkpointer:
+    def __init__(self, spark: SparkSession, workdir: str, run_id: str):
+        self.spark = spark
+        self.workdir = workdir
+        self.run_id = run_id
+        self.computed: list[str] = []   # stages actually computed this run
+        self.skipped: list[str] = []    # stages resumed from checkpoint
+        os.makedirs(workdir, exist_ok=True)
+
+    # -- fingerprints --------------------------------------------------
+    def fingerprint_source(self, source: DataFrame) -> str:
+        row = source.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(_digest_agg(source, "content_sha256")).alias("x"),
+        ).collect()[0]
+        return sha256_hex(f"src|{row['n']}|{row['x']}|{K.KERNEL_VERSION}")
+
+    @staticmethod
+    def chain(prev_fp: str, stage: str) -> str:
+        return sha256_hex(f"{prev_fp}|{stage}|{K.KERNEL_VERSION}")
+
+    # -- stage execution ------------------------------------------------
+    def _paths(self, name: str) -> tuple[str, str]:
+        d = os.path.join(self.workdir, name)
+        return d, os.path.join(d, _META)
+
+    def is_complete(self, name: str, fingerprint: str) -> bool:
+        _, meta = self._paths(name)
+        if not os.path.exists(meta):
+            return False
+        with open(meta) as f:
+            return json.load(f).get("fingerprint") == fingerprint
+
+    def stage(self, name: str, fingerprint: str,
+              compute: Callable[[], DataFrame]) -> DataFrame:
+        data_dir, meta = self._paths(name)
+        if self.is_complete(name, fingerprint):
+            self.skipped.append(name)
+            return self.spark.read.parquet(os.path.join(data_dir, "data"))
+
+        t0 = time.monotonic()
+        df = compute()
+        df.write.mode("overwrite").parquet(os.path.join(data_dir, "data"))
+        wall_ms = int((time.monotonic() - t0) * 1000)
+
+        out = self.spark.read.parquet(os.path.join(data_dir, "data"))
+        lineage = (
+            out.groupBy(F.spark_partition_id().alias("partition_id"))
+            .agg(F.format_string("%016x", F.bit_xor(_digest_agg(out, "content_sha256"))
+                                 ).alias("input_sha256_agg"),
+                 F.count(F.lit(1)).alias("row_count"))
+            .withColumn("stage", F.lit(name))
+            .withColumn("wall_ms", F.lit(wall_ms))
+            .withColumn("run_id", F.lit(self.run_id))
+            .select(*LINEAGE_COLUMNS)
+        )
+        lineage.write.mode("overwrite").parquet(os.path.join(data_dir, "lineage"))
+        with open(meta, "w") as f:  # marker last: write-then-log
+            json.dump({"fingerprint": fingerprint, "run_id": self.run_id,
+                       "stage": name, "wall_ms": wall_ms}, f)
+        self.computed.append(name)
+        return out
+
+    def lineage(self) -> DataFrame:
+        return self.spark.read.parquet(
+            os.path.join(self.workdir, "*", "lineage"))
+
+
+def run_resumable(
+    spark: SparkSession,
+    source: DataFrame,
+    workdir: str,
+    run_id: str = "run0",
+    stop_after: str | None = None,
+) -> dict[str, DataFrame | None]:
+    """The checkpointed end-to-end pipeline.
+
+    ``stop_after`` simulates a killed run in tests (stages up to and
+    including it are materialized; the rest aren't). A rerun with the same
+    workdir skips every completed stage (fingerprint match), recomputing
+    nothing — the BASELINE.md resumability gate.
+    """
+    from .. import pipeline as P
+
+    ck = Checkpointer(spark, workdir, run_id)
+    src = source
+    if "content_sha256" not in src.columns:
+        src = src.withColumn("content_sha256", F.sha2(F.col("content"), 256))
+    fp0 = ck.fingerprint_source(src)
+
+    order = ["segments", "mentions", "entities_aliases", "links",
+             "entities_canon", "triples"]
+    fps = {}
+    prev = fp0
+    for name in order:
+        prev = Checkpointer.chain(prev, name)
+        fps[name] = prev
+
+    out: dict[str, DataFrame | None] = {k: None for k in order}
+
+    segments = ck.stage("segments", fps["segments"], lambda: P.segments_of(src))
+    out["segments"] = segments
+    if stop_after == "segments":
+        return out
+
+    mentions = ck.stage("mentions", fps["mentions"],
+                        lambda: P.mentions_of(segments))
+    out["mentions"] = mentions
+    if stop_after == "mentions":
+        return out
+
+    entities = ck.stage("entities_aliases", fps["entities_aliases"],
+                        lambda: P.entities_and_aliases(mentions)[0])
+    # alias dict is derived from entities (cheap, deterministic) — rebuild
+    _, aliases = P.entities_and_aliases(mentions)
+    out["entities_aliases"] = entities
+    if stop_after == "entities_aliases":
+        return out
+
+    links = ck.stage("links", fps["links"],
+                     lambda: P.link_mentions(mentions, aliases))
+    out["links"] = links
+    if stop_after == "links":
+        return out
+
+    canon = ck.stage("entities_canon", fps["entities_canon"],
+                     lambda: P.canonicalize(entities).drop("aliases", "types"))
+    out["entities_canon"] = canon
+    if stop_after == "entities_canon":
+        return out
+
+    triples = ck.stage(
+        "triples", fps["triples"],
+        lambda: P.triples_of(segments, mentions, links,
+                             canon.select("entity_id", "canonical_id"),
+                             run_id=run_id))
+    out["triples"] = triples
+    out["_checkpointer"] = ck  # type: ignore[assignment]
+    return out

@@ -1,0 +1,624 @@
+"""Driver-contract queries: one entry per SURVEY §2 operator family, plus
+the training-data-pipeline operator set (dedup / similarity / text stats),
+each runnable on the TPC-H-ish tables in /root/testdata/sf*/.
+
+Registry shape: ``QUERIES[name] = (spark_fn, oracle_sql)`` where
+``spark_fn(spark, sf_dir) -> DataFrame`` and ``oracle_sql`` is ANSI SQL that
+DuckDB runs against the same parquet files (views pre-registered by the
+driver). Column names and types are aligned on both sides because the
+driver's compare hashes values after sorting columns by name.
+
+Every Spark implementation is declarative DataFrame API (Catalyst handles
+pushdown/pruning/join selection); floats that cross engines are rounded to
+a stable precision before they become sort keys or output.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# relational operator families (SURVEY §2.2-2.8)
+# ---------------------------------------------------------------------------
+
+def q_filter_project(spark, sf_dir):
+    """P1/P2/P6/P7 + F-scalars: predicate pushdown + column pruning."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter((F.col("l_quantity") > 30) & (F.col("l_discount") >= 0.05))
+        .select(
+            "l_orderkey", "l_linenumber", "l_quantity",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .alias("revenue"))
+    )
+
+
+SQL_FILTER_PROJECT = """
+SELECT l_orderkey, l_linenumber, l_quantity,
+       l_extendedprice * (1 - l_discount) AS revenue
+FROM lineitem WHERE l_quantity > 30 AND l_discount >= 0.05
+"""
+
+
+def q_groupby_agg(spark, sf_dir):
+    """A1/A3/A8 + TPC-H Q1 shape: partial+final hash aggregation."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+             .cast("double").alias("sum_qty"),
+             F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+             .cast("double").alias("sum_base_price"),
+             (F.sum(F.col("l_discount").cast("decimal(18,6)"))
+              .cast("double") / F.count(F.lit(1))).alias("avg_disc"),
+             F.count(F.lit(1)).alias("count_order"))
+    )
+
+
+SQL_GROUPBY_AGG = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_broadcast_join(spark, sf_dir):
+    """J4/J5 analog: small dims broadcast into the fact scan."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    return (
+        orders.join(F.broadcast(cust),
+                    orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"])
+        .groupBy("n_name")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+             .cast("double").alias("total_revenue"),
+             F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+SQL_BROADCAST_JOIN = """
+SELECT n_name,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
+       count(*) AS order_count
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_semi_join(spark, sf_dir):
+    """P8/J7: left-semi join (doc-subset filter analog)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    return (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"],
+                  "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+SQL_SEMI_JOIN = """
+SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 100000)
+"""
+
+
+def q_anti_join(spark, sf_dir):
+    """J9/U3: left-anti join (missed-refs analog)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"],
+                  "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+SQL_ANTI_JOIN = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+"""
+
+
+def q_topk_per_group(spark, sf_dir):
+    """W5/L3: row_number window, top-3 per group, deterministic tiebreak."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+SQL_TOPK_PER_GROUP = """
+SELECT o_orderpriority, o_orderkey, o_totalprice, rn FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders) WHERE rn <= 3
+"""
+
+
+def q_interval_join(spark, sf_dir):
+    """J1/J2: equi + range predicate (text-pooling spatial join analog) —
+    lineitems shipped within 60 days of their order's date."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    joined = li.join(
+        orders,
+        (li["l_orderkey"] == orders["o_orderkey"])
+        & (F.col("l_shipdate").cast("date") >= F.col("o_orderdate").cast("date"))
+        & (F.col("l_shipdate").cast("date")
+           <= F.date_add(F.col("o_orderdate").cast("date"), 60)),
+    )
+    return (
+        joined.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_fast"),
+             F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+             .cast("double").alias("fast_price"))
+    )
+
+
+SQL_INTERVAL_JOIN = """
+SELECT l_returnflag, count(*) AS n_fast,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS fast_price
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+ AND CAST(l_shipdate AS DATE) >= CAST(o_orderdate AS DATE)
+ AND CAST(l_shipdate AS DATE) <= CAST(o_orderdate AS DATE) + INTERVAL 60 DAY
+GROUP BY l_returnflag
+"""
+
+
+def q_section_window(spark, sf_dir):
+    """G3: section assembly — running count of 'signup' markers per user
+    splits the event stream into sections; aggregate per section."""
+    ev = _t(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        ev.withColumn(
+            "section",
+            F.sum(F.when(F.col("event_type") == "signup", 1).otherwise(0))
+            .over(w))
+        .groupBy("user_id", "section")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum(F.col("value").cast("decimal(18,2)"))
+             .cast("double").alias("section_value"))
+    )
+
+
+SQL_SECTION_WINDOW = """
+SELECT user_id, section, count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS section_value
+FROM (
+  SELECT user_id, value,
+         sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS section
+  FROM events)
+GROUP BY user_id, section
+"""
+
+
+def q_union_distinct(spark, sf_dir):
+    """U1/A8: union + distinct."""
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"))
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"))
+    return cust.unionByName(supp).distinct()
+
+
+SQL_UNION_DISTINCT = """
+SELECT c_nationkey AS nationkey FROM customer
+UNION
+SELECT s_nationkey AS nationkey FROM supplier
+"""
+
+
+def q_set_except(spark, sf_dir):
+    """U3: set difference — nations with customers but no suppliers."""
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")).distinct()
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")).distinct()
+    return cust.exceptAll(supp)
+
+
+SQL_SET_EXCEPT = """
+SELECT DISTINCT c_nationkey AS nationkey FROM customer
+EXCEPT
+SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+"""
+
+
+def q_pagination(spark, sf_dir):
+    """L1: deterministic page 2 (rows 31-60) of the order list."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") > 30) & (F.col("rn") <= 60))
+        .select("o_orderkey", "o_totalprice", "rn")
+    )
+
+
+SQL_PAGINATION = """
+SELECT o_orderkey, o_totalprice, rn FROM (
+  SELECT o_orderkey, o_totalprice,
+         row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders) WHERE rn > 30 AND rn <= 60
+"""
+
+
+def q_asof_join(spark, sf_dir):
+    """J3/J10 analog (nearest-neighbor/as-of): for each error event, the
+    most recent prior signup ts of the same user."""
+    ev = _t(spark, sf_dir, "events")
+    err = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", F.col("ts").alias("err_ts"))
+    sign = ev.filter(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("s_user"), F.col("ts").alias("s_ts"))
+    return (
+        err.join(sign, (err["user_id"] == sign["s_user"])
+                 & (sign["s_ts"] <= err["err_ts"]), "left")
+        .groupBy("event_id", "user_id")
+        .agg(F.max("s_ts").alias("last_signup_ts"))
+    )
+
+
+SQL_ASOF_JOIN = """
+SELECT e.event_id, e.user_id, max(s.ts) AS last_signup_ts
+FROM (SELECT * FROM events WHERE event_type = 'error') e
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+  ON e.user_id = s.user_id AND s.ts <= e.ts
+GROUP BY e.event_id, e.user_id
+"""
+
+
+def q_regex_extract(spark, sf_dir):
+    """F3/F4: regex scalars — first token of part names, cleaned + counted."""
+    part = _t(spark, sf_dir, "part")
+    return (
+        part.withColumn("first_word",
+                        F.regexp_extract(F.lower(F.trim(F.col("p_name"))),
+                                         r"^(\w+)", 1))
+        .groupBy("first_word")
+        .agg(F.count(F.lit(1)).alias("n_parts"),
+             (F.sum(F.col("p_retailprice").cast("decimal(18,2)"))
+              .cast("double") / F.count(F.lit(1))).alias("avg_price"))
+    )
+
+
+SQL_REGEX_EXTRACT = """
+SELECT regexp_extract(lower(trim(p_name)), '^(\\w+)', 1) AS first_word,
+       count(*) AS n_parts,
+       CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price
+FROM part GROUP BY 1
+"""
+
+
+def q_sha256_hash(spark, sf_dir):
+    """F10: content-hash ids (the per-row sha256 invariant)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.sha2(F.col("text"), 256).alias("text_sha"))
+
+
+SQL_SHA256_HASH = """
+SELECT doc_id, sha256(text) AS text_sha FROM documents
+"""
+
+
+def q_json_extract(spark, sf_dir):
+    """F11: JSON round-trip — pull props.k out of the events props blob."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select("event_id",
+                  F.get_json_object(F.col("props"), "$.k").cast("bigint")
+                  .alias("k_val"))
+        .filter(F.col("k_val") > 50)
+    )
+
+
+SQL_JSON_EXTRACT = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+"""
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline operators (dedup / text stats / similarity)
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy on content, keep the smallest doc_id
+    (S10/F10 analog: job dedup by content hash)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("text_hash", F.md5(F.col("text")))
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("keep_doc_id"),
+             F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id,
+       count(*) AS n_dups
+FROM documents GROUP BY 1
+"""
+
+
+def q_token_count(spark, sf_dir):
+    """Token counting (whitespace tokens) — training-data text stat."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.expr(r"size(regexp_extract_all(text, '\\S+', 0))").cast("bigint")
+        .alias("n_tokens"),
+        F.length("text").cast("bigint").alias("len_chars"),
+    )
+
+
+SQL_TOKEN_COUNT = """
+SELECT doc_id, CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS len_chars
+FROM documents
+"""
+
+
+_STOPWORDS = ("the", "a", "of", "to", "and")
+
+
+def q_quality_score(spark, sf_dir):
+    """Quality scoring: stopword ratio + mean token length, rounded."""
+    docs = _t(spark, sf_dir, "documents")
+    sw = ", ".join(f"'{w}'" for w in _STOPWORDS)
+    toks = r"regexp_extract_all(lower(text), '\\S+', 0)"
+    return docs.select(
+        "doc_id",
+        F.expr(
+            f"size(filter({toks}, x -> x in ({sw}))) /"
+            f" greatest(size({toks}), 1)").alias("stopword_ratio"),
+        F.expr(
+            f"aggregate({toks}, 0L, (acc, x) -> acc + length(x)) /"
+            f" greatest(size({toks}), 1)").alias("mean_token_len"),
+    )
+
+
+SQL_QUALITY_SCORE = f"""
+SELECT doc_id,
+  len(list_filter(regexp_extract_all(lower(text), '\\S+'),
+            x -> x IN ({", ".join("'" + w + "'" for w in _STOPWORDS)})))
+        / greatest(len(regexp_extract_all(lower(text), '\\S+')), 1)
+    AS stopword_ratio,
+  list_sum(list_transform(regexp_extract_all(lower(text), '\\S+'),
+            x -> length(x)))
+        / greatest(len(regexp_extract_all(lower(text), '\\S+')), 1)
+    AS mean_token_len
+FROM documents
+"""
+
+
+def q_ngram_fingerprint(spark, sf_dir):
+    """Document fingerprint: min-hash over word 3-gram shingles with a
+    portable hash (md5), the MinHash building block."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = r"regexp_extract_all(lower(text), '\\S+', 0)"
+    # NB: Spark sequence(1, n) with n < 1 counts *down* — guard explicitly
+    fp = (
+        f"case when size({toks}) >= 3 then "
+        f"array_min(transform(sequence(1, size({toks}) - 2), "
+        f"i -> md5(concat_ws(' ', slice({toks}, i, 3))))) "
+        f"else null end"
+    )
+    return docs.select(
+        "doc_id", F.expr(fp).alias("fingerprint"),
+    ).filter(F.col("fingerprint").isNotNull())
+
+
+SQL_NGRAM_FINGERPRINT = """
+WITH sh AS (
+  SELECT doc_id,
+         list_transform(
+           range(1, greatest(len(regexp_extract_all(lower(text), '\\S+')) - 1, 1)),
+           i -> md5(array_to_string(
+                  list_slice(regexp_extract_all(lower(text), '\\S+'), i, i + 2),
+                  ' '))) AS hashes
+  FROM documents)
+SELECT doc_id, list_min(hashes) AS fingerprint
+FROM sh WHERE len(hashes) > 0
+"""
+
+
+def q_lang_stopword_id(spark, sf_dir):
+    """Language-ID heuristic: stopword-hit scoring with deterministic
+    fallback (n-gram-heuristic analog). The synthetic docs share one
+    vocabulary, so the heuristic output is a deterministic function, which
+    is exactly what the oracle checks."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = r"regexp_extract_all(lower(text), '\\S+', 0)"
+    en = "size(filter(%s, x -> x in ('the', 'a', 'of', 'and')))" % toks
+    return docs.select(
+        "doc_id", "lang",
+        F.expr(f"case when {en} > 0 then 'en' else 'und' end")
+        .alias("lang_guess"),
+        F.expr(f"cast({en} as bigint)").alias("en_hits"),
+    )
+
+
+SQL_LANG_STOPWORD_ID = """
+SELECT doc_id, lang,
+  CASE WHEN len(list_filter(regexp_extract_all(lower(text), '\\S+'),
+       x -> x IN ('the', 'a', 'of', 'and'))) > 0
+       THEN 'en' ELSE 'und' END AS lang_guess,
+  CAST(len(list_filter(regexp_extract_all(lower(text), '\\S+'),
+       x -> x IN ('the', 'a', 'of', 'and'))) AS BIGINT) AS en_hits
+FROM documents
+"""
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k: the ANN baseline. Query = vector 0; rounded
+    before ranking so the cross-engine float comparison is stable."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q"))
+    joined = emb.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(qvec))
+    dot = "aggregate(zip_with(cast(embedding as array<double>), cast(q as array<double>), (x, y) -> x * y), 0.0D, (acc, v) -> acc + v)"
+    na = "sqrt(aggregate(cast(embedding as array<double>), 0.0D, (acc, v) -> acc + v * v))"
+    nb = "sqrt(aggregate(cast(q as array<double>), 0.0D, (acc, v) -> acc + v * v))"
+    scored = joined.select(
+        "vec_id",
+        F.expr(f"round(({dot}) / (({na}) * ({nb})), 4)").alias("cos_sim"))
+    w = Window.orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("vec_id", "cos_sim", "rn")
+    )
+
+
+SQL_ANN_COSINE_TOPK = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT vec_id,
+         round(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(qv AS DOUBLE[]))
+               / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[])))), 4)
+           AS cos_sim
+  FROM embeddings, q WHERE vec_id <> 0)
+SELECT vec_id, cos_sim, rn FROM (
+  SELECT vec_id, cos_sim,
+         row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS rn
+  FROM scored) WHERE rn <= 10
+"""
+
+
+def q_embedding_norms(spark, sf_dir):
+    """Array math (F8 analog): per-vector L2 norm + dimension, grouped by
+    label — the embedding-stat scan an ANN index build starts with."""
+    emb = _t(spark, sf_dir, "embeddings")
+    norm = ("sqrt(aggregate(cast(embedding as array<double>), 0.0D,"
+            " (acc, v) -> acc + v * v))")
+    return (
+        emb.select("label", F.expr(f"round({norm}, 4)").alias("l2"))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_vecs"),
+             (F.sum(F.col("l2").cast("decimal(18,4)")).cast("double")
+              / F.count(F.lit(1))).alias("avg_l2"))
+    )
+
+
+SQL_EMBEDDING_NORMS = """
+SELECT label, count(*) AS n_vecs,
+       CAST(sum(CAST(l2 AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_l2
+FROM (SELECT label,
+             round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                         CAST(embedding AS DOUBLE[]))), 4) AS l2
+      FROM embeddings)
+GROUP BY label
+"""
+
+
+# ---------------------------------------------------------------------------
+# KG pipeline stages over `documents` mapped to the source shape
+# ---------------------------------------------------------------------------
+
+def _docs_as_source(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("source").alias("repo"),
+        F.col("doc_id").cast("string").alias("path"),
+        F.lit("0" * 40).alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+    )
+
+
+def q_kg_segments(spark, sf_dir):
+    """The segmentation stage on the stand-in corpus. The synthetic docs are
+    single-line, so each non-blank doc yields exactly one 'other' segment —
+    which makes the content-hash seg_id SQL-replicable (the determinism
+    check for F10-style ids)."""
+    from . import pipeline as P
+    segs = P.segments_of(_docs_as_source(spark, sf_dir))
+    return segs.select("repo", "path", "seg_id", "kind",
+                       "line_start", "line_end", "content_sha256")
+
+
+SQL_KG_SEGMENTS = r"""
+SELECT source AS repo, CAST(doc_id AS VARCHAR) AS path,
+       substr(sha256(source || '|' || CAST(doc_id AS VARCHAR) || '|1|1|' || text), 1, 16) AS seg_id,
+       'other' AS kind, 1 AS line_start, 1 AS line_end,
+       sha256(text) AS content_sha256
+FROM documents WHERE regexp_matches(text, '\S')
+"""
+
+
+def q_kg_member_triples(spark, sf_dir):
+    """The member_of triple family end-to-end on the stand-in corpus."""
+    from . import pipeline as P
+    segs = P.segments_of(_docs_as_source(spark, sf_dir))
+    return segs.select(
+        F.concat_ws("", F.col("repo"), F.lit("/"), F.col("path"),
+                    F.lit("#"), F.col("seg_id")).alias("subj"),
+        F.lit("member_of").alias("pred"),
+        F.concat_ws("/", "repo", "path").alias("obj"),
+    )
+
+
+SQL_KG_MEMBER_TRIPLES = r"""
+SELECT source || '/' || CAST(doc_id AS VARCHAR) || '#'
+       || substr(sha256(source || '|' || CAST(doc_id AS VARCHAR) || '|1|1|' || text), 1, 16) AS subj,
+       'member_of' AS pred,
+       source || '/' || CAST(doc_id AS VARCHAR) AS obj
+FROM documents WHERE regexp_matches(text, '\S')
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, tuple[Callable, str | None]] = {
+    "q_filter_project": (q_filter_project, SQL_FILTER_PROJECT),
+    "q_groupby_agg": (q_groupby_agg, SQL_GROUPBY_AGG),
+    "q_broadcast_join": (q_broadcast_join, SQL_BROADCAST_JOIN),
+    "q_semi_join": (q_semi_join, SQL_SEMI_JOIN),
+    "q_anti_join": (q_anti_join, SQL_ANTI_JOIN),
+    "q_topk_per_group": (q_topk_per_group, SQL_TOPK_PER_GROUP),
+    "q_interval_join": (q_interval_join, SQL_INTERVAL_JOIN),
+    "q_section_window": (q_section_window, SQL_SECTION_WINDOW),
+    "q_union_distinct": (q_union_distinct, SQL_UNION_DISTINCT),
+    "q_set_except": (q_set_except, SQL_SET_EXCEPT),
+    "q_pagination": (q_pagination, SQL_PAGINATION),
+    "q_asof_join": (q_asof_join, SQL_ASOF_JOIN),
+    "q_regex_extract": (q_regex_extract, SQL_REGEX_EXTRACT),
+    "q_sha256_hash": (q_sha256_hash, SQL_SHA256_HASH),
+    "q_json_extract": (q_json_extract, SQL_JSON_EXTRACT),
+    "q_dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "q_token_count": (q_token_count, SQL_TOKEN_COUNT),
+    "q_quality_score": (q_quality_score, SQL_QUALITY_SCORE),
+    "q_ngram_fingerprint": (q_ngram_fingerprint, SQL_NGRAM_FINGERPRINT),
+    "q_lang_stopword_id": (q_lang_stopword_id, SQL_LANG_STOPWORD_ID),
+    "q_ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
+    "q_embedding_norms": (q_embedding_norms, SQL_EMBEDDING_NORMS),
+    "q_kg_segments": (q_kg_segments, SQL_KG_SEGMENTS),
+    "q_kg_member_triples": (q_kg_member_triples, SQL_KG_MEMBER_TRIPLES),
+}

@@ -1,0 +1,48 @@
+"""SparkSession factory.
+
+One place to pin the configs that matter at 100 TB:
+
+- Arrow on for every pandas UDF hop (the reference moved state between
+  stages as pickle files on shared disk, `cosmos/ingestion/ingest/ingest.py:325-331`;
+  we move it as Arrow record batches inside one lazy plan).
+- AQE on: post-shuffle coalescing + skew-join splitting replace the
+  reference's hand-tuned 2000-page Dask chunks (`ingest.py:94,119`).
+- shuffle partitions sized ~= cores locally; on a real cluster this is
+  set per-job (AQE coalesces down, so oversizing is safe).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "cosmos_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's standard conf."""
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    master = master or f"local[{cpus}]"
+    shuffle = shuffle_partitions if shuffle_partitions is not None else max(cpus, 8)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

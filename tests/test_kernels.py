@@ -1,0 +1,106 @@
+"""Unit tests for the pure pandas kernels (the operator-level analog of
+`cosmos/ingestion/tests/test_proposals.py`)."""
+
+import pandas as pd
+
+from cosmos_spark import kernels as K
+
+
+def _one(repo, path, lang, content):
+    df = pd.DataFrame([{"repo": repo, "path": path, "commit": "c" * 40,
+                        "lang": lang, "content": content}])
+    df["content_sha256"] = df["content"].map(K.sha256_hex)
+    return df
+
+
+def test_empty_file_zero_segments():
+    segs = K.segment_kernel(_one("r", "empty.py", "python", ""))
+    assert len(segs) == 0
+
+
+def test_no_blank_lines_single_segment():
+    segs = K.segment_kernel(
+        _one("r", "dense.py", "python", "a = 1\nb = 2\nc = 3\n"))
+    assert len(segs) == 1
+    assert segs.iloc[0]["line_start"] == 1
+    assert segs.iloc[0]["line_end"] == 3
+
+
+def test_blank_line_split_and_line_numbers():
+    segs = K.segment_kernel(
+        _one("r", "f.py", "python", "import os\n\n\ndef f(x):\n    return x\n"))
+    assert len(segs) == 2
+    assert segs.iloc[0]["kind"] == "import_block"
+    assert (segs.iloc[0]["line_start"], segs.iloc[0]["line_end"]) == (1, 1)
+    assert segs.iloc[1]["kind"] == "function"
+    assert (segs.iloc[1]["line_start"], segs.iloc[1]["line_end"]) == (4, 5)
+
+
+def test_ligature_normalization():
+    segs = K.segment_kernel(_one("r", "l.md", "md", "The ﬁle has eﬀort.\n"))
+    assert segs.iloc[0]["text"] == "The file has effort."
+
+
+def test_dehyphenation():
+    segs = K.segment_kernel(_one("r", "w.md", "md", "a config-\nuration x\n"))
+    assert "configuration" in segs.iloc[0]["text"]
+    assert len(segs) == 1
+
+
+def test_classification_kinds():
+    content = (
+        "# only comments\n# here\n\n"
+        "import os\nfrom a import b\n\n"
+        "class C:\n    pass\n\n"
+        "def g(y):\n    return y\n\n"
+        "x = g(1)\n"
+    )
+    segs = K.segment_kernel(_one("r", "k.py", "python", content))
+    assert list(segs["kind"]) == ["comment", "import_block", "class",
+                                  "function", "other"]
+    assert list(segs["score"]) == [0.90, 0.95, 0.98, 0.99, 0.50]
+
+
+def test_mentions_kinds_and_dedup():
+    content = "def f(x):\n    g(x)\n    g(x)\n    return h(x)\n"
+    segs = K.segment_kernel(_one("r", "m.py", "python", content))
+    m = K.mention_kernel(segs)
+    kinds = dict(zip(m["mention_text"], m["mention_kind"]))
+    assert kinds == {"f": "def", "g": "call", "h": "call"}
+    # g( appears twice but is deduped per segment (link.py:24-35 analog)
+    assert len(m) == 3
+
+
+def test_from_import_mention():
+    segs = K.segment_kernel(
+        _one("r", "i.py", "python", "from pkg.core import loadConfig\n"))
+    m = K.mention_kernel(segs)
+    assert set(m["mention_text"]) == {"pkg.core.loadConfig"}
+    assert set(m["mention_kind"]) == {"import"}
+
+
+def test_alias_norm_and_defuzz():
+    s = pd.Series(["loadConfig", "_load_config", "LoadConfig", "load_config_v2"])
+    out = K.alias_norm(s)
+    assert list(out) == ["load_config", "load_config", "load_config",
+                         "load_config_v2"]
+    assert list(K.defuzz(out)) == ["load_config"] * 4
+
+
+def test_trigram_jaccard_bounds():
+    a = pd.Series(["load_config", "abc", "", "same"])
+    b = pd.Series(["load_config", "xyz", "", "same"])
+    out = list(K.trigram_jaccard(a, b))
+    assert out[0] == 1.0
+    assert out[1] == 0.0
+    assert out[2] == 1.0  # both empty -> identical
+    assert out[3] == 1.0
+
+
+def test_keywords_not_calls():
+    content = "def f(x):\n    if (x):\n        return (x)\n    print(x)\n"
+    segs = K.segment_kernel(_one("r", "kw.py", "python", content))
+    m = K.mention_kernel(segs)
+    assert "if" not in set(m["mention_text"])
+    assert "return" not in set(m["mention_text"])
+    assert "print" not in set(m["mention_text"])

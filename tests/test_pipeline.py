@@ -1,0 +1,102 @@
+"""End-to-end: distributed pipeline vs single-node oracle.
+
+The north-rule gate: triple-level precision AND recall >= 0.95 (analog of
+count equality + AP > 0.9 in the reference's golden-fixture e2e tests,
+`cosmos_service/src/healthcheck/annotation_metrics.py:10-11`), plus the
+per-row sha256(content) invariant at every stage.
+"""
+
+import pyspark.sql.functions as F
+import pytest
+
+from cosmos_spark.pipeline import run_pipeline
+
+
+@pytest.fixture(scope="module")
+def pipeline_result(spark, source_df):
+    res = run_pipeline(spark, source_df)
+    return {k: v.toPandas() for k, v in res.items()}
+
+
+def _triple_keys(df):
+    return set(zip(df["subj"], df["pred"], df["obj"]))
+
+
+def test_triples_precision_recall(pipeline_result, oracle_result):
+    got = _triple_keys(pipeline_result["triples"])
+    exp = _triple_keys(oracle_result["triples"])
+    assert got and exp
+    inter = len(got & exp)
+    precision = inter / len(got)
+    recall = inter / len(exp)
+    assert precision >= 0.95, f"precision {precision} < 0.95"
+    assert recall >= 0.95, f"recall {recall} < 0.95"
+
+
+def test_triple_scores_match_oracle(pipeline_result, oracle_result):
+    got = pipeline_result["triples"].set_index(["subj", "pred", "obj"])["score"]
+    exp = oracle_result["triples"].set_index(["subj", "pred", "obj"])["score"]
+    joined = got.to_frame("g").join(exp.to_frame("e"), how="inner")
+    assert len(joined) > 0
+    assert (joined["g"] - joined["e"]).abs().max() < 1e-9
+
+
+def test_segments_match_oracle_exactly(pipeline_result, oracle_result):
+    cols = ["repo", "path", "seg_id", "kind", "line_start", "line_end"]
+    got = set(map(tuple, pipeline_result["segments"][cols].to_numpy()))
+    exp = set(map(tuple, oracle_result["segments"][cols].to_numpy()))
+    assert got == exp
+
+
+def test_mentions_match_oracle_exactly(pipeline_result, oracle_result):
+    cols = ["seg_id", "mention_id", "mention_text", "mention_kind"]
+    got = set(map(tuple, pipeline_result["mentions"][cols].to_numpy()))
+    exp = set(map(tuple, oracle_result["mentions"][cols].to_numpy()))
+    assert got == exp
+
+
+def test_sha256_invariant_via_stages(spark, source_df, pipeline_result,
+                                     corpus_pdf):
+    """Every segment/mention row carries the sha256 of its source file's
+    content, unchanged (input_hint per-row invariant)."""
+    expected = dict(zip(zip(corpus_pdf["repo"], corpus_pdf["path"]),
+                        corpus_pdf["content_sha256"]))
+    for stage in ("segments", "mentions"):
+        pdf = pipeline_result[stage]
+        assert len(pdf) > 0
+        for repo, path, sha in zip(pdf["repo"], pdf["path"],
+                                   pdf["content_sha256"]):
+            assert expected[(repo, path)] == sha, (stage, repo, path)
+
+
+def test_duplicate_content_not_collapsed(pipeline_result):
+    """Same content in two repos -> both files produce their own triples
+    (FIXTURES §3: dedup must NOT collapse source rows)."""
+    t = pipeline_result["triples"]
+    defs = t[(t["pred"] == "defines") & (t["obj"] == "load_config")]
+    subj_prefixes = {s.split("#")[0] for s in defs["subj"]}
+    assert any(p.startswith("org1/dup_a/") for p in subj_prefixes)
+    assert any(p.startswith("org2/dup_b/") for p in subj_prefixes)
+
+
+def test_empty_file_no_segments(pipeline_result):
+    segs = pipeline_result["segments"]
+    assert not ((segs["repo"] == "org9/edge_repo")
+                & (segs["path"] == "empty.py")).any()
+
+
+def test_canonicalization_merges_variants(pipeline_result, oracle_result):
+    """same_as edges exist and match the oracle's connected components."""
+    got = pipeline_result["triples"]
+    exp = oracle_result["triples"]
+    got_same = {(s, o) for s, p, o in _triple_keys(got) if p == "same_as"}
+    exp_same = {(s, o) for s, p, o in _triple_keys(exp) if p == "same_as"}
+    assert got_same == exp_same
+    assert len(exp_same) > 0
+
+
+def test_entry_contract(spark):
+    """__spark_entry__.entry must run and return a DataFrame with rows."""
+    import __spark_entry__ as E
+    df = E.entry(spark)
+    assert df.count() >= 0

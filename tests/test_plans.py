@@ -1,0 +1,67 @@
+"""Physical-plan assertions: the plans we ship are the plans we want at
+100 TB — filters pushed to the scan, small dims broadcast, the
+scan->segment->mention chain narrow (no shuffle), whole-stage codegen on
+the relational path."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from cosmos_spark import queries as Q
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+
+
+def test_filter_pushdown_and_pruning(spark):
+    df = Q.q_filter_project(spark, SF_DIR)
+    plan = _plan(df)
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull(l_quantity)" in plan or "GreaterThan(l_quantity" in plan
+    # column pruning: ReadSchema must not include unprojected columns
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_returnflag" not in read_schema
+    assert "l_shipdate" not in read_schema
+
+
+def test_broadcast_join_strategy(spark):
+    plan = _plan(Q.q_broadcast_join(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_semi_and_anti_join_strategies(spark):
+    semi = _plan(Q.q_semi_join(spark, SF_DIR))
+    anti = _plan(Q.q_anti_join(spark, SF_DIR))
+    assert "LeftSemi" in semi
+    assert "LeftAnti" in anti
+
+
+def test_kg_narrow_chain_no_shuffle(spark):
+    """scan -> segments -> mentions must plan with zero Exchange operators:
+    the whole extraction front-end is one narrow stage."""
+    from cosmos_spark import pipeline as P
+    src = Q._docs_as_source(spark, SF_DIR)
+    mentions = P.mentions_of(P.segments_of(src))
+    plan = _plan(mentions)
+    assert "Exchange" not in plan, plan
+
+
+def test_link_join_is_broadcast(spark, source_df):
+    from cosmos_spark import pipeline as P
+    mentions = P.mentions_of(P.segments_of(source_df))
+    _, aliases = P.entities_and_aliases(mentions)
+    links = P.link_mentions(mentions, aliases)
+    plan = _plan(links)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_partial_aggregation_single_shuffle(spark):
+    """groupBy plans as partial (map-side) + final hash aggregate around
+    exactly one Exchange — the shape that holds at any scale."""
+    plan = _plan(Q.q_groupby_agg(spark, SF_DIR))
+    assert "partial_sum" in plan
+    assert plan.count("Exchange") <= 2  # one Exchange node + its mention

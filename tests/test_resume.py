@@ -1,0 +1,77 @@
+"""Kill/rerun resumability (BASELINE.md gate): a rerun recomputes zero
+completed stages, and outputs are identical (reference analog: per-PDF
+`.complete` progress files, `make_parquet.py:665-707,739-765`)."""
+
+import json
+import os
+
+import pytest
+
+from cosmos_spark.plans import Checkpointer, run_resumable
+
+
+def _rows(df, cols):
+    return set(map(tuple, df.select(*cols).toPandas().to_numpy()))
+
+
+def test_resume_after_kill(spark, source_df, oracle_result, tmp_path):
+    wd = str(tmp_path / "ckpt")
+
+    # run 1: "killed" after the mentions stage
+    partial = run_resumable(spark, source_df, wd, run_id="run1",
+                            stop_after="mentions")
+    assert partial["mentions"] is not None
+    assert partial["triples"] is None
+
+    # run 2: full — segments/mentions must be resumed, not recomputed
+    full = run_resumable(spark, source_df, wd, run_id="run2")
+    ck: Checkpointer = full["_checkpointer"]
+    assert "segments" in ck.skipped and "mentions" in ck.skipped
+    assert "segments" not in ck.computed and "mentions" not in ck.computed
+
+    # lineage of resumed stages still carries run1 (zero recomputation)
+    for stage in ("segments", "mentions"):
+        with open(os.path.join(wd, stage, "_cosmos_meta.json")) as f:
+            assert json.load(f)["run_id"] == "run1"
+
+    # triples from the resumed run match the oracle
+    got = _rows(full["triples"], ["subj", "pred", "obj"])
+    exp = set(zip(oracle_result["triples"]["subj"],
+                  oracle_result["triples"]["pred"],
+                  oracle_result["triples"]["obj"]))
+    inter = len(got & exp)
+    assert inter / len(got) >= 0.95
+    assert inter / len(exp) >= 0.95
+
+    # run 3: everything skipped
+    again = run_resumable(spark, source_df, wd, run_id="run3")
+    ck3: Checkpointer = again["_checkpointer"]
+    assert ck3.computed == []
+    assert set(ck3.skipped) == {"segments", "mentions", "entities_aliases",
+                                "links", "entities_canon", "triples"}
+    assert _rows(again["triples"], ["subj", "pred", "obj"]) == got
+
+
+def test_changed_input_recomputes(spark, source_df, tmp_path):
+    import pyspark.sql.functions as F
+    wd = str(tmp_path / "ckpt2")
+    run_resumable(spark, source_df, wd, run_id="runA", stop_after="segments")
+    # different input -> different fingerprint -> recompute
+    smaller = source_df.filter(F.col("repo") != "org9/edge_repo")
+    res = run_resumable(spark, smaller, wd, run_id="runB",
+                        stop_after="segments")
+    # the only way to observe: meta now carries runB
+    with open(os.path.join(wd, "segments", "_cosmos_meta.json")) as f:
+        assert json.load(f)["run_id"] == "runB"
+
+
+def test_lineage_rows_shape(spark, source_df, tmp_path):
+    wd = str(tmp_path / "ckpt3")
+    out = run_resumable(spark, source_df, wd, run_id="runL",
+                        stop_after="segments")
+    ck = Checkpointer(spark, wd, "x")
+    lin = ck.lineage().toPandas()
+    assert set(lin.columns) == {"stage", "partition_id", "input_sha256_agg",
+                                "row_count", "wall_ms", "run_id"}
+    assert (lin["stage"] == "segments").any()
+    assert lin["row_count"].sum() == out["segments"].count()
