@@ -36,7 +36,9 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = _sf_of(sf_dir)
 
-    from cosmos_spark.corpus import corpus_to_spark, make_corpus
+    from pyspark import StorageLevel
+
+    from cosmos_spark.corpus import make_corpus_spark
     from cosmos_spark.pipeline import run_pipeline
     from cosmos_spark.queries import QUERIES
     from cosmos_spark.session import get_spark
@@ -49,19 +51,21 @@ def main() -> None:
     times: dict[str, float] = {}
 
     # --- headline: KG pipeline throughput (triples/sec) ---
-    # corpus sized to sf: sf0.1 -> ~6.2k files (~25k segments), sf0.01 -> ~620
-    files_per_repo = max(int(2000 * sf), 4)
-    corpus = make_corpus(n_repos=10, files_per_repo=files_per_repo,
-                         skew_factor=20, seed=42)
-    n_files = len(corpus)
-    src = corpus_to_spark(spark, corpus, partitions=cpus * 2).cache()
-    src.count()  # materialize input outside the timed region
+    # corpus sized to sf, generated executor-side: sf0.1 -> ~58k files
+    files_per_repo = max(int(20000 * sf), 4)
+    src = make_corpus_spark(spark, n_repos=10,
+                            files_per_repo=files_per_repo,
+                            skew_factor=20, seed=42,
+                            partitions=cpus * 4)
+    src = src.persist(StorageLevel.MEMORY_AND_DISK)
+    n_files = src.count()  # materialize input outside the timed region
 
     t0 = time.monotonic()
     triples = run_pipeline(spark, src)["triples"]
     n_triples = triples.count()
     kg_sec = time.monotonic() - t0
     times["kg_pipeline"] = round(kg_sec, 3)
+    spark.catalog.clearCache()  # release kg caches before the query suite
 
     # --- operator suite at the sf dir ---
     for name, (fn, _sql) in QUERIES.items():

@@ -10,16 +10,22 @@ Shape is exactly the BASELINE.json ``input_hint``:
 ``(repo:string, path:string, commit:string, lang:string, content:string)``
 plus the derived per-row invariant ``content_sha256``.
 
+Every file's content is a pure function of ``(seed, repo, file_idx)`` — a
+per-file ``random.Random`` stream — so the corpus is identical whether it
+is generated driver-side in pandas (:func:`make_corpus`, small test scale)
+or executor-side via ``spark.range + mapInPandas``
+(:func:`make_corpus_spark`, bench scale: a driver-side generator cannot
+feed a cluster, and at 10^12 files the input must be synthesized or
+scanned where it is consumed).
+
 Fixtures planted (FIXTURES.md §1, §3):
 
-- one skewed "monorepo" with ``skew_factor`` x the median file count
-  (exercises salting / AQE skew handling);
+- one skewed "monorepo" with ``skew_factor`` x the per-repo file count;
 - an empty file (zero segments, no crash);
 - a file with no blank-line separators (single segment);
 - unicode-ligature rows (normalize_text analog,
   `cosmos/ingestion/ingest/utils/normalize_text.py:19-28`);
-- duplicate content across two repos (same sha256, distinct (repo,path) —
-  dedup must NOT collapse source rows);
+- duplicate content across two repos (same sha256, distinct (repo,path));
 - cross-repo entities with alias-variant names (``load_config`` vs
   ``loadConfig`` vs ``load_config_v2``) so canonicalization has real
   same_as edges to find.
@@ -48,6 +54,7 @@ STEMS = [
     "read_table",
     "emit_triples",
 ]
+
 
 # variant spellings of a stem: underscore, camelCase, _v2 suffix, leading _
 def _variants(stem: str) -> list[str]:
@@ -112,38 +119,24 @@ def _md_file(rng: random.Random, repo: str, fidx: int) -> str:
     )
 
 
-def make_corpus(
-    n_repos: int = 10,
-    files_per_repo: int = 20,
-    skew_factor: int = 20,
-    seed: int = 42,
-) -> pd.DataFrame:
-    """Build the corpus as a pandas DataFrame (driver-side, then parallelize).
+def _file_row(seed: int, repo: str, fidx: int) -> dict:
+    """Pure function (seed, repo, fidx) -> source row."""
+    rng = random.Random(f"{seed}|{repo}|{fidx}")
+    lang = LANGS[fidx % len(LANGS)]
+    ext = {"python": "py", "java": "java", "md": "md"}[lang]
+    path = f"src/m{fidx % 10}/f_{fidx:04d}.{ext}"
+    if lang == "python":
+        content = _py_file(rng, repo, fidx)
+    elif lang == "java":
+        content = _java_file(rng, repo, fidx)
+    else:
+        content = _md_file(rng, repo, fidx)
+    return {"repo": repo, "path": path, "commit": _commit_for(repo, path),
+            "lang": lang, "content": content}
 
-    ``repo_00`` is the skewed monorepo with ``skew_factor * files_per_repo``
-    files; all other repos get ``files_per_repo``.
-    """
-    rng = random.Random(seed)
-    rows: list[dict] = []
-    for r in range(n_repos):
-        repo = f"org{r % 3}/repo_{r:02d}"
-        nfiles = files_per_repo * (skew_factor if r == 0 else 1)
-        for f in range(nfiles):
-            lang = LANGS[f % len(LANGS)]
-            ext = {"python": "py", "java": "java", "md": "md"}[lang]
-            path = f"src/m{f % 10}/f_{f:04d}.{ext}"
-            if lang == "python":
-                content = _py_file(rng, repo, f)
-            elif lang == "java":
-                content = _java_file(rng, repo, f)
-            else:
-                content = _md_file(rng, repo, f)
-            rows.append(
-                {"repo": repo, "path": path, "commit": _commit_for(repo, path),
-                 "lang": lang, "content": content}
-            )
 
-    # --- edge fixtures (FIXTURES.md §3) ---
+def _edge_rows() -> list[dict]:
+    """FIXTURES.md §3 edge fixtures."""
     edge_repo = "org9/edge_repo"
     edge = [
         # empty file -> zero segments
@@ -158,7 +151,6 @@ def make_corpus(
         {"repo": edge_repo, "path": "wrap.md", "lang": "md",
          "content": "# wrap\n\nThis uses a config-\nuration value.\n"},
     ]
-    # duplicate content across two repos: same sha256, distinct (repo, path)
     dup_content = "import json\n\ndef load_config(p):\n    return json.loads(p)\n"
     edge.append({"repo": "org1/dup_a", "path": "dup.py", "lang": "python",
                  "content": dup_content})
@@ -166,16 +158,98 @@ def make_corpus(
                  "content": dup_content})
     for e in edge:
         e["commit"] = _commit_for(e["repo"], e["path"])
-        rows.append(e)
+    return edge
 
+
+def _repo_spec(n_repos: int, files_per_repo: int,
+               skew_factor: int) -> list[tuple[str, int]]:
+    """[(repo, n_files)] — repo 0 is the skewed monorepo."""
+    return [
+        (f"org{r % 3}/repo_{r:02d}",
+         files_per_repo * (skew_factor if r == 0 else 1))
+        for r in range(n_repos)
+    ]
+
+
+def make_corpus(
+    n_repos: int = 10,
+    files_per_repo: int = 20,
+    skew_factor: int = 20,
+    seed: int = 42,
+    include_edges: bool = True,
+) -> pd.DataFrame:
+    """Driver-side pandas corpus (test scale)."""
+    rows: list[dict] = []
+    for repo, nfiles in _repo_spec(n_repos, files_per_repo, skew_factor):
+        for f in range(nfiles):
+            rows.append(_file_row(seed, repo, f))
+    if include_edges:
+        rows.extend(_edge_rows())
     df = pd.DataFrame(rows, columns=["repo", "path", "commit", "lang", "content"])
     df["content_sha256"] = df["content"].map(_sha)
     return df
 
 
+def make_corpus_spark(
+    spark,
+    n_repos: int = 10,
+    files_per_repo: int = 2000,
+    skew_factor: int = 20,
+    seed: int = 42,
+    include_edges: bool = True,
+    partitions: int | None = None,
+):
+    """Executor-side corpus: ``spark.range`` over the global file index,
+    content synthesized in mapInPandas — identical rows to
+    :func:`make_corpus` (same per-file seed), any scale, no driver
+    bottleneck."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import types as T
+
+    spec = _repo_spec(n_repos, files_per_repo, skew_factor)
+    bounds = []  # (start, end, repo) global index ranges
+    off = 0
+    for repo, n in spec:
+        bounds.append((off, off + n, repo))
+        off += n
+    total = off
+
+    schema = T.StructType([
+        T.StructField("repo", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("commit", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("content", T.StringType()),
+        T.StructField("content_sha256", T.StringType()),
+    ])
+
+    def gen(it):
+        import bisect
+        starts = [b[0] for b in bounds]
+        for pdf in it:
+            rows = []
+            for gidx in pdf["id"]:
+                i = bisect.bisect_right(starts, gidx) - 1
+                start, _end, repo = bounds[i]
+                row = _file_row(seed, repo, int(gidx) - start)
+                row["content_sha256"] = _sha(row["content"])
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=schema.fieldNames())
+
+    nparts = partitions or max(spark.sparkContext.defaultParallelism * 2, 8)
+    base = spark.range(0, total, 1, nparts).mapInPandas(gen, schema)
+    if include_edges:
+        edges = pd.DataFrame(_edge_rows(),
+                             columns=["repo", "path", "commit", "lang",
+                                      "content"])
+        edges["content_sha256"] = edges["content"].map(_sha)
+        base = base.unionByName(spark.createDataFrame(edges, schema=schema))
+    return base
+
+
 def corpus_to_spark(spark, pdf: pd.DataFrame, partitions: int | None = None):
-    """Parallelize the corpus; repartition by (repo, path) so per-file group
-    ops never shuffle the skewed repo onto one task."""
+    """Parallelize a pandas corpus; repartition by (repo, path) so per-file
+    group ops never land the skewed repo on one task."""
     sdf = spark.createDataFrame(pdf)
     if partitions:
         sdf = sdf.repartition(partitions, "repo", "path")

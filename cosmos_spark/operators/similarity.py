@@ -1,0 +1,150 @@
+"""Similarity search over embedding columns (array<float>).
+
+- :func:`cosine_topk` — brute-force exact top-k: the correctness baseline.
+  One pass over the corpus per query batch; queries are broadcast (they're
+  the small side by definition), so the scan stays shuffle-free until the
+  final global top-k, which aggregates per-partition heaps.
+- :func:`rhp_lsh_buckets` / :func:`cosine_topk_lsh` — the scale path:
+  random-hyperplane LSH with hyperplanes derived deterministically from
+  md5 (no RNG state to ship), so only same-bucket candidates are scored.
+  At 10^12 rows the bucket table is the pre-built index (write it once,
+  partition by bucket, prune at query time).
+
+All dot products run JVM-side (``zip_with`` + ``aggregate`` over
+array<double>) — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+_DOT = ("aggregate(zip_with(cast({a} as array<double>), "
+        "cast({b} as array<double>), (x, y) -> x * y), 0.0D, "
+        "(acc, v) -> acc + v)")
+_NORM = ("sqrt(aggregate(cast({a} as array<double>), 0.0D, "
+         "(acc, v) -> acc + v * v))")
+
+
+def cosine_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                q_id_col: str = "q_id", q_vec_col: str = "q_vec",
+                round_to: int | None = 6) -> DataFrame:
+    """Exact top-k by cosine for each query vector.
+
+    (q_id, vec_id, cos_sim, rn<=k). ``queries`` is broadcast; ranking uses
+    a per-query window (rank ties broken by id for determinism).
+    """
+    dot = _DOT.format(a=vec_col, b=q_vec_col)
+    na = _NORM.format(a=vec_col)
+    nb = _NORM.format(a=q_vec_col)
+    sim = f"({dot}) / (({na}) * ({nb}))"
+    if round_to is not None:
+        sim = f"round({sim}, {round_to})"
+    scored = (
+        emb.crossJoin(F.broadcast(queries))
+        .filter(F.col(id_col) != F.col(q_id_col))
+        .select(F.col(q_id_col).alias("q_id"),
+                F.col(id_col).alias("vec_id"),
+                F.expr(sim).alias("cos_sim"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+    )
+
+
+def _plane_expr(vec_col: str, plane_idx: int, dim: int) -> str:
+    """Deterministic pseudo-random hyperplane component: md5(plane|dim) hex
+    nibble mapped to [-7.5 .. +7.5] (zero-mean). Sign of the dot product is
+    one LSH bit."""
+    comp = (f"transform(sequence(0, {dim - 1}), d -> "
+            f"cast(conv(substring(md5(concat('{plane_idx}|', "
+            f"cast(d as string))), 1, 4), 16, 10) as double) - 32767.5)")
+    return (f"aggregate(zip_with(cast({vec_col} as array<double>), {comp}, "
+            f"(x, p) -> x * p), 0.0D, (acc, v) -> acc + v)")
+
+
+def rhp_lsh_buckets(emb: DataFrame, n_planes: int = 8,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding",
+                    dim: int = 64) -> DataFrame:
+    """(id, bucket): bucket = n_planes sign bits of deterministic random
+    hyperplane projections. Row-local — this IS the index build."""
+    bits = " + ".join(
+        f"(case when ({_plane_expr(vec_col, p, dim)}) > 0 "
+        f"then {1 << p} else 0 end)"
+        for p in range(n_planes)
+    )
+    return emb.select(F.col(id_col).alias("vec_id"),
+                      F.expr(f"cast({bits} as int)").alias("bucket"))
+
+
+def cosine_topk_lsh(emb: DataFrame, queries: DataFrame, k: int = 10,
+                    n_planes: int = 8, id_col: str = "vec_id",
+                    vec_col: str = "embedding", q_id_col: str = "q_id",
+                    q_vec_col: str = "q_vec", dim: int = 64,
+                    round_to: int | None = 6) -> DataFrame:
+    """Approximate top-k: score only candidates sharing the query's LSH
+    bucket. Recall < 1 by construction (that's the trade); at corpus scale
+    this prunes the scan to ~1/2^n_planes of the rows."""
+    b_emb = emb.join(rhp_lsh_buckets(emb, n_planes, id_col, vec_col, dim),
+                     id_col)
+    q_buckets = rhp_lsh_buckets(
+        queries.select(F.col(q_id_col).alias("vec_id"),
+                       F.col(q_vec_col).alias("embedding")),
+        n_planes, "vec_id", "embedding", dim
+    ).withColumnRenamed("vec_id", q_id_col)
+    q = queries.join(q_buckets, q_id_col)
+
+    dot = _DOT.format(a=vec_col, b=q_vec_col)
+    na = _NORM.format(a=vec_col)
+    nb = _NORM.format(a=q_vec_col)
+    sim = f"({dot}) / (({na}) * ({nb}))"
+    if round_to is not None:
+        sim = f"round({sim}, {round_to})"
+    scored = (
+        b_emb.join(F.broadcast(q), "bucket")
+        .filter(F.col(id_col) != F.col(q_id_col))
+        .select(F.col(q_id_col).alias("q_id"),
+                F.col(id_col).alias("vec_id"),
+                F.expr(sim).alias("cos_sim"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+    )
+
+
+def embedding_cosine_dup_pairs(emb: DataFrame, threshold: float = 0.95,
+                               n_planes: int = 6, id_col: str = "vec_id",
+                               vec_col: str = "embedding",
+                               dim: int = 64,
+                               max_bucket: int = 200) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: LSH-bucket the corpus, pair
+    within buckets (bounded), keep cosine >= threshold. The embedding twin
+    of minhash_lsh_pairs."""
+    b = emb.join(rhp_lsh_buckets(emb, n_planes, id_col, vec_col, dim),
+                 id_col).select("bucket", F.col(id_col).alias("id"),
+                                F.col(vec_col).alias("v"))
+    grouped = (
+        b.groupBy("bucket")
+        .agg(F.sort_array(F.collect_list(F.struct("id", "v"))).alias("rows"))
+        .filter((F.size("rows") > 1) & (F.size("rows") <= max_bucket))
+    )
+    pairs = grouped.select(F.explode(F.expr(
+        "flatten(transform(rows, (x, i) -> "
+        "transform(slice(rows, i + 2, size(rows) - i - 1), "
+        "y -> struct(x.id as id_a, y.id as id_b, x.v as va, y.v as vb))))"
+    )).alias("p")).select("p.*")
+    dot = _DOT.format(a="va", b="vb")
+    na = _NORM.format(a="va")
+    nb = _NORM.format(a="vb")
+    return (
+        pairs.withColumn("cos_sim", F.expr(f"({dot}) / (({na}) * ({nb}))"))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+        .distinct()
+    )

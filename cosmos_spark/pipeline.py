@@ -5,8 +5,8 @@ source (repo, path, commit, lang, content)            [Iceberg/parquet scan]
   -> mentions   mapInPandas(mention_kernel)           [narrow, no shuffle]
   -> entities + alias dict   groupBy(norm)            [one small shuffle]
   -> links      broadcast join + batched scoring UDF  [map-side join]
-  -> canonical  blocked similarity self-join + CC     [iterative min-label]
-  -> triples    unions -> partitioned sink
+  -> canonical  blocked similarity CC                 [one block shuffle]
+  -> triples    unions -> hash-agg dedup -> partitioned sink
 
 Scale design (the reason this layout wins at 100 TB / 1000 executors):
 
@@ -20,19 +20,19 @@ Scale design (the reason this layout wins at 100 TB / 1000 executors):
   join — no shuffle of the big mentions table (reference analog: the
   in-memory UMLS candidate KB, `link.py:11-39`).
 - Per-file skew is a non-issue (group key is (repo, path), never bare
-  ``repo``); the canonicalization self-join blocks on (name prefix, length
-  bucket) and pre-repartitions on the block key so one hot prefix spreads
-  across tasks; AQE skew-join splitting covers the residual.
-- Connected components is the bounded iterative min-label loop over the
-  edge relation (the scale replacement for `link.py:113` drop_duplicates);
-  each iteration localCheckpoints to cut the lineage.
+  ``repo``); AQE skew-join splitting covers residual shuffle skew.
+- Canonicalization blocks entities on a name prefix: similarity edges
+  cannot cross blocks, so connected components runs block-locally in one
+  ``applyInPandas`` shuffle (the scale replacement for `link.py:113`
+  drop_duplicates). The general iterative min-label CC lives in
+  :mod:`cosmos_spark.operators.graph` for cross-block edge relations.
 """
 
 from __future__ import annotations
 
 import pandas as pd
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 from . import kernels as K
@@ -148,25 +148,44 @@ def entities_and_aliases(mentions: DataFrame) -> tuple[DataFrame, DataFrame]:
 
 def link_mentions(mentions: DataFrame, aliases: DataFrame) -> DataFrame:
     """Candidate generation = broadcast equi-join on the normalized basename
-    (J4); scoring = batched Arrow UDF; acceptance = top-1 per mention with
-    score > 0.8 (`link.py:26-33`; top-1 via the W5/L3 window)."""
-    cands = (
+    (J4); scoring = exact-match fast path JVM-side (score 1.0 — the
+    overwhelmingly common case) with the batched Arrow trigram UDF only on
+    fuzzy-alias candidates; acceptance = top-1 per mention with score > 0.8
+    (`link.py:26-33`). Top-1 is a hash aggregation (min over a
+    (-score, entity_id) struct), not a sort window — partial aggregation
+    runs map-side, so no full candidate sort ever shuffles."""
+    base = (
         mentions.filter(F.col("mention_kind").isin("call", "import", "ref"))
         .withColumn("alias_key",
                     _alias_norm_col(F.substring_index(F.col("mention_text"), ".", -1)))
-        .join(F.broadcast(aliases), "alias_key", "inner")
+    )
+    # exact aliases score 1.0 by construction (alias_key == canonical_name)
+    # — keep that branch fully JVM-side; the Arrow UDF only ever sees the
+    # small fuzzy-alias candidate stream. (A when/otherwise would NOT do
+    # this: Spark hoists pandas UDFs into an ArrowEvalPython node that
+    # evaluates them on every row regardless of the branch.)
+    exact = (
+        base.join(F.broadcast(aliases.filter(F.col("alias_kind") == "exact")),
+                  "alias_key", "inner")
+        .withColumn("link_score", F.lit(1.0))
+    )
+    fuzzy = (
+        base.join(F.broadcast(aliases.filter(F.col("alias_kind") == "fuzzy")),
+                  "alias_key", "inner")
         .withColumn("link_score",
-                    _trigram_jaccard_udf(F.col("alias_key"), F.col("canonical_name")))
+                    _trigram_jaccard_udf(F.col("alias_key"),
+                                         F.col("canonical_name")))
     )
-    w = Window.partitionBy("mention_id").orderBy(
-        F.desc("link_score"), F.asc("entity_id"))
-    return (
-        cands.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .withColumn("linked", F.col("link_score") > F.lit(K.LINK_THRESHOLD))
-        .select("mention_id", "entity_id",
-                F.col("link_score").alias("score"), "linked")
+    cands = exact.unionByName(fuzzy)
+    top = (
+        cands.groupBy("mention_id")
+        .agg(F.min(F.struct((-F.col("link_score")).alias("neg_score"),
+                            F.col("entity_id").alias("eid"))).alias("best"))
+        .select("mention_id",
+                F.col("best.eid").alias("entity_id"),
+                (-F.col("best.neg_score")).alias("score"))
     )
+    return top.withColumn("linked", F.col("score") > F.lit(K.LINK_THRESHOLD))
 
 
 CC_SCHEMA = T.StructType([
@@ -244,10 +263,13 @@ def triples_of(
                 F.lit("*").alias("repo"), F.lit(1.0).alias("score"))
     )
     t = base.unionByName(ment).unionByName(member).unionByName(same)
-    w = Window.partitionBy("subj", "pred", "obj").orderBy(F.desc("score"))
+    # dedup keeping max score: hash aggregate (map-side partial combine),
+    # not a sort window — the cheapest possible (subj,pred,obj) dedup.
+    # repo is functionally dependent on (subj,pred): min() is a no-op pick.
     return (
-        t.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
-        .drop("rn")
+        t.groupBy("subj", "pred", "obj")
+        .agg(F.max("score").alias("score"), F.min("repo").alias("repo"))
+        .select("subj", "pred", "obj", "repo", "score")
         .withColumn("provenance",
                     F.concat(F.lit(f"triples@{run_id}:"),
                              F.spark_partition_id().cast("string")))

@@ -622,3 +622,124 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "q_kg_segments": (q_kg_segments, SQL_KG_SEGMENTS),
     "q_kg_member_triples": (q_kg_member_triples, SQL_KG_MEMBER_TRIPLES),
 }
+
+
+# ---------------------------------------------------------------------------
+# dedup / similarity operator queries (cross-checked signatures)
+# ---------------------------------------------------------------------------
+
+def q_simhash_bands(spark, sf_dir):
+    """SimHash: 64-bit signature split into 4 x 16-bit LSH bands (the
+    near-dup banding key). Cross-engine check of the full bit pipeline."""
+    from .operators import dedup
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.expr(r"size(regexp_extract_all(text, '\\S+', 0)) > 0"))
+    sigs = dedup.simhash_signatures(docs, "doc_id", "text")
+    return sigs.select(
+        F.col("id").alias("doc_id"),
+        F.explode(F.expr(
+            "transform(sequence(0, 3), b -> struct(cast(b as int) as band, "
+            "shiftright(simhash, b * 16) & 65535L as bval))")).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bval")
+
+
+SQL_SIMHASH_BANDS = r"""
+WITH tok AS (
+  SELECT doc_id,
+         ('0x'||substr(md5(t),1,8))::BIGINT AS hi,
+         ('0x'||substr(md5(t),9,8))::BIGINT AS lo
+  FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS t
+        FROM documents)
+),
+bits AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN (CASE WHEN b < 32 THEN (lo >> b) & 1
+                        ELSE (hi >> (b - 32)) & 1 END) = 1
+             THEN 1 ELSE -1 END) AS v
+  FROM tok, range(64) r(b)
+  GROUP BY doc_id, b
+)
+SELECT doc_id, CAST(b // 16 AS INT) AS band,
+       CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << (b % 16)) ELSE 0 END)
+            AS BIGINT) AS bval
+FROM bits GROUP BY doc_id, b // 16
+"""
+
+
+def q_minhash_sig(spark, sf_dir):
+    """MinHash signature rows (doc_id, hash_idx, minhash) — the LSH
+    building block, one row per (doc, hash function)."""
+    from .operators import dedup
+    docs = _t(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs, "doc_id", "text", num_hashes=16)
+    return sigs.select(
+        F.col("id").alias("doc_id"),
+        F.posexplode("sig").alias("h", "mh"))
+
+
+SQL_MINHASH_SIG = r"""
+WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+           FROM documents),
+sh AS (SELECT doc_id,
+              unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                     i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+                AS s
+       FROM t WHERE len(toks) >= 3),
+mh AS (SELECT doc_id, h, min(md5(h::VARCHAR || ':' || s)) AS mh
+       FROM sh, range(16) r(h) GROUP BY doc_id, h)
+SELECT doc_id, CAST(h AS INT) AS h, mh FROM mh
+"""
+
+
+def q_lsh_bucket(spark, sf_dir):
+    """Random-hyperplane LSH bucket ids over the embeddings table — the
+    ANN index build, cross-checked bit-for-bit (hyperplanes derived from
+    md5, no RNG)."""
+    from .operators import similarity
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.rhp_lsh_buckets(emb, n_planes=8, dim=64)
+
+
+SQL_LSH_BUCKET = r"""
+WITH e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+                  generate_subscripts(embedding, 1) - 1 AS d
+           FROM embeddings),
+proj AS (SELECT vec_id, p,
+                sum(x * (('0x'||substr(md5(p::VARCHAR||'|'||d::VARCHAR),1,4))::BIGINT
+                         - 32767.5)) AS dot
+         FROM e, range(8) r(p) GROUP BY vec_id, p)
+SELECT vec_id,
+       CAST(sum(CASE WHEN dot > 0 THEN (1::BIGINT << p) ELSE 0 END) AS INT)
+         AS bucket
+FROM proj GROUP BY vec_id
+"""
+
+
+def q_media_features(spark, sf_dir):
+    """Multimodal plumbing: binary payload column -> mapInPandas feature
+    extraction (stub decoder); byte length / sha / fake dims are
+    SQL-replicable so the Arrow binary round-trip is verified."""
+    from .operators import multimodal
+    docs = _t(spark, sf_dir, "documents")
+    media = multimodal.media_from_documents(docs)
+    feats = multimodal.extract_media_features(media, fake=True)
+    return feats.select("media_id", "n_bytes", "payload_sha256",
+                        "width", "height")
+
+
+SQL_MEDIA_FEATURES = """
+SELECT CAST(doc_id AS VARCHAR) AS media_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       sha256(text) AS payload_sha256,
+       CAST(64 + ('0x'||substr(sha256(text),1,2))::INT % 64 AS INT) AS width,
+       CAST(64 + ('0x'||substr(sha256(text),3,2))::INT % 64 AS INT) AS height
+FROM documents
+"""
+
+
+QUERIES.update({
+    "q_simhash_bands": (q_simhash_bands, SQL_SIMHASH_BANDS),
+    "q_minhash_sig": (q_minhash_sig, SQL_MINHASH_SIG),
+    "q_lsh_bucket": (q_lsh_bucket, SQL_LSH_BUCKET),
+    "q_media_features": (q_media_features, SQL_MEDIA_FEATURES),
+})

@@ -1,0 +1,113 @@
+"""Query-time retrieval over the materialized graph — the DataFrame
+restatement of the reference's search path (SURVEY §3.3).
+
+Reference: `cosmos/retrieval/retrieval/elastic_retriever.py:228-342` builds
+a boolean tree of match_phrase terms (OR vs ``inclusive`` AND, `:279-289`),
+class/score filters (`:294-307`), a doc-level semi-join (`:262-277`),
+pagination (`:291-292,318`); entity mode resolves an Entity then its child
+objects through the parent/child join index (`:239-258`), with both sides
+routed to the same shard (`:143-150`).
+
+Here: plain filters + joins + a row_number window over (segments, triples,
+entities) DataFrames. "Same shard routing" becomes co-partitioning both
+sides on entity_id before the join.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def search_segments(
+    segments: DataFrame,
+    terms: list[str],
+    inclusive: bool = False,
+    kinds: list[str] | None = None,
+    min_score: float | None = None,
+    page: int = 0,
+    per_page: int = 30,
+) -> DataFrame:
+    """Term search over segment text with class/score filters + pagination.
+
+    ``inclusive=True`` = all terms must match (the reference's AND mode,
+    `elastic_retriever.py:279-289`); else any. Ordering: score desc then
+    seg_id for a stable page (the reference pages an ES score sort)."""
+    if terms:
+        preds = [F.col("text").contains(t) for t in terms]
+        cond = preds[0]
+        for p in preds[1:]:
+            cond = (cond & p) if inclusive else (cond | p)
+        segments = segments.filter(cond)
+    if kinds:
+        segments = segments.filter(F.col("kind").isin(*kinds))
+    if min_score is not None:
+        segments = segments.filter(F.col("score") >= min_score)
+    w = Window.orderBy(F.desc("score"), F.asc("seg_id"))
+    lo, hi = page * per_page, (page + 1) * per_page
+    return (
+        segments.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") > lo) & (F.col("rn") <= hi))
+        .drop("rn")
+    )
+
+
+def resolve_entity(entities: DataFrame, name: str) -> DataFrame:
+    """Entity lookup by canonical name or alias (case-normalized), collapsed
+    to the canonical representative (same_as-aware)."""
+    n = name.lower()
+    hit = entities.filter(
+        (F.col("canonical_name") == n)
+        | F.array_contains(F.expr("transform(aliases, a -> lower(a))"),
+                           F.lit(n)))
+    return hit.select(
+        F.coalesce(F.col("canonical_id"), F.col("entity_id"))
+        .alias("entity_id")).distinct()
+
+
+def entity_objects(
+    triples: DataFrame,
+    entities: DataFrame,
+    name: str,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """The entity -> child-objects join (J6): all segments that mention the
+    named entity (or anything same_as it).
+
+    Both sides are co-partitioned on the join key before the join — the
+    Spark analog of the reference routing parent and child docs to the same
+    shard (`elastic_retriever.py:143-150`). At small query cardinality
+    Catalyst will broadcast the resolved-entity side anyway."""
+    ent = resolve_entity(entities, name)
+
+    # expand canonical -> all members (same_as edges point member -> canon)
+    same = triples.filter(F.col("pred") == "same_as").select(
+        F.col("obj").alias("entity_id"), F.col("subj").alias("member_id"))
+    members = (
+        ent.join(same, "entity_id", "left")
+        .select(F.explode(F.array("entity_id", "member_id")).alias("eid"))
+        .filter(F.col("eid").isNotNull())
+        .distinct()
+    )
+
+    mentions = triples.filter(F.col("pred") == "mentions")
+    if n_partitions:
+        mentions = mentions.repartition(n_partitions, "obj")
+        members = members.repartition(n_partitions, "eid")
+    return (
+        mentions.join(members, mentions["obj"] == members["eid"], "left_semi")
+        .select(F.col("subj").alias("object_ref"), "repo", "score")
+    )
+
+
+def top1_per_doc(results: DataFrame, doc_col: str = "repo",
+                 score_col: str = "score") -> DataFrame:
+    """Diversity rerank: keep the best hit per document (the reference's
+    per-doc top-1 after BERT rerank, `elastic_reranking_retriever.py:43-49`
+    / `docsrc/source/retrieval.rst:19-31`)."""
+    w = Window.partitionBy(doc_col).orderBy(
+        F.desc(score_col), F.asc("object_ref"))
+    return (
+        results.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1).drop("rn")
+    )

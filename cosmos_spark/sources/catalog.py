@@ -1,0 +1,95 @@
+"""Table catalog abstraction.
+
+The engine's sink is logically an Iceberg warehouse (`BASELINE.json`:
+"materializing (subj, pred, obj) triples to partitioned Iceberg graph
+tables"). This sandbox has no Iceberg runtime jar, so the catalog fronts a
+parquet-directory warehouse with the same call shape — `write` maps to
+``df.writeTo(table).partitionedBy(...).createOrReplace()`` when an Iceberg
+catalog is configured, and to partitioned parquet otherwise. Pipeline code
+only ever touches this module, so swapping the backend is a config change,
+not a code change.
+
+Reference analog: the parquet-per-aggregation sink of
+`cosmos/ingestion/ingest/ingest.py:207-211` and the ES index sink of
+`cosmos/retrieval/retrieval/elastic_retriever.py:360-613`, unified behind
+one table interface.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _iceberg_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.SparkCatalog")
+        return True
+    except Exception:
+        return False
+
+
+class Catalog:
+    def __init__(self, spark: SparkSession, warehouse: str,
+                 prefer_iceberg: bool = True):
+        self.spark = spark
+        self.warehouse = warehouse
+        self.iceberg = prefer_iceberg and _iceberg_available(spark)
+        os.makedirs(warehouse, exist_ok=True)
+
+    def _path(self, table: str) -> str:
+        return os.path.join(self.warehouse, *table.split("."))
+
+    def write(self, df: DataFrame, table: str,
+              partition_by: tuple[str, ...] = (),
+              sort_within_by: tuple[str, ...] = (),
+              mode: str = "overwrite") -> None:
+        """Partitioned table write. ``sort_within_by`` clusters rows inside
+        each file so downstream per-key reads stay sequential (the
+        parquet-dir stand-in for Iceberg's sort order metadata)."""
+        if self.iceberg:  # pragma: no cover - no Iceberg jar in sandbox
+            w = df.writeTo(table)
+            if partition_by:
+                from pyspark.sql.functions import col
+                w = w.partitionedBy(*[col(c) for c in partition_by])
+            w.createOrReplace()
+            return
+        out = df
+        if partition_by:
+            out = out.repartition(*partition_by)
+        if sort_within_by:
+            out = out.sortWithinPartitions(*sort_within_by)
+        writer = out.write.mode(mode)
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(self._path(table))
+        with open(self._path(table) + ".meta.json", "w") as f:
+            json.dump({"table": table, "partition_by": list(partition_by),
+                       "sort_within_by": list(sort_within_by),
+                       "format": "parquet"}, f)
+
+    def read(self, table: str) -> DataFrame:
+        if self.iceberg:  # pragma: no cover
+            return self.spark.table(table)
+        return self.spark.read.parquet(self._path(table))
+
+    def exists(self, table: str) -> bool:
+        if self.iceberg:  # pragma: no cover
+            return self.spark.catalog.tableExists(table)
+        return os.path.isdir(self._path(table))
+
+    def tables(self) -> list[str]:
+        if self.iceberg:  # pragma: no cover
+            return [t.name for t in self.spark.catalog.listTables()]
+        out = []
+        for root, _dirs, files in os.walk(self.warehouse):
+            if any(f.endswith(".parquet") or f == "_SUCCESS" for f in files):
+                rel = os.path.relpath(root, self.warehouse)
+                parts = rel.split(os.sep)
+                # stop at the table dir (strip partition subdirs like pred=x)
+                tbl = [p for p in parts if "=" not in p]
+                out.append(".".join(tbl))
+        return sorted(set(out))

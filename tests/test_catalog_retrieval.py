@@ -1,0 +1,99 @@
+"""Catalog writes/reads, retrieval query path, streaming smoke."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from cosmos_spark import retrieval
+from cosmos_spark.pipeline import run_pipeline
+from cosmos_spark.sources import Catalog
+
+
+@pytest.fixture(scope="module")
+def graph(spark, source_df):
+    res = run_pipeline(spark, source_df)
+    return {k: v.cache() for k, v in res.items()}
+
+
+def test_catalog_roundtrip_partitioned(spark, graph, tmp_path_factory):
+    wh = str(tmp_path_factory.mktemp("warehouse"))
+    cat = Catalog(spark, wh)
+    assert not cat.iceberg  # sandbox: parquet-dir backend
+    cat.write(graph["triples"], "graph.triples", partition_by=("pred",),
+              sort_within_by=("repo", "subj"))
+    assert cat.exists("graph.triples")
+    back = cat.read("graph.triples")
+    assert back.count() == graph["triples"].count()
+    # partition pruning reaches the scan
+    pruned = back.filter(F.col("pred") == "defines")
+    plan = pruned._sc._jvm.PythonSQLUtils.explainString(
+        pruned._jdf.queryExecution(), "formatted")
+    assert "PartitionFilters: [isnotnull(pred" in plan
+    assert "graph.triples" in " ".join(cat.tables())
+
+
+def test_search_segments_terms_and_pagination(graph):
+    segs = graph["segments"]
+    hits = retrieval.search_segments(segs, ["def "], kinds=["function"],
+                                     per_page=10).toPandas()
+    assert 0 < len(hits) <= 10
+    assert (hits["kind"] == "function").all()
+    page2 = retrieval.search_segments(segs, ["def "], kinds=["function"],
+                                      page=1, per_page=10).toPandas()
+    assert set(hits["seg_id"]).isdisjoint(set(page2["seg_id"]))
+    # inclusive AND narrows results vs OR
+    both = retrieval.search_segments(segs, ["def ", "return"],
+                                     inclusive=True, per_page=1000)
+    either = retrieval.search_segments(segs, ["def ", "return"],
+                                       inclusive=False, per_page=1000)
+    assert both.count() <= either.count()
+
+
+def test_entity_objects_same_as_aware(graph):
+    """Querying by the canonical name must surface mentions linked to any
+    same_as member entity."""
+    ents = graph["entities"].toPandas()
+    # pick a canonical entity that has same_as members
+    merged = ents[ents["entity_id"] != ents["canonical_id"]]
+    assert len(merged) > 0
+    canon_id = merged.iloc[0]["canonical_id"]
+    canon_name = ents[ents["entity_id"] == canon_id].iloc[0]["canonical_name"]
+
+    objs = retrieval.entity_objects(graph["triples"], graph["entities"],
+                                    canon_name).toPandas()
+    assert len(objs) > 0
+    # every object ref is a segment that mentions one of the member ids
+    member_ids = set(ents[ents["canonical_id"] == canon_id]["entity_id"])
+    tp = graph["triples"].filter(F.col("pred") == "mentions").toPandas()
+    expected = set(tp[tp["obj"].isin(member_ids)]["subj"])
+    assert set(objs["object_ref"]) == expected
+
+
+def test_top1_per_doc(graph, spark):
+    import pandas as pd
+    df = spark.createDataFrame(pd.DataFrame({
+        "object_ref": ["a", "b", "c", "d"],
+        "repo": ["r1", "r1", "r2", "r2"],
+        "score": [0.9, 0.5, 0.3, 0.8],
+    }))
+    out = retrieval.top1_per_doc(df).toPandas()
+    assert sorted(out["object_ref"]) == ["a", "d"]
+
+
+def test_streaming_smoke(spark, corpus_pdf, tmp_path):
+    """File-source stream through the same kernels, availableNow drain."""
+    from cosmos_spark.streaming import stream_mention_counts
+    from cosmos_spark.streaming.ingest import run_stream_once
+
+    src_dir = str(tmp_path / "stream_src")
+    ck_dir = str(tmp_path / "ck")
+    pdf = corpus_pdf.head(30).copy()
+    pdf["ingested_at"] = __import__("pandas").Timestamp("2026-01-01")
+    (spark.createDataFrame(pdf[["repo", "path", "commit", "lang", "content",
+                                "ingested_at"]])
+     .write.mode("overwrite").parquet(src_dir))
+
+    counts = stream_mention_counts(spark, src_dir)
+    run_stream_once(counts, ck_dir)
+    out = spark.sql("select * from mention_counts").toPandas()
+    assert out["n_mentions"].sum() > 0
+    assert set(out["mention_kind"]) <= {"def", "import", "call", "ref"}
