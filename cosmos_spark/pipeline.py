@@ -32,7 +32,7 @@ from __future__ import annotations
 
 import pandas as pd
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import types as T
 
 from . import kernels as K
@@ -147,45 +147,38 @@ def entities_and_aliases(mentions: DataFrame) -> tuple[DataFrame, DataFrame]:
 
 
 def link_mentions(mentions: DataFrame, aliases: DataFrame) -> DataFrame:
-    """Candidate generation = broadcast equi-join on the normalized basename
-    (J4); scoring = exact-match fast path JVM-side (score 1.0 — the
-    overwhelmingly common case) with the batched Arrow trigram UDF only on
-    fuzzy-alias candidates; acceptance = top-1 per mention with score > 0.8
-    (`link.py:26-33`). Top-1 is a hash aggregation (min over a
-    (-score, entity_id) struct), not a sort window — partial aggregation
-    runs map-side, so no full candidate sort ever shuffles."""
+    """Candidate generation + scoring + top-1 acceptance (`link.py:26-33`).
+
+    Key scale property: a mention's entire candidate set is determined by
+    its single ``alias_key`` (candidates = alias rows sharing that key), so
+    top-1-per-mention == top-1-per-alias_key — computable on the *tiny*
+    alias table before the join. The big mentions table then takes exactly
+    one broadcast equi-join (J4) and never shuffles: no per-mention
+    aggregation, no sort. Scoring (trigram Jaccard vs the canonical name,
+    exact aliases = 1.0 by construction) runs on alias rows, not candidate
+    rows — O(|aliases|) UDF work instead of O(|mentions|)."""
+    scored = aliases.withColumn(
+        "link_score",
+        F.when(F.col("alias_kind") == "exact", F.lit(1.0)).otherwise(
+            _trigram_jaccard_udf(F.col("alias_key"), F.col("canonical_name"))))
+    w = Window.partitionBy("alias_key").orderBy(
+        F.desc("link_score"), F.asc("entity_id"))
+    best = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("alias_key", "entity_id", "link_score")
+    )
     base = (
         mentions.filter(F.col("mention_kind").isin("call", "import", "ref"))
         .withColumn("alias_key",
                     _alias_norm_col(F.substring_index(F.col("mention_text"), ".", -1)))
     )
-    # exact aliases score 1.0 by construction (alias_key == canonical_name)
-    # — keep that branch fully JVM-side; the Arrow UDF only ever sees the
-    # small fuzzy-alias candidate stream. (A when/otherwise would NOT do
-    # this: Spark hoists pandas UDFs into an ArrowEvalPython node that
-    # evaluates them on every row regardless of the branch.)
-    exact = (
-        base.join(F.broadcast(aliases.filter(F.col("alias_kind") == "exact")),
-                  "alias_key", "inner")
-        .withColumn("link_score", F.lit(1.0))
+    return (
+        base.join(F.broadcast(best), "alias_key", "inner")
+        .select("repo", "path", "seg_id", "mention_id", "entity_id",
+                F.col("link_score").alias("score"))
+        .withColumn("linked", F.col("score") > F.lit(K.LINK_THRESHOLD))
     )
-    fuzzy = (
-        base.join(F.broadcast(aliases.filter(F.col("alias_kind") == "fuzzy")),
-                  "alias_key", "inner")
-        .withColumn("link_score",
-                    _trigram_jaccard_udf(F.col("alias_key"),
-                                         F.col("canonical_name")))
-    )
-    cands = exact.unionByName(fuzzy)
-    top = (
-        cands.groupBy("mention_id")
-        .agg(F.min(F.struct((-F.col("link_score")).alias("neg_score"),
-                            F.col("entity_id").alias("eid"))).alias("best"))
-        .select("mention_id",
-                F.col("best.eid").alias("entity_id"),
-                (-F.col("best.neg_score")).alias("score"))
-    )
-    return top.withColumn("linked", F.col("score") > F.lit(K.LINK_THRESHOLD))
 
 
 CC_SCHEMA = T.StructType([
@@ -227,34 +220,67 @@ def triples_of(
     links: DataFrame,
     entities_canon: DataFrame,
     run_id: str = "run0",
+    source_unique_paths: bool = True,
 ) -> DataFrame:
+    """Assemble the four triple families.
+
+    ``source_unique_paths=True`` (default) declares the ingestion-level
+    invariant that source rows are unique per (repo, path) — the scan-side
+    contract an Iceberg identifier-field table gives for free. Under it the
+    member_of branch needs no dedup (subj embeds a per-segment content
+    hash), which removes the pipeline's largest remaining shuffle: deduping
+    once at the source (1 row per file) is strictly cheaper than re-deduping
+    the ~3x larger segments relation on every run. Pass False when feeding
+    multi-commit snapshots of the same path."""
     m = mentions.withColumn(
         "subj", F.concat_ws("", F.col("repo"), F.lit("/"), F.col("path"),
                             F.lit("#"), F.col("seg_id")))
 
+    # The four triple families have disjoint pred sets, so (subj,pred,obj)
+    # dedup never crosses branches — dedup per branch and skip it entirely
+    # where uniqueness holds by construction. This removes the former
+    # whole-output groupBy (the largest shuffle in the job: every triple's
+    # long subj string crossed the wire) in favor of one small agg on the
+    # linked subset.
     pred_map = F.create_map(
         *[F.lit(x) for kv in _PRED_FOR_KIND.items() for x in kv])
+    # base: mention_kernel dedups per (seg, kind, text) and pred is a
+    # function of kind -> (subj,pred,obj) already distinct. No shuffle.
     base = (
         m.filter(F.col("mention_kind").isin(*_PRED_FOR_KIND))
         .select("subj", pred_map[F.col("mention_kind")].alias("pred"),
                 F.col("mention_text").alias("obj"), "repo", "score")
     )
+    # ment: two mentions in one segment (e.g. a call and a ref of the same
+    # name) can link to the same entity -> dedup keeping max score, as a
+    # hash agg (map-side partial combine) over the linked subset only.
+    if "seg_id" in links.columns:  # links carries provenance columns
+        lm = links.filter(F.col("linked")).withColumn(
+            "subj", F.concat_ws("", F.col("repo"), F.lit("/"), F.col("path"),
+                                F.lit("#"), F.col("seg_id")))
+    else:  # externally supplied links (checkpoint of an older layout)
+        lm = (links.filter(F.col("linked"))
+              .join(m.select("mention_id", "subj", "repo"), "mention_id"))
     ment = (
-        links.filter(F.col("linked"))
-        .join(m.select("mention_id", "subj", "repo"), "mention_id")
-        .select("subj", F.lit("mentions").alias("pred"),
-                F.col("entity_id").alias("obj"), "repo", "score")
+        lm.groupBy("subj", F.col("entity_id").alias("obj"))
+        .agg(F.max("score").alias("score"), F.min("repo").alias("repo"))
+        .select("subj", F.lit("mentions").alias("pred"), "obj", "repo",
+                "score")
     )
-    member = (
-        segments.select(
-            "repo", "path",
-            F.concat_ws("", F.col("repo"), F.lit("/"), F.col("path"),
-                        F.lit("#"), F.col("seg_id")).alias("subj"))
-        .dropDuplicates(["subj"])
-        .select("subj", F.lit("member_of").alias("pred"),
-                F.concat_ws("/", "repo", "path").alias("obj"),
-                "repo", F.lit(1.0).alias("score"))
-    )
+    # member: one row per segment; seg_id hashes (line_start, line_end,
+    # text) so subj repeats only if source holds duplicate (repo, path)
+    # rows (e.g. two commits of one file).
+    member = segments.select(
+        "repo", "path",
+        F.concat_ws("", F.col("repo"), F.lit("/"), F.col("path"),
+                    F.lit("#"), F.col("seg_id")).alias("subj"))
+    if not source_unique_paths:
+        member = member.dropDuplicates(["subj"])
+    member = member.select(
+        "subj", F.lit("member_of").alias("pred"),
+        F.concat_ws("/", "repo", "path").alias("obj"),
+        "repo", F.lit(1.0).alias("score"))
+    # same: one row per non-canonical entity — unique by construction.
     same = (
         entities_canon.filter(F.col("entity_id") != F.col("canonical_id"))
         .select(F.col("entity_id").alias("subj"),
@@ -263,17 +289,10 @@ def triples_of(
                 F.lit("*").alias("repo"), F.lit(1.0).alias("score"))
     )
     t = base.unionByName(ment).unionByName(member).unionByName(same)
-    # dedup keeping max score: hash aggregate (map-side partial combine),
-    # not a sort window — the cheapest possible (subj,pred,obj) dedup.
-    # repo is functionally dependent on (subj,pred): min() is a no-op pick.
-    return (
-        t.groupBy("subj", "pred", "obj")
-        .agg(F.max("score").alias("score"), F.min("repo").alias("repo"))
-        .select("subj", "pred", "obj", "repo", "score")
-        .withColumn("provenance",
-                    F.concat(F.lit(f"triples@{run_id}:"),
-                             F.spark_partition_id().cast("string")))
-    )
+    return t.withColumn(
+        "provenance",
+        F.concat(F.lit(f"triples@{run_id}:"),
+                 F.spark_partition_id().cast("string")))
 
 
 def run_pipeline(spark: SparkSession, source: DataFrame,
@@ -291,6 +310,13 @@ def run_pipeline(spark: SparkSession, source: DataFrame,
         segments = segments.persist(StorageLevel.MEMORY_AND_DISK)
         mentions = mentions.persist(StorageLevel.MEMORY_AND_DISK)
     entities, aliases = entities_and_aliases(mentions)
+    if persist_intermediates:
+        # post-agg dims are tiny at any corpus scale (one row per distinct
+        # normalized def name) but feed 3 consumers (links broadcast,
+        # canonicalize, same_as) — persisting avoids re-scanning the
+        # mentions cache once per consumer.
+        entities = entities.persist(StorageLevel.MEMORY_AND_DISK)
+        aliases = aliases.persist(StorageLevel.MEMORY_AND_DISK)
     links = link_mentions(mentions, aliases)
     entities_canon = canonicalize(entities)
     triples = triples_of(segments, mentions, links, entities_canon,

@@ -743,3 +743,353 @@ QUERIES.update({
     "q_lsh_bucket": (q_lsh_bucket, SQL_LSH_BUCKET),
     "q_media_features": (q_media_features, SQL_MEDIA_FEATURES),
 })
+
+
+# ---------------------------------------------------------------------------
+# iterative CC / LSH pairs / greedy association / retrieval / streaming
+# ---------------------------------------------------------------------------
+
+_FP_TOKS = r"regexp_extract_all(lower(text), '\\S+', 0)"
+_FP_EXPR = (
+    f"case when size({_FP_TOKS}) >= 3 then "
+    f"array_min(transform(sequence(1, size({_FP_TOKS}) - 2), "
+    f"i -> md5(concat_ws(' ', slice({_FP_TOKS}, i, 3))))) "
+    f"else null end"
+)
+
+
+def q_cc_components(spark, sf_dir):
+    """General iterative connected components (operators.graph — the
+    min-label-propagation loop, SURVEY §2.4 G1/G5 scale path) over star
+    edges linking docs that share a fingerprint; component = min doc_id,
+    which the oracle reproduces relationally."""
+    from .operators import graph
+    docs = _t(spark, sf_dir, "documents")
+    fp = (docs.select("doc_id", F.expr(_FP_EXPR).alias("fp"))
+          .filter(F.col("fp").isNotNull()))
+    w = Window.partitionBy("fp")
+    star = fp.withColumn("head", F.min("doc_id").over(w))
+    edges = (star.filter(F.col("doc_id") != F.col("head"))
+             .select(F.col("head").alias("src"),
+                     F.col("doc_id").alias("dst")))
+    nodes = fp.select(F.col("doc_id").alias("node"))
+    cc = graph.connected_components(nodes, edges)
+    return cc.select(F.col("node").alias("doc_id"),
+                     F.col("component").alias("component_id"))
+
+
+SQL_CC_COMPONENTS = r"""
+WITH sh AS (
+  SELECT doc_id,
+         list_min(list_transform(
+           range(1, greatest(len(regexp_extract_all(lower(text), '\S+')) - 1, 1)),
+           i -> md5(array_to_string(
+                  list_slice(regexp_extract_all(lower(text), '\S+'), i, i + 2),
+                  ' ')))) AS fp
+  FROM documents
+  WHERE len(regexp_extract_all(lower(text), '\S+')) >= 3)
+SELECT doc_id, min(doc_id) OVER (PARTITION BY fp) AS component_id FROM sh
+"""
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    """Full MinHash+LSH near-dup candidate pairs (shingle -> minhash ->
+    band -> bucket-join), cross-checked hash-for-hash."""
+    from .operators import dedup
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=16,
+                                   bands=4, max_bucket=50)
+
+
+SQL_MINHASH_LSH_PAIRS = r"""
+WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+           FROM documents),
+sh AS (SELECT doc_id,
+              unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                     i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+                AS s
+       FROM t WHERE len(toks) >= 3),
+mh AS (SELECT doc_id, h, min(md5(h::VARCHAR || ':' || s)) AS mh
+       FROM sh, range(16) r(h) GROUP BY doc_id, h),
+banded AS (SELECT doc_id, h // 4 AS band,
+                  md5(string_agg(mh, '|' ORDER BY h)) AS bhash
+           FROM mh GROUP BY doc_id, h // 4),
+buckets AS (SELECT band, bhash, count(*) AS c FROM banded GROUP BY 1, 2)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM banded a
+JOIN banded b ON a.band = b.band AND a.bhash = b.bhash
+             AND a.doc_id < b.doc_id
+JOIN buckets k ON k.band = a.band AND k.bhash = a.bhash
+WHERE k.c <= 50
+"""
+
+
+def _assoc_source(spark, sf_dir):
+    """Deterministic multi-block files built from the documents table: per
+    source, one python file of '# c<id>' comment + 'def f<id>' function
+    blocks in doc_id order — each comment's nearest object is its own
+    function (own=2 lines away, neighbors >=3), so the greedy outcome is
+    relationally decidable while still running the real pool-pop kernel."""
+    docs = _t(spark, sf_dir, "documents")
+    block = F.concat(
+        F.lit("# c"), F.col("doc_id").cast("string"),
+        F.lit("\n\ndef f"), F.col("doc_id").cast("string"),
+        F.lit("(x):\n    return x"))
+    per_src = (
+        docs.select("source", F.struct(F.col("doc_id"), block.alias("b"))
+                    .alias("s"))
+        .groupBy("source")
+        .agg(F.array_sort(F.collect_list("s")).alias("ss"))
+        .select(
+            F.col("source").alias("repo"),
+            F.lit("assoc.py").alias("path"),
+            F.lit("0" * 40).alias("commit"),
+            F.lit("python").alias("lang"),
+            F.array_join(F.expr("transform(ss, x -> x.b)"), "\n\n")
+            .alias("content"))
+    )
+    return per_src
+
+
+def q_greedy_assoc(spark, sf_dir):
+    """Greedy nearest-neighbor association (J3/J10 pool-pop kernel via
+    applyInPandas) on the constructed corpus."""
+    from . import pipeline as P
+    from .operators import assoc
+    segs = P.segments_of(_assoc_source(spark, sf_dir))
+    return assoc.associate_comments(segs)
+
+
+SQL_GREEDY_ASSOC = """
+WITH d AS (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS p
+  FROM documents)
+SELECT source AS repo, 'assoc.py' AS path,
+       substr(sha256(source || '|assoc.py|' || (5 * p + 1) || '|' || (5 * p + 1)
+              || '|# c' || doc_id), 1, 16) AS comment_seg_id,
+       substr(sha256(source || '|assoc.py|' || (5 * p + 3) || '|' || (5 * p + 4)
+              || '|def f' || doc_id || '(x):' || chr(10) || '    return x'),
+              1, 16) AS object_seg_id,
+       'function' AS object_kind,
+       2 AS line_distance
+FROM d
+"""
+
+
+def q_search_pagination(spark, sf_dir):
+    """Query-path retrieval (SURVEY §3.3): term search + class filter +
+    deterministic pagination over KG segments (L1/J7 analog)."""
+    from . import pipeline as P
+    from . import retrieval
+    segs = P.segments_of(_docs_as_source(spark, sf_dir))
+    page = retrieval.search_segments(segs, terms=["value"], kinds=["other"],
+                                     page=1, per_page=25)
+    return page.select("seg_id", "kind", "line_start", "score")
+
+
+SQL_SEARCH_PAGINATION = r"""
+WITH segs AS (
+  SELECT substr(sha256(source || '|' || CAST(doc_id AS VARCHAR)
+                || '|1|1|' || text), 1, 16) AS seg_id,
+         'other' AS kind, 1 AS line_start, 0.5 AS score
+  FROM documents
+  WHERE regexp_matches(text, '\S') AND contains(text, 'value')
+        AND NOT regexp_matches(text, '(?m)^[ \t]*[^#/\-\s]') = false)
+SELECT seg_id, kind, line_start, score FROM (
+  SELECT *, row_number() OVER (ORDER BY score DESC, seg_id) AS rn FROM segs)
+WHERE rn > 25 AND rn <= 50
+"""
+
+
+_STREAM_SEQ = [0]
+
+
+def q_stream_kind_counts(spark, sf_dir):
+    """Structured Streaming: file-source stream of the documents table ->
+    the same segmentation mapInPandas kernel -> stateful per-kind counts,
+    drained with availableNow into a memory sink. Non-SQL-expressible
+    (streaming lifecycle) -> rows-only driver check; determinism of the
+    counts themselves is covered by q_kg_segments."""
+    import os
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from . import pipeline as P
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ])
+    # the streaming file source wants a directory: stage the single table
+    # file into one via symlink (zero copy)
+    stream_dir = tempfile.mkdtemp(prefix="stream_src_")
+    os.symlink(os.path.abspath(f"{sf_dir}/documents.parquet"),
+               os.path.join(stream_dir, "documents.parquet"))
+    src = (
+        spark.readStream.schema(schema)
+        .parquet(stream_dir)
+        .select(F.col("source").alias("repo"),
+                F.col("doc_id").cast("string").alias("path"),
+                F.lit("0" * 40).alias("commit"),
+                F.col("lang"),
+                F.col("text").alias("content"))
+    )
+    segs = P.segments_of(src)
+    counts = segs.groupBy("kind").agg(F.count(F.lit(1)).alias("n_segments"))
+    _STREAM_SEQ[0] += 1
+    name = f"stream_kind_counts_{_STREAM_SEQ[0]}"
+    q = (
+        counts.writeStream.outputMode("complete").format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ck_stream_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+QUERIES.update({
+    "q_cc_components": (q_cc_components, SQL_CC_COMPONENTS),
+    "q_minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH_PAIRS),
+    "q_greedy_assoc": (q_greedy_assoc, SQL_GREEDY_ASSOC),
+    "q_search_pagination": (q_search_pagination, SQL_SEARCH_PAGINATION),
+    "q_stream_kind_counts": (q_stream_kind_counts, None),
+})
+
+
+def q_neighbor_self_join(spark, sf_dir):
+    """J8 analog (postprocess neighborhood spatial self-join): per event,
+    how many other events of the same user fall within +-60s. Equi key
+    (user) + interval residual — the same shape as the bbox-expansion
+    overlap join, with the equi part keeping the join off a cross
+    product."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    a = ev.alias("a")
+    b = ev.alias("b")
+    joined = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("b.ts") >= F.col("a.ts") - F.expr("INTERVAL 60 SECONDS"))
+        & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 60 SECONDS"))
+        & (F.col("a.event_id") != F.col("b.event_id")),
+        "left",
+    )
+    return (
+        joined.groupBy(F.col("a.event_id").alias("event_id"))
+        .agg(F.count(F.col("b.event_id")).alias("n_neighbors"))
+    )
+
+
+SQL_NEIGHBOR_SELF_JOIN = """
+SELECT a.event_id, count(b.event_id) AS n_neighbors
+FROM events a
+LEFT JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts BETWEEN a.ts - INTERVAL 60 SECOND AND a.ts + INTERVAL 60 SECOND
+ AND a.event_id <> b.event_id
+GROUP BY a.event_id
+"""
+
+
+def q_lead_lag(spark, sf_dir):
+    """W2/W6 analog: per-user event sequencing with lag — gap seconds since
+    the previous event (the reading-order / page-order window family)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ with sub-second precision: exact integer millis
+    # (session tz pinned UTC), so no truncate-vs-round drift across engines
+    epoch = F.unix_millis(F.col("ts").cast("timestamp"))
+    return ev.select(
+        "event_id", "user_id",
+        (epoch - F.lag(epoch).over(w)).alias("gap_ms"),
+    )
+
+
+SQL_LEAD_LAG = """
+SELECT event_id, user_id,
+       epoch_ms(ts)::BIGINT - lag(epoch_ms(ts)::BIGINT)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_ms
+FROM events
+"""
+
+
+def q_summary_stats(spark, sf_dir):
+    """A4 analog (describe().round(3) corpus summary): per-lang doc stats."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.min("n_chars").alias("min_chars"),
+             F.max("n_chars").alias("max_chars"),
+             F.round(F.sum(F.col("n_chars").cast("decimal(18,2)"))
+                     .cast("double") / F.count(F.lit(1)), 3).alias("avg_chars"),
+             F.round(F.stddev_pop(F.col("n_chars").cast("double")), 3)
+             .alias("sd_chars"))
+    )
+
+
+SQL_SUMMARY_STATS = """
+SELECT lang, count(*) AS n_docs,
+       min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+       round(CAST(sum(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE) / count(*), 3)
+         AS avg_chars,
+       round(stddev_pop(CAST(n_chars AS DOUBLE)), 3) AS sd_chars
+FROM documents GROUP BY lang
+"""
+
+
+def q_embedding_dup_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup pairs: RHP-LSH bucket -> bounded in-bucket
+    pairing -> cosine threshold (the embedding twin of MinHash LSH),
+    cross-checked pair-for-pair."""
+    from .operators import similarity
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = similarity.embedding_cosine_dup_pairs(
+        emb, threshold=0.3, n_planes=6, dim=64, max_bucket=200)
+    return pairs.select(
+        F.col("id_a").alias("vec_a"), F.col("id_b").alias("vec_b"),
+        F.round("cos_sim", 4).alias("cos_sim"))
+
+
+SQL_EMBEDDING_DUP_PAIRS = r"""
+WITH e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+                  generate_subscripts(embedding, 1) - 1 AS d
+           FROM embeddings),
+proj AS (SELECT vec_id, p,
+                sum(x * (('0x'||substr(md5(p::VARCHAR||'|'||d::VARCHAR),1,4))::BIGINT
+                         - 32767.5)) AS dot
+         FROM e, range(6) r(p) GROUP BY vec_id, p),
+b AS (SELECT vec_id,
+             CAST(sum(CASE WHEN dot > 0 THEN (1::BIGINT << p) ELSE 0 END) AS INT)
+               AS bucket
+      FROM proj GROUP BY vec_id),
+sized AS (SELECT bucket, count(*) AS c FROM b GROUP BY bucket)
+SELECT a.vec_id AS vec_a, bb.vec_id AS vec_b,
+       round(list_dot_product(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[]))
+             / (sqrt(list_dot_product(CAST(ea.embedding AS DOUBLE[]), CAST(ea.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(CAST(eb.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])))),
+             4) AS cos_sim
+FROM b a
+JOIN b bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
+JOIN sized s ON s.bucket = a.bucket AND s.c > 1 AND s.c <= 200
+JOIN embeddings ea ON ea.vec_id = a.vec_id
+JOIN embeddings eb ON eb.vec_id = bb.vec_id
+WHERE list_dot_product(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[]))
+      / (sqrt(list_dot_product(CAST(ea.embedding AS DOUBLE[]), CAST(ea.embedding AS DOUBLE[])))
+         * sqrt(list_dot_product(CAST(eb.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[]))))
+      >= 0.3
+"""
+
+
+QUERIES.update({
+    "q_neighbor_self_join": (q_neighbor_self_join, SQL_NEIGHBOR_SELF_JOIN),
+    "q_lead_lag": (q_lead_lag, SQL_LEAD_LAG),
+    "q_summary_stats": (q_summary_stats, SQL_SUMMARY_STATS),
+    "q_embedding_dup_pairs": (q_embedding_dup_pairs, SQL_EMBEDDING_DUP_PAIRS),
+})
