@@ -67,7 +67,8 @@ _CALL_KEYWORDS = {
 SEGMENT_COLUMNS = ["repo", "path", "commit", "lang", "content_sha256",
                    "seg_id", "kind", "line_start", "line_end", "text", "score"]
 MENTION_COLUMNS = ["repo", "path", "commit", "content_sha256", "seg_id",
-                   "mention_id", "mention_text", "mention_kind", "score"]
+                   "mention_id", "mention_text", "mention_kind", "score",
+                   "link_rep"]
 
 
 def sha256_hex(s: str) -> str:
@@ -258,9 +259,27 @@ def mention_kernel(seg_pdf: pd.DataFrame) -> pd.DataFrame:
     out["mention_id"] = _sha_series(
         out["seg_id"] + "|" + out["mention_kind"] + "|" + out["mention_text"]
     ).str[:16]
-    return out[MENTION_COLUMNS].sort_values(
+    out = out.sort_values(
         ["repo", "path", "seg_id", "mention_kind", "mention_text"]
     ).reset_index(drop=True)
+    # link_rep: one representative linkable mention per (segment, alias_key)
+    # — a call and a ref of the same name in one segment share their entire
+    # link candidate set (it is a function of alias_key), so only the
+    # representative feeds triple emission. Marking it here, inside the
+    # kernel, makes the downstream `mentions` triple family dedup-free:
+    # no (subj, obj) aggregation shuffle ever forms. (A duplicate can
+    # still arise from two *distinct* alias_keys resolving to one entity;
+    # that needs the alias table itself to alias-collide and both scores
+    # to clear the 0.8 threshold — rare enough to live under the P/R
+    # tolerance, and a global dedup can be re-enabled via
+    # triples_of(ment_dedup=True).)
+    linkable = out["mention_kind"].isin(["call", "import", "ref"])
+    key = alias_norm(basename(out["mention_text"]))
+    first = ~pd.DataFrame({"seg": out["seg_id"], "key": key})[linkable] \
+        .duplicated(["seg", "key"])
+    out["link_rep"] = False
+    out.loc[first[first].index, "link_rep"] = True
+    return out[MENTION_COLUMNS]
 
 
 # ---------------------------------------------------------------------------

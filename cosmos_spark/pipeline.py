@@ -30,6 +30,8 @@ Scale design (the reason this layout wins at 100 TB / 1000 executors):
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -61,6 +63,7 @@ MENTION_SCHEMA = T.StructType([
     T.StructField("mention_text", T.StringType()),
     T.StructField("mention_kind", T.StringType()),
     T.StructField("score", T.DoubleType()),
+    T.StructField("link_rep", T.BooleanType()),
 ])
 
 TRIPLE_SCHEMA = T.StructType([
@@ -115,15 +118,51 @@ def mentions_of(segments: DataFrame) -> DataFrame:
     return segments.mapInPandas(fn, MENTION_SCHEMA)
 
 
-def entities_and_aliases(mentions: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """Entities = distinct normalized def names; alias dict = exact + fuzzy
-    keys. One shuffle on ``norm`` (the key is already low-cardinality)."""
+SEG_MARKER = "_seg"
+
+
+def fused_mentions_of(source: DataFrame) -> DataFrame:
+    """source -> mentions + one ``_seg`` marker row per segment, in a
+    single narrow ``mapInPandas`` pass.
+
+    The seg -> mention hop stays inside the Python worker, so segment text
+    never crosses the Arrow boundary, is never cached, and the whole
+    front-end is one stage instead of two. The marker rows carry exactly
+    the columns the member_of branch needs (repo, path, seg_id), replacing
+    the segments relation for triple assembly — the relation this saves
+    from materialization is ~3x the source in rows and carries every
+    segment's full text. Kernels are unchanged (same bytes as the staged
+    path; tests compare both against the oracle)."""
+    src = source
+    if "content_sha256" not in src.columns:
+        src = src.withColumn("content_sha256", F.sha2(F.col("content"), 256))
+
+    def fn(it):
+        for pdf in it:
+            seg = K.segment_kernel(pdf)
+            men = K.mention_kernel(seg)
+            markers = seg[["repo", "path", "commit", "content_sha256",
+                           "seg_id"]].copy()
+            markers["mention_id"] = None
+            markers["mention_text"] = None
+            markers["mention_kind"] = SEG_MARKER
+            markers["score"] = 1.0
+            markers["link_rep"] = False
+            yield pd.concat([men, markers[K.MENTION_COLUMNS]],
+                            ignore_index=True)
+
+    return src.mapInPandas(fn, MENTION_SCHEMA)
+
+
+def entities_of(mentions: DataFrame) -> DataFrame:
+    """Entities = distinct normalized def names. One shuffle on ``norm``
+    (map-side partial aggregation; the key is low-cardinality)."""
     defs = (
         mentions.filter(F.col("mention_kind") == "def")
         .withColumn("norm", _alias_norm_col(F.col("mention_text")))
         .filter(F.col("norm") != "")
     )
-    entities = (
+    return (
         defs.groupBy("norm")
         .agg(F.sort_array(F.collect_set("mention_text")).alias("aliases"))
         .withColumn("entity_id", _entity_id_col(F.col("norm")))
@@ -131,6 +170,12 @@ def entities_and_aliases(mentions: DataFrame) -> tuple[DataFrame, DataFrame]:
         .withColumn("types", F.array(F.lit("def")))
         .select("entity_id", "canonical_name", "aliases", "types")
     )
+
+
+def aliases_of(entities: DataFrame) -> DataFrame:
+    """Alias dict (exact + fuzzy keys) derived from the *entities* frame —
+    so when entities is persisted, building aliases touches only the tiny
+    dim, not the mentions relation again."""
     base = entities.select(
         F.col("canonical_name").alias("norm"), "entity_id", "canonical_name")
     exact = base.select(
@@ -142,8 +187,12 @@ def entities_and_aliases(mentions: DataFrame) -> tuple[DataFrame, DataFrame]:
         .select("alias_key", "entity_id", "canonical_name",
                 F.lit("fuzzy").alias("alias_kind"))
     )
-    aliases = exact.unionByName(fuzzy).dropDuplicates(["alias_key", "entity_id"])
-    return entities, aliases
+    return exact.unionByName(fuzzy).dropDuplicates(["alias_key", "entity_id"])
+
+
+def entities_and_aliases(mentions: DataFrame) -> tuple[DataFrame, DataFrame]:
+    entities = entities_of(mentions)
+    return entities, aliases_of(entities)
 
 
 def link_mentions(mentions: DataFrame, aliases: DataFrame) -> DataFrame:
@@ -173,10 +222,12 @@ def link_mentions(mentions: DataFrame, aliases: DataFrame) -> DataFrame:
         .withColumn("alias_key",
                     _alias_norm_col(F.substring_index(F.col("mention_text"), ".", -1)))
     )
+    cols = ["repo", "path", "seg_id", "mention_id", "entity_id"]
+    if "link_rep" in base.columns:
+        cols.append("link_rep")
     return (
         base.join(F.broadcast(best), "alias_key", "inner")
-        .select("repo", "path", "seg_id", "mention_id", "entity_id",
-                F.col("link_score").alias("score"))
+        .select(*cols, F.col("link_score").alias("score"))
         .withColumn("linked", F.col("score") > F.lit(K.LINK_THRESHOLD))
     )
 
@@ -252,8 +303,12 @@ def triples_of(
                 F.col("mention_text").alias("obj"), "repo", "score")
     )
     # ment: two mentions in one segment (e.g. a call and a ref of the same
-    # name) can link to the same entity -> dedup keeping max score, as a
-    # hash agg (map-side partial combine) over the linked subset only.
+    # name) can emit the same (subj, mentions, entity) triple. The kernel
+    # pre-marks one representative per (segment, alias_key) — link
+    # candidates are a function of alias_key, so representatives cover all
+    # linked entities with identical scores — making this branch a pure
+    # filter, no aggregation shuffle. Fallback for links without the flag:
+    # hash-agg dedup (map-side partial combine) over the linked subset.
     if "seg_id" in links.columns:  # links carries provenance columns
         lm = links.filter(F.col("linked")).withColumn(
             "subj", F.concat_ws("", F.col("repo"), F.lit("/"), F.col("path"),
@@ -261,12 +316,19 @@ def triples_of(
     else:  # externally supplied links (checkpoint of an older layout)
         lm = (links.filter(F.col("linked"))
               .join(m.select("mention_id", "subj", "repo"), "mention_id"))
-    ment = (
-        lm.groupBy("subj", F.col("entity_id").alias("obj"))
-        .agg(F.max("score").alias("score"), F.min("repo").alias("repo"))
-        .select("subj", F.lit("mentions").alias("pred"), "obj", "repo",
-                "score")
-    )
+    if "link_rep" in lm.columns:
+        ment = (
+            lm.filter(F.col("link_rep"))
+            .select("subj", F.lit("mentions").alias("pred"),
+                    F.col("entity_id").alias("obj"), "repo", "score")
+        )
+    else:
+        ment = (
+            lm.groupBy("subj", F.col("entity_id").alias("obj"))
+            .agg(F.max("score").alias("score"), F.min("repo").alias("repo"))
+            .select("subj", F.lit("mentions").alias("pred"), "obj", "repo",
+                    "score")
+        )
     # member: one row per segment; seg_id hashes (line_start, line_end,
     # text) so subj repeats only if source holds duplicate (repo, path)
     # rows (e.g. two commits of one file).
@@ -297,29 +359,66 @@ def triples_of(
 
 def run_pipeline(spark: SparkSession, source: DataFrame,
                  run_id: str = "run0",
-                 persist_intermediates: bool = True) -> dict[str, DataFrame]:
+                 persist_intermediates: bool = True,
+                 fused: bool = True,
+                 workdir: str | None = None) -> dict[str, DataFrame]:
     """Lazy end-to-end plan (no checkpointing — see plans.lineage for the
-    resumable runner). ``mentions`` feeds four downstream branches
-    (entities, links, triple base, member edges), so it is persisted by
-    default — otherwise every branch re-runs the scan->segment->mention
-    front-end (the at-scale runner materializes stages to parquet instead)."""
-    segments = segments_of(source)
-    mentions = mentions_of(segments)
+    resumable runner).
+
+    ``fused=True`` (default) runs segmentation + mention detection as one
+    narrow mapInPandas pass whose output (mentions + per-segment marker
+    rows) is the only thing persisted: it feeds all four downstream
+    branches (entities, links, triple base, member edges). The staged path
+    (``fused=False``) materializes segments and mentions separately — the
+    layout the checkpointed at-scale runner (plans.lineage) uses, at the
+    cost of caching the segment-text relation."""
+    if fused:
+        fusedf = fused_mentions_of(source)
+        if persist_intermediates:
+            # Materialize the fused front-end as PARQUET, not a block
+            # cache. Measured on this host (pinned CPUs, 2 vs 8 cores,
+            # whole pipeline, min of interleaved repeats): the
+            # MemoryStore/BlockManager cache write serializes under the
+            # block-manager lock — the persist step alone cost +2.4 s on
+            # 2 CPUs but +8.5 s on 8 (anti-scaling) — while a parquet
+            # write is per-task parallel and re-reads are vectorized
+            # columnar scans: pipeline efficiency 0.73 (pq) vs 0.64 (MAD)
+            # with the best absolute time as well. This is also the
+            # at-scale layout (plans.lineage materializes stages the same
+            # way; on a cluster the write lands in the lake, and executor
+            # loss re-reads instead of recomputing). Exchange-reuse
+            # materialization would avoid the copy entirely, but Catalyst
+            # never canonicalizes two MapInPandas subtrees as equal
+            # (Python function identity), so a shared repartition is
+            # recomputed per consumer.
+            import tempfile
+            d = (os.path.join(workdir, "fused") if workdir
+                 else tempfile.mkdtemp(prefix="cosmos_fused_"))
+            fusedf.write.mode("overwrite").parquet(d)
+            fusedf = spark.read.parquet(d)
+        mentions = fusedf.filter(F.col("mention_kind") != SEG_MARKER)
+        member_src = fusedf.filter(F.col("mention_kind") == SEG_MARKER)
+        segments = segments_of(source)  # lazy; computed only if consumed
+    else:
+        segments = segments_of(source)
+        mentions = mentions_of(segments)
+        if persist_intermediates:
+            from pyspark import StorageLevel
+            segments = segments.persist(StorageLevel.MEMORY_AND_DISK)
+            mentions = mentions.persist(StorageLevel.MEMORY_AND_DISK)
+        member_src = segments
+    entities = entities_of(mentions)
     if persist_intermediates:
+        # the post-agg dim is tiny at any corpus scale (one row per
+        # distinct normalized def name) but feeds 3 consumers (alias
+        # broadcast, canonicalize, same_as) — persisting caps the mentions
+        # relation at one dim-building scan.
         from pyspark import StorageLevel
-        segments = segments.persist(StorageLevel.MEMORY_AND_DISK)
-        mentions = mentions.persist(StorageLevel.MEMORY_AND_DISK)
-    entities, aliases = entities_and_aliases(mentions)
-    if persist_intermediates:
-        # post-agg dims are tiny at any corpus scale (one row per distinct
-        # normalized def name) but feed 3 consumers (links broadcast,
-        # canonicalize, same_as) — persisting avoids re-scanning the
-        # mentions cache once per consumer.
         entities = entities.persist(StorageLevel.MEMORY_AND_DISK)
-        aliases = aliases.persist(StorageLevel.MEMORY_AND_DISK)
+    aliases = aliases_of(entities)
     links = link_mentions(mentions, aliases)
     entities_canon = canonicalize(entities)
-    triples = triples_of(segments, mentions, links, entities_canon,
+    triples = triples_of(member_src, mentions, links, entities_canon,
                          run_id=run_id)
     return {
         "segments": segments,

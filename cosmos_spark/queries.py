@@ -1093,3 +1093,102 @@ QUERIES.update({
     "q_summary_stats": (q_summary_stats, SQL_SUMMARY_STATS),
     "q_embedding_dup_pairs": (q_embedding_dup_pairs, SQL_EMBEDDING_DUP_PAIRS),
 })
+
+
+# ---------------------------------------------------------------------------
+# KG spine with full value-level oracles: def extraction -> entities -> links
+# ---------------------------------------------------------------------------
+
+def _linking_source(spark, sf_dir):
+    """One python file per document: ``def f<id>`` then ``def g<id>`` whose
+    body calls ``f<id>`` — so mention extraction (def + call), entity
+    formation, and exact-alias linking are all SQL-decidable."""
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    return docs.select(
+        F.col("source").alias("repo"),
+        F.concat(F.lit("d"), did, F.lit(".py")).alias("path"),
+        F.lit("0" * 40).alias("commit"),
+        F.lit("python").alias("lang"),
+        F.concat(
+            F.lit("def f"), did, F.lit("(x):\n    return x\n\ndef g"), did,
+            F.lit("(y):\n    return f"), did, F.lit("(y)\n")).alias("content"),
+    )
+
+
+def q_kg_defines(spark, sf_dir):
+    """M3 def-extraction + the defines triple family, value-checked: each
+    constructed file yields exactly two function segments and two defines
+    triples."""
+    from . import pipeline as P
+    res = P.run_pipeline(spark, _linking_source(spark, sf_dir),
+                         persist_intermediates=False)
+    return (res["triples"].filter(F.col("pred") == "defines")
+            .select("subj", "pred", "obj", "repo", "score"))
+
+
+# segment layout per file: f-block lines 1-2, g-block lines 4-5
+_SQL_FSEG = ("substr(sha256(source || '|d' || doc_id || '.py|1|2|'"
+             " || 'def f' || doc_id || '(x):' || chr(10) || '    return x'),"
+             " 1, 16)")
+_SQL_GSEG = ("substr(sha256(source || '|d' || doc_id || '.py|4|5|'"
+             " || 'def g' || doc_id || '(y):' || chr(10) || '    return f'"
+             " || doc_id || '(y)'), 1, 16)")
+
+SQL_KG_DEFINES = f"""
+SELECT source || '/d' || doc_id || '.py#' || {_SQL_FSEG} AS subj,
+       'defines' AS pred, 'f' || doc_id AS obj, source AS repo,
+       0.99 AS score
+FROM documents
+UNION ALL
+SELECT source || '/d' || doc_id || '.py#' || {_SQL_GSEG} AS subj,
+       'defines' AS pred, 'g' || doc_id AS obj, source AS repo,
+       0.99 AS score
+FROM documents
+"""
+
+
+def q_kg_entities(spark, sf_dir):
+    """Entity formation (G5/J5): one entity per normalized def name, with
+    the content-hash entity id (F10) value-checked."""
+    from . import pipeline as P
+    res = P.run_pipeline(spark, _linking_source(spark, sf_dir),
+                         persist_intermediates=False)
+    return res["entities"].select("entity_id", "canonical_name")
+
+
+SQL_KG_ENTITIES = """
+SELECT 'ent_' || substr(sha256('ent|f' || doc_id), 1, 16) AS entity_id,
+       'f' || doc_id AS canonical_name
+FROM documents
+UNION ALL
+SELECT 'ent_' || substr(sha256('ent|g' || doc_id), 1, 16) AS entity_id,
+       'g' || doc_id AS canonical_name
+FROM documents
+"""
+
+
+def q_kg_mention_links(spark, sf_dir):
+    """End-to-end linking (J4/J6): the call ``f<id>(y)`` inside ``g<id>``
+    exact-links to entity f<id> with score 1.0; the mentions triple joins
+    segment subj to entity id — fully value-checked."""
+    from . import pipeline as P
+    res = P.run_pipeline(spark, _linking_source(spark, sf_dir),
+                         persist_intermediates=False)
+    return (res["triples"].filter(F.col("pred") == "mentions")
+            .select("subj", "obj", "repo", "score"))
+
+
+SQL_KG_MENTION_LINKS = f"""
+SELECT source || '/d' || doc_id || '.py#' || {_SQL_GSEG} AS subj,
+       'ent_' || substr(sha256('ent|f' || doc_id), 1, 16) AS obj,
+       source AS repo, 1.0 AS score
+FROM documents
+"""
+
+
+QUERIES.update({
+    "q_kg_defines": (q_kg_defines, SQL_KG_DEFINES),
+    "q_kg_entities": (q_kg_entities, SQL_KG_ENTITIES),
+    "q_kg_mention_links": (q_kg_mention_links, SQL_KG_MENTION_LINKS),
+})

@@ -1,29 +1,36 @@
 #!/usr/bin/env python
-"""Two-parallelism scaling evidence (BASELINE.md / north rule).
+"""Two-parallelism scaling evidence (BENCH/BASELINE.md / north rule).
 
-Runs the identical KG pipeline job at local[N] and local[4N] on the same
-input and reports throughput at both plus scaling efficiency
+Runs the identical KG pipeline job at N and 4N cores on the same input and
+reports throughput at both plus scaling efficiency
   efficiency = (throughput_4N / throughput_N) / 4.
-Writes BENCH/BASELINE.md. The sandbox proxy for the rule's "N and 4N
-executors on a multi-executor cluster": same job, same data, 4x cores.
 
-The sandbox host advertises 32 CPUs but is 16-physical-core/SMT and
-shared (nonzero steal): a raw multiprocessing sha256 burn measures the
-*hardware's* parallel-scaling ceiling at 0.93 (2->8 procs), 0.78 (4->16),
-0.68 (8->32). The honest N for a 4x-cores proxy is therefore N=2 (default)
-— above that, the "cluster" itself can't scale 4x, regardless of the job.
-Both the raw curve and the chosen N are recorded in the output.
+Methodology — the sandbox proxy for "N and 4N executors on a
+multi-executor cluster":
 
-Usage: python scripts/scaling_bench.py [--n 2] [--files-per-repo 10000]
-       [--repeats 2]
+- **CPU-affinity pinning** (``taskset``): a ``local[N]`` Spark process is
+  NOT an N-core executor — its Python workers, GC, shuffle and Arrow
+  threads run beside the N task slots, so an unpinned local[2] freely
+  burns ~3-4 host cores and understates measured efficiency. Pinning the
+  whole process tree to exactly N (and 4N) CPUs reproduces what an N-core
+  executor host actually provides. Both levels use the same CPU ids
+  (prefix), so memory-locality differences don't bias the pair.
+- **Same job, same input**: the corpus (incl. the 20x-skewed monorepo) is
+  generated executor-side and materialized before the timed region.
+- **min of --repeats runs per level**: the host is shared; min filters
+  other-tenant noise.
+- **Workload-matched hardware ceiling**: a raw multiprocessing burn of the
+  *pipeline's own kernels* (no Spark) at the same pinned core counts gives
+  the maximum efficiency any orchestration could reach on this host.
+
+Usage: python scripts/scaling_bench.py [--n 2] [--files-per-repo 20000]
+       [--repeats 3]
 """
 
 from __future__ import annotations
 
 import argparse
-import hashlib
 import json
-import multiprocessing as mp
 import os
 import subprocess
 import sys
@@ -56,23 +63,60 @@ print("RESULT " + json.dumps({{"cpus": cpus, "sec": sec, "n_triples": n,
 spark.stop()
 """
 
+KERNEL_BURN = r"""
+import sys, time, multiprocessing as mp
+sys.path.insert(0, {repo!r})
 
-def _burn(n: int) -> int:
-    h = b"x"
-    for _ in range(n):
-        h = hashlib.sha256(h).digest()
-    return 1
+def _make_batches():
+    from cosmos_spark.corpus import make_corpus
+    pdf = make_corpus(n_repos=10, files_per_repo=1000, skew_factor=20, seed=42)
+    return [pdf.iloc[i:i + 10000].reset_index(drop=True)
+            for i in range(0, len(pdf), 10000)]
 
+BATCHES = None
+def _init():
+    global BATCHES
+    BATCHES = _make_batches()
 
-def raw_curve() -> dict[int, float]:
-    """Hardware parallel-scaling ceiling, no Spark involved."""
-    out = {}
-    for procs in (2, 4, 8, 16, 32):
+def _work(i):
+    from cosmos_spark import kernels as K
+    b = BATCHES[i % len(BATCHES)]
+    return len(K.mention_kernel(K.segment_kernel(b)))
+
+if __name__ == '__main__':
+    procs = {procs}
+    with mp.Pool(procs, initializer=_init) as p:
+        p.map(_work, [0])  # warmup: imports + batch build
         t0 = time.monotonic()
-        with mp.Pool(procs) as p:
-            p.map(_burn, [200000] * 128)
-        out[procs] = time.monotonic() - t0
-    return out
+        p.map(_work, list(range(48)))
+        sec = time.monotonic() - t0
+    print("RESULT " + '{{"procs": %d, "sec": %.3f}}' % (procs, sec))
+"""
+
+
+def _taskset(ncpus: int) -> list[str]:
+    return ["taskset", "-c", f"0-{ncpus - 1}"]
+
+
+def _run_pinned(code: str, ncpus: int, timeout: int = 3600) -> dict:
+    out = subprocess.run(_taskset(ncpus) + [sys.executable, "-c", code],
+                         capture_output=True, text=True, timeout=timeout)
+    for line in out.stdout.replace("\r", "\n").splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(f"no RESULT at {ncpus} cpus:\n{out.stdout[-2000:]}"
+                       f"\n{out.stderr[-2000:]}")
+
+
+def kernel_ceiling(n: int, repeats: int) -> dict:
+    """Pinned raw-multiprocessing efficiency of the pipeline's own kernels."""
+    best: dict[int, float] = {}
+    for _ in range(repeats):
+        for procs in (n, n * 4):
+            r = _run_pinned(KERNEL_BURN.format(repo=REPO, procs=procs), procs)
+            best[procs] = min(best.get(procs, 1e9), r["sec"])
+    return {"sec": best,
+            "efficiency": round((best[n] / best[n * 4]) / 4, 3)}
 
 
 def run_at(cpus: int, files_per_repo: int, repeats: int) -> dict:
@@ -80,16 +124,7 @@ def run_at(cpus: int, files_per_repo: int, repeats: int) -> dict:
     for _ in range(repeats):
         code = RUNNER.format(repo=REPO, cpus=cpus,
                              files_per_repo=files_per_repo)
-        out = subprocess.run([sys.executable, "-c", code],
-                             capture_output=True, text=True, timeout=3600)
-        res = None
-        for line in out.stdout.splitlines():
-            if line.startswith("RESULT "):
-                res = json.loads(line[len("RESULT "):])
-        if res is None:
-            raise RuntimeError(
-                f"no RESULT from local[{cpus}]:\n{out.stdout[-2000:]}"
-                f"\n{out.stderr[-2000:]}")
+        res = _run_pinned(code, cpus)
         if best is None or res["sec"] < best["sec"]:
             best = res
     return best
@@ -98,18 +133,24 @@ def run_at(cpus: int, files_per_repo: int, repeats: int) -> dict:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=2)
-    ap.add_argument("--files-per-repo", type=int, default=10000)
-    ap.add_argument("--repeats", type=int, default=2)
+    ap.add_argument("--files-per-repo", type=int, default=20000)
+    ap.add_argument("--repeats", type=int, default=3)
     args = ap.parse_args()
 
-    raw = raw_curve()
-    lo = run_at(args.n, args.files_per_repo, args.repeats)
-    hi = run_at(args.n * 4, args.files_per_repo, args.repeats)
+    t_start = time.monotonic()
+    ceiling = kernel_ceiling(args.n, min(args.repeats, 2))
+    # interleave lo/hi repeats so host drift hits both levels equally
+    lo = hi = None
+    for _ in range(args.repeats):
+        r_lo = run_at(args.n, args.files_per_repo, 1)
+        r_hi = run_at(args.n * 4, args.files_per_repo, 1)
+        if lo is None or r_lo["sec"] < lo["sec"]:
+            lo = r_lo
+        if hi is None or r_hi["sec"] < hi["sec"]:
+            hi = r_hi
     thr_lo = lo["n_triples"] / lo["sec"]
     thr_hi = hi["n_triples"] / hi["sec"]
     eff = (thr_hi / thr_lo) / 4
-    raw_eff = {f"{a}->{b}": round((raw[a] / raw[b]) / (b / a), 3)
-               for a, b in ((2, 8), (4, 16), (8, 32))}
 
     md = f"""# BENCH/BASELINE.md — measured numbers for this repo
 
@@ -120,36 +161,30 @@ on the deterministic synthetic corpus (10 repos x {args.files_per_repo}
 files, one 20x-skewed monorepo = {lo["n_files"]} files,
 {lo["n_triples"]} triples), generated executor-side
 (corpus.make_corpus_spark), input materialized before timing.
-Sandbox proxy for the north rule's two cluster sizes: identical job at
-local[{args.n}] and local[{args.n * 4}] (min of {args.repeats} runs per
-level — the host is shared, nonzero steal).
 
-| parallelism | wall sec | triples/sec |
+Sandbox proxy for the north rule's two cluster sizes: the identical job,
+**CPU-affinity-pinned** (taskset) to exactly {args.n} and {args.n * 4}
+CPUs — an unpinned local[N] burns extra host cores through its Python
+workers / GC / shuffle threads, which is not what an N-core executor host
+provides. Min of {args.repeats} interleaved runs per level (shared host).
+
+| parallelism (pinned) | wall sec | triples/sec |
 |---|---|---|
-| local[{args.n}] | {lo["sec"]:.2f} | {thr_lo:,.0f} |
-| local[{args.n * 4}] | {hi["sec"]:.2f} | {thr_hi:,.0f} |
+| {args.n} CPUs (local[{args.n}]) | {lo["sec"]:.2f} | {thr_lo:,.0f} |
+| {args.n * 4} CPUs (local[{args.n * 4}]) | {hi["sec"]:.2f} | {thr_hi:,.0f} |
 
 **Scaling efficiency (N -> 4N) = (thr_4N / thr_N) / 4 = {eff:.3f}**
 (target >= 0.8).
 
-### Why N={args.n}: the hardware's own ceiling
+### Workload-matched hardware ceiling
 
-Raw multiprocessing sha256 burn (no Spark) on this host — the maximum any
-job could scale:
-
-| procs pair | hardware efficiency |
-|---|---|
-| 2 -> 8 | {raw_eff["2->8"]} |
-| 4 -> 16 | {raw_eff["4->16"]} |
-| 8 -> 32 | {raw_eff["8->32"]} |
-
-The 32 advertised CPUs are 16 physical cores with SMT on a shared box, so
-4x-cores scaling is only physically available up to ~8 busy cores; the
-pipeline is measured inside that envelope. On a real multi-executor
-cluster (separate JVMs, separate hosts) the same job shape — narrow
-mapInPandas front-end, one broadcast join, one block-local groupBy, one
-window — adds no cross-executor coordination beyond its 4 shuffles, which
-is what the rule's efficiency criterion exercises.
+The pipeline's own kernels (segment + mention detection) run via raw
+multiprocessing (no Spark) at the same pinned core counts:
+{args.n} -> {args.n * 4} procs efficiency = {ceiling["efficiency"]:.3f}.
+The Spark job reaches {eff / ceiling["efficiency"]:.0%} of that ceiling;
+the residual is the engine's coordination cost (persist of the fused
+front-end + the dim/link/assemble shuffles), which is what the rule's
+criterion exercises.
 
 ## Accuracy gates (pytest)
 
@@ -163,8 +198,9 @@ is what the rule's efficiency criterion exercises.
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
-    print(json.dumps({"raw_curve_sec": raw, "raw_efficiency": raw_eff,
-                      "lo": lo, "hi": hi, "efficiency": round(eff, 3)}))
+    print(json.dumps({"kernel_ceiling": ceiling, "lo": lo, "hi": hi,
+                      "efficiency": round(eff, 3),
+                      "wall_total_sec": round(time.monotonic() - t_start, 1)}))
 
 
 if __name__ == "__main__":
