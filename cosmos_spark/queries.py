@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
@@ -1191,4 +1192,67 @@ QUERIES.update({
     "q_kg_defines": (q_kg_defines, SQL_KG_DEFINES),
     "q_kg_entities": (q_kg_entities, SQL_KG_ENTITIES),
     "q_kg_mention_links": (q_kg_mention_links, SQL_KG_MENTION_LINKS),
+})
+
+
+def q_rules_postprocess(spark, sf_dir):
+    """M5 analog (`pp_rules.py:7-35`): regex rule overrides the model class
+    and pins score := 1.0 on change — pure column expressions. Here: docs
+    whose text matches a caption-ish label pattern get reclassified."""
+    docs = _t(spark, sf_dir, "documents")
+    pat = r"(?i)^(table|figure|fig)\b"
+    return docs.select(
+        "doc_id",
+        F.when(F.col("text").rlike(pat), F.lit("caption"))
+        .otherwise(F.lit("body")).alias("cls"),
+        F.when(F.col("text").rlike(pat), F.lit(1.0))
+        .otherwise(F.lit(0.5)).alias("pp_score"),
+    )
+
+
+SQL_RULES_POSTPROCESS = """
+SELECT doc_id,
+       CASE WHEN regexp_matches(text, '^(table|figure|fig)\\b', 'i')
+            THEN 'caption' ELSE 'body' END AS cls,
+       CASE WHEN regexp_matches(text, '^(table|figure|fig)\\b', 'i')
+            THEN 1.0 ELSE 0.5 END AS pp_score
+FROM documents
+"""
+
+
+def q_score_recalibrate(spark, sf_dir):
+    """M4 analog (xgboost postprocess, `featurizer.py:84-125` +
+    `xgboost_model/inference.py:12-26`): a deterministic feature vector per
+    row scored by a fixed linear+sigmoid model inside a batched Arrow UDF
+    (numpy-vectorized — the Spark form of 'xgboost predicts on a matrix').
+    Rounded so the cross-engine float compare is stable."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.DoubleType())
+    def _recal(n_chars: "pd.Series", n_toks: "pd.Series") -> "pd.Series":
+        x = (-1.5 + 0.35 * np.log1p(n_chars.to_numpy(dtype="float64"))
+             + 0.05 * n_toks.to_numpy(dtype="float64"))
+        return pd.Series(1.0 / (1.0 + np.exp(-x)), index=n_chars.index)
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.expr(r"size(regexp_extract_all(text, '\\S+', 0))")
+    return docs.select(
+        "doc_id",
+        F.round(_recal(F.col("n_chars").cast("double"),
+                       toks.cast("double")), 6).alias("recal_score"))
+
+
+SQL_SCORE_RECALIBRATE = """
+SELECT doc_id,
+       round(1.0 / (1.0 + exp(-(-1.5 + 0.35 * ln(1 + n_chars)
+             + 0.05 * len(regexp_extract_all(text, '\\S+'))))), 6)
+         AS recal_score
+FROM documents
+"""
+
+
+QUERIES.update({
+    "q_rules_postprocess": (q_rules_postprocess, SQL_RULES_POSTPROCESS),
+    "q_score_recalibrate": (q_score_recalibrate, SQL_SCORE_RECALIBRATE),
 })

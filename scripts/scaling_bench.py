@@ -130,6 +130,22 @@ def run_at(cpus: int, files_per_repo: int, repeats: int) -> dict:
     return best
 
 
+def measure_pair(n: int, files_per_repo: int, repeats: int) -> dict:
+    """Interleaved lo/hi repeats so host drift hits both levels equally."""
+    lo = hi = None
+    for _ in range(repeats):
+        r_lo = run_at(n, files_per_repo, 1)
+        r_hi = run_at(n * 4, files_per_repo, 1)
+        if lo is None or r_lo["sec"] < lo["sec"]:
+            lo = r_lo
+        if hi is None or r_hi["sec"] < hi["sec"]:
+            hi = r_hi
+    thr_lo = lo["n_triples"] / lo["sec"]
+    thr_hi = hi["n_triples"] / hi["sec"]
+    return {"n": n, "lo": lo, "hi": hi, "thr_lo": thr_lo, "thr_hi": thr_hi,
+            "efficiency": (thr_hi / thr_lo) / 4}
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=2)
@@ -139,18 +155,9 @@ def main() -> None:
 
     t_start = time.monotonic()
     ceiling = kernel_ceiling(args.n, min(args.repeats, 2))
-    # interleave lo/hi repeats so host drift hits both levels equally
-    lo = hi = None
-    for _ in range(args.repeats):
-        r_lo = run_at(args.n, args.files_per_repo, 1)
-        r_hi = run_at(args.n * 4, args.files_per_repo, 1)
-        if lo is None or r_lo["sec"] < lo["sec"]:
-            lo = r_lo
-        if hi is None or r_hi["sec"] < hi["sec"]:
-            hi = r_hi
-    thr_lo = lo["n_triples"] / lo["sec"]
-    thr_hi = hi["n_triples"] / hi["sec"]
-    eff = (thr_hi / thr_lo) / 4
+    pair = measure_pair(args.n, args.files_per_repo, args.repeats)
+    lo, hi, eff = pair["lo"], pair["hi"], pair["efficiency"]
+    thr_lo, thr_hi = pair["thr_lo"], pair["thr_hi"]
 
     md = f"""# BENCH/BASELINE.md — measured numbers for this repo
 
