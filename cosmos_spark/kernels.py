@@ -136,16 +136,22 @@ def segment_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
     if not keep.any():
         return pd.DataFrame(columns=SEGMENT_COLUMNS)
 
-    g = pd.DataFrame({
-        "fi": fi[keep], "seg": seg_ord[keep],
-        "line_no": line_no[keep], "line": line_arr[keep],
+    # Kept rows are ordered by (file, segment) and each segment's lines are
+    # contiguous, so segments are delimited by the new_seg flags — slice
+    # joins at the boundaries instead of a pure-python groupby.agg (the
+    # groupby was ~2/3 of this kernel's time).
+    k_fi = fi[keep]
+    k_line_no = line_no[keep]
+    k_lines = line_arr[keep]
+    starts = np.flatnonzero(new_seg[keep])
+    bounds = np.append(starts, len(k_lines))
+    agg = pd.DataFrame({
+        "fi": k_fi[starts],
+        "line_start": k_line_no[starts],
+        "line_end": k_line_no[bounds[1:] - 1],
+        "text": ["\n".join(k_lines[a:b])
+                 for a, b in zip(bounds[:-1], bounds[1:])],
     })
-    agg = (
-        g.groupby(["fi", "seg"], sort=True)
-        .agg(line_start=("line_no", "min"), line_end=("line_no", "max"),
-             text=("line", "\n".join))
-        .reset_index()
-    )
 
     first_line = agg["text"].str.split("\n").str[0]
     is_func = (
@@ -190,10 +196,15 @@ def segment_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
 _LB = r"(?<!def )(?<!int )(?<!void )(?<!class )(?<!String )(?<!float )(?<!double )(?<!boolean )(?<!long )"
 
 _DEF_PATTERNS = [
-    r"(?:^|\n)[ \t]*def[ \t]+(\w+)[ \t]*\(",
-    r"(?:^|\n)[ \t]*(?:public[ \t]+|private[ \t]+|protected[ \t]+|static[ \t]+|final[ \t]+)*"
-    r"(?:int|void|String|float|double|boolean|long)[ \t]+(\w+)[ \t]*\(",
-    r"(?:^|\n)[ \t]*(?:public[ \t]+)?class[ \t]+(\w+)",
+    # one alternation pass instead of three scans; alternatives are
+    # line-shape-disjoint (python def | java typed method | class decl),
+    # so leftmost-alternative selection equals the per-pattern union
+    r"(?:^|\n)[ \t]*(?:"
+    r"def[ \t]+(\w+)[ \t]*\("
+    r"|(?:public[ \t]+|private[ \t]+|protected[ \t]+|static[ \t]+|final[ \t]+)*"
+    r"(?:int|void|String|float|double|boolean|long)[ \t]+(\w+)[ \t]*\("
+    r"|(?:public[ \t]+)?class[ \t]+(\w+)"
+    r")",
 ]
 _IMPORT_PATTERN = r"(?:^|\n)[ \t]*import[ \t]+([\w\.]+)"
 _FROM_IMPORT_PATTERN = r"(?:^|\n)[ \t]*from[ \t]+([\w\.]+)[ \t]+import[ \t]+(\w+)"
@@ -209,6 +220,10 @@ def _extract(text: pd.Series, pattern: str) -> pd.DataFrame:
                              "mention_text": pd.Series(dtype="object")})
     if m.shape[1] == 2:  # from X import Y -> X.Y
         vals = m[0] + "." + m[1]
+    elif m.shape[1] > 2:  # alternation: exactly one group matched
+        vals = m[0]
+        for c in range(1, m.shape[1]):
+            vals = vals.fillna(m[c])
     else:
         vals = m[0]
     return pd.DataFrame({"ri": m.index.get_level_values(0).to_numpy(),
