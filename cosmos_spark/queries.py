@@ -1252,7 +1252,28 @@ FROM documents
 """
 
 
+def q_json_export(spark, sf_dir):
+    """S7 analog (`parquet_to_json.py:12-104`): rows in deterministic
+    reading order, serialized to JSON — `orderBy + to_json` replaces the
+    reference's driver-side re-order + json.dump loop. Fields are non-null
+    (Spark's to_json drops null fields; DuckDB keeps them)."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.orderBy("doc_id")
+    return docs.select(
+        "doc_id", F.row_number().over(w).alias("ord"),
+        F.to_json(F.struct("doc_id", "lang", "n_chars")).alias("doc_json"))
+
+
+SQL_JSON_EXPORT = """
+SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS ord,
+       to_json(struct_pack(doc_id := doc_id, lang := lang,
+                           n_chars := n_chars))::VARCHAR AS doc_json
+FROM documents
+"""
+
+
 QUERIES.update({
     "q_rules_postprocess": (q_rules_postprocess, SQL_RULES_POSTPROCESS),
     "q_score_recalibrate": (q_score_recalibrate, SQL_SCORE_RECALIBRATE),
+    "q_json_export": (q_json_export, SQL_JSON_EXPORT),
 })

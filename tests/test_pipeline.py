@@ -100,3 +100,14 @@ def test_entry_contract(spark):
     import __spark_entry__ as E
     df = E.entry(spark)
     assert df.count() >= 0
+
+
+def test_fused_equals_staged(spark, source_df):
+    """The fused fast path (one mapInPandas pass + parquet
+    materialization) must emit exactly the staged path's triples."""
+    fused = run_pipeline(spark, source_df, fused=True)["triples"].toPandas()
+    staged = run_pipeline(spark, source_df, fused=False)["triples"].toPandas()
+    assert _triple_keys(fused) == _triple_keys(staged)
+    f = fused.set_index(["subj", "pred", "obj"])["score"].sort_index()
+    s = staged.set_index(["subj", "pred", "obj"])["score"].sort_index()
+    assert (f - s).abs().max() < 1e-12
