@@ -61,32 +61,66 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
-                       num_hashes: int = 16, shingle_k: int = 3) -> DataFrame:
-    """(id, sig: array<string>) — sig[i] = min over shingles of
-    md5(i || ':' || shingle). Row-local, no shuffle.
+def shingle_fingerprint(df: DataFrame, id_col: str, text_col: str,
+                        shingle_k: int = 3) -> DataFrame:
+    """(id, fingerprint) — fingerprint = min over word-k-gram shingles of
+    md5(shingle) hex; null when the doc has < k tokens. The rolling-hash
+    document-fingerprint primitive (and the blocking key for
+    fingerprint-based grouping). Batched Arrow UDF — the SQL-HOF
+    formulation of the same expression is interpreted per element and
+    measured ~15x slower on the same input."""
 
-    Implemented as a batched Arrow UDF, not SQL higher-order functions:
-    HOF lambdas are interpreted per element (no whole-stage codegen), and
-    the measured difference on the same input was ~90s vs ~1s. The hash is
-    plain md5 of a plain string, so the result is engine-portable (the
-    DuckDB oracle reproduces it exactly)."""
-
-    @F.pandas_udf(T.ArrayType(T.StringType()))
-    def _mh(text: pd.Series) -> pd.Series:
-        out: list[list[str] | None] = []
+    @F.pandas_udf(T.StringType())
+    def _fp(text: pd.Series) -> pd.Series:
+        out: list[str | None] = []
         for t in text.fillna(""):
             toks = re.findall(r"\S+", t.lower())
             n = len(toks) - shingle_k + 1
             if n <= 0:
                 out.append(None)
                 continue
-            shingles = [" ".join(toks[i:i + shingle_k]) for i in range(n)]
-            out.append([
-                min(hashlib.md5(f"{h}:{s}".encode()).hexdigest()
-                    for s in shingles)
-                for h in range(num_hashes)
-            ])
+            out.append(min(
+                hashlib.md5(" ".join(toks[i:i + shingle_k]).encode())
+                .hexdigest() for i in range(n)))
+        return pd.Series(out, index=text.index)
+
+    return df.select(F.col(id_col).alias("id"),
+                     _fp(F.col(text_col)).alias("fingerprint"))
+
+
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
+                       num_hashes: int = 16, shingle_k: int = 3) -> DataFrame:
+    """(id, sig: array<bigint>) — sig[i] = min over shingles of the i-th
+    Kirsch-Mitzenmacher variant ``h1 + i*h2 (mod 2^64)`` of the shingle's
+    md5 (h1/h2 = the digest's two big-endian 64-bit halves). Row-local, no
+    shuffle.
+
+    One md5 per shingle + a vectorized numpy mix replaces md5-per-
+    (shingle x hash) — ~num_hashes x less hashing for identical LSH
+    statistics. Batched Arrow UDF, not SQL higher-order functions (HOF
+    lambdas are interpreted per element; measured ~90s vs ~1s on the same
+    input). md5 + exact uint64 wraparound keep it engine-portable: the
+    DuckDB oracle reproduces the bits (UHUGEINT modular arithmetic)."""
+    arange = np.arange(num_hashes, dtype=np.uint64)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _mh(text: pd.Series) -> pd.Series:
+        out: list[list[int] | None] = []
+        for t in text.fillna(""):
+            toks = re.findall(r"\S+", t.lower())
+            n = len(toks) - shingle_k + 1
+            if n <= 0:
+                out.append(None)
+                continue
+            digs = [hashlib.md5(" ".join(toks[i:i + shingle_k]).encode())
+                    .digest() for i in range(n)]
+            h1 = np.frombuffer(b"".join(d[:8] for d in digs), dtype=">u8"
+                               ).astype(np.uint64)
+            h2 = np.frombuffer(b"".join(d[8:] for d in digs), dtype=">u8"
+                               ).astype(np.uint64)
+            with np.errstate(over="ignore"):
+                var = h1[:, None] + arange[None, :] * h2[:, None]
+            out.append(var.min(axis=0).view(np.int64).tolist())
         return pd.Series(out, index=text.index)
 
     return (

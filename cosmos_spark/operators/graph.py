@@ -11,7 +11,10 @@ pairs spanning bands.
 
 Algorithm: min-label propagation (a simplified large-star step per
 iteration) — converges in O(component diameter) rounds; every round is one
-shuffle join + one aggregation, localCheckpointed to keep lineage flat.
+shuffle join + one aggregation. Convergence detection exploits
+monotonicity: labels only ever decrease, so the label multiset is
+unchanged iff no node changed — one hash-sum aggregate per round replaces
+a self-join change count (half the jobs of the naive loop).
 Skew note: a giant component's label traffic is spread by the groupBy hash
 shuffle; AQE splits oversized reduce partitions.
 """
@@ -27,13 +30,29 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
     """nodes: (node), edges: (src, dst) undirected-as-given (symmetrized
     here). Returns (node, component) with component = min node id in the
     component."""
+    from pyspark import StorageLevel
+
     sym = edges.select("src", "dst").unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct().persist()
+    ).distinct().persist(StorageLevel.MEMORY_AND_DISK)
 
-    labels = nodes.select(F.col("node"),
-                          F.col("node").alias("component")).localCheckpoint()
-    for _ in range(max_iters):
+    labels = nodes.select(
+        F.col("node"), F.col("node").alias("component")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    def _sig(df: DataFrame) -> tuple:
+        # labels are monotonically non-increasing under min-propagation,
+        # so multiset equality (hash-sum + count) <=> fixpoint reached
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64(F.col("node").cast("string"),
+                             F.col("component").cast("string"))
+                  .cast("decimal(38,0)")).alias("s"),
+        ).collect()[0]
+        return (row["n"], row["s"])
+
+    prev_sig = _sig(labels)
+    for i in range(max_iters):
         neighbor = (
             sym.join(labels, sym["dst"] == labels["node"])
             .select(F.col("src").alias("node"), "component")
@@ -41,15 +60,18 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
         new_labels = (
             labels.unionByName(neighbor)
             .groupBy("node").agg(F.min("component").alias("component"))
-        ).localCheckpoint()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1).count()
         )
+        # truncate lineage periodically so the nested plan stays shallow
+        if (i + 1) % 8 == 0:
+            new_labels = new_labels.localCheckpoint()
+        else:
+            new_labels = new_labels.persist(StorageLevel.MEMORY_AND_DISK)
+        sig = _sig(new_labels)  # the round's single materializing job
+        old = labels
         labels = new_labels
-        if changed == 0:
+        old.unpersist()
+        if sig == prev_sig:
             break
+        prev_sig = sig
     sym.unpersist()
     return labels

@@ -417,20 +417,14 @@ FROM documents
 
 
 def q_ngram_fingerprint(spark, sf_dir):
-    """Document fingerprint: min-hash over word 3-gram shingles with a
-    portable hash (md5), the MinHash building block."""
+    """Document fingerprint: min over word 3-gram shingles of md5(shingle)
+    (portable hash), the MinHash building block — batched Arrow UDF
+    (the SQL-HOF formulation is interpreted per element, ~15x slower)."""
+    from .operators import dedup
     docs = _t(spark, sf_dir, "documents")
-    toks = r"regexp_extract_all(lower(text), '\\S+', 0)"
-    # NB: Spark sequence(1, n) with n < 1 counts *down* — guard explicitly
-    fp = (
-        f"case when size({toks}) >= 3 then "
-        f"array_min(transform(sequence(1, size({toks}) - 2), "
-        f"i -> md5(concat_ws(' ', slice({toks}, i, 3))))) "
-        f"else null end"
-    )
-    return docs.select(
-        "doc_id", F.expr(fp).alias("fingerprint"),
-    ).filter(F.col("fingerprint").isNotNull())
+    fp = dedup.shingle_fingerprint(docs, "doc_id", "text")
+    return (fp.select(F.col("id").alias("doc_id"), "fingerprint")
+            .filter(F.col("fingerprint").isNotNull()))
 
 
 SQL_NGRAM_FINGERPRINT = """
@@ -686,9 +680,19 @@ sh AS (SELECT doc_id,
                      i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
                 AS s
        FROM t WHERE len(toks) >= 3),
-mh AS (SELECT doc_id, h, min(md5(h::VARCHAR || ':' || s)) AS mh
-       FROM sh, range(16) r(h) GROUP BY doc_id, h)
-SELECT doc_id, CAST(h AS INT) AS h, mh FROM mh
+hs AS (SELECT doc_id,
+              ('0x' || substr(md5(s), 1, 16))::UBIGINT AS h1,
+              ('0x' || substr(md5(s), 17, 16))::UBIGINT AS h2
+       FROM sh),
+mh AS (SELECT doc_id, h,
+              min(CAST((h1::UHUGEINT + h::UHUGEINT * h2::UHUGEINT)
+                       % 18446744073709551616::UHUGEINT AS UBIGINT)) AS u
+       FROM hs, range(16) r(h) GROUP BY doc_id, h)
+SELECT doc_id, CAST(h AS INT) AS h,
+       CASE WHEN u >= 9223372036854775808::UBIGINT
+            THEN (u::HUGEINT - 18446744073709551616::HUGEINT)::BIGINT
+            ELSE u::BIGINT END AS mh
+FROM mh
 """
 
 
@@ -766,8 +770,12 @@ def q_cc_components(spark, sf_dir):
     which the oracle reproduces relationally."""
     from .operators import graph
     docs = _t(spark, sf_dir, "documents")
-    fp = (docs.select("doc_id", F.expr(_FP_EXPR).alias("fp"))
-          .filter(F.col("fp").isNotNull()))
+    from .operators import dedup as _dd
+    fp = (_dd.shingle_fingerprint(docs, "doc_id", "text")
+          .select(F.col("id").alias("doc_id"),
+                  F.col("fingerprint").alias("fp"))
+          .filter(F.col("fp").isNotNull())
+          .persist())  # feeds the window AND the node list
     w = Window.partitionBy("fp")
     star = fp.withColumn("head", F.min("doc_id").over(w))
     edges = (star.filter(F.col("doc_id") != F.col("head"))
@@ -810,10 +818,21 @@ sh AS (SELECT doc_id,
                      i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
                 AS s
        FROM t WHERE len(toks) >= 3),
-mh AS (SELECT doc_id, h, min(md5(h::VARCHAR || ':' || s)) AS mh
-       FROM sh, range(16) r(h) GROUP BY doc_id, h),
+hs AS (SELECT doc_id,
+              ('0x' || substr(md5(s), 1, 16))::UBIGINT AS h1,
+              ('0x' || substr(md5(s), 17, 16))::UBIGINT AS h2
+       FROM sh),
+mhu AS (SELECT doc_id, h,
+               min(CAST((h1::UHUGEINT + h::UHUGEINT * h2::UHUGEINT)
+                        % 18446744073709551616::UHUGEINT AS UBIGINT)) AS u
+        FROM hs, range(16) r(h) GROUP BY doc_id, h),
+mh AS (SELECT doc_id, h,
+              CASE WHEN u >= 9223372036854775808::UBIGINT
+                   THEN (u::HUGEINT - 18446744073709551616::HUGEINT)::BIGINT
+                   ELSE u::BIGINT END AS mh
+       FROM mhu),
 banded AS (SELECT doc_id, h // 4 AS band,
-                  md5(string_agg(mh, '|' ORDER BY h)) AS bhash
+                  md5(string_agg(mh::VARCHAR, '|' ORDER BY h)) AS bhash
            FROM mh GROUP BY doc_id, h // 4),
 buckets AS (SELECT band, bhash, count(*) AS c FROM banded GROUP BY 1, 2)
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -1122,8 +1141,7 @@ def q_kg_defines(spark, sf_dir):
     constructed file yields exactly two function segments and two defines
     triples."""
     from . import pipeline as P
-    res = P.run_pipeline(spark, _linking_source(spark, sf_dir),
-                         persist_intermediates=False)
+    res = P.run_pipeline(spark, _linking_source(spark, sf_dir))
     return (res["triples"].filter(F.col("pred") == "defines")
             .select("subj", "pred", "obj", "repo", "score"))
 
@@ -1153,8 +1171,7 @@ def q_kg_entities(spark, sf_dir):
     """Entity formation (G5/J5): one entity per normalized def name, with
     the content-hash entity id (F10) value-checked."""
     from . import pipeline as P
-    res = P.run_pipeline(spark, _linking_source(spark, sf_dir),
-                         persist_intermediates=False)
+    res = P.run_pipeline(spark, _linking_source(spark, sf_dir))
     return res["entities"].select("entity_id", "canonical_name")
 
 
@@ -1174,8 +1191,7 @@ def q_kg_mention_links(spark, sf_dir):
     exact-links to entity f<id> with score 1.0; the mentions triple joins
     segment subj to entity id — fully value-checked."""
     from . import pipeline as P
-    res = P.run_pipeline(spark, _linking_source(spark, sf_dir),
-                         persist_intermediates=False)
+    res = P.run_pipeline(spark, _linking_source(spark, sf_dir))
     return (res["triples"].filter(F.col("pred") == "mentions")
             .select("subj", "obj", "repo", "score"))
 
