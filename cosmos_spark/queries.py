@@ -754,15 +754,6 @@ QUERIES.update({
 # iterative CC / LSH pairs / greedy association / retrieval / streaming
 # ---------------------------------------------------------------------------
 
-_FP_TOKS = r"regexp_extract_all(lower(text), '\\S+', 0)"
-_FP_EXPR = (
-    f"case when size({_FP_TOKS}) >= 3 then "
-    f"array_min(transform(sequence(1, size({_FP_TOKS}) - 2), "
-    f"i -> md5(concat_ws(' ', slice({_FP_TOKS}, i, 3))))) "
-    f"else null end"
-)
-
-
 def q_cc_components(spark, sf_dir):
     """General iterative connected components (operators.graph — the
     min-label-propagation loop, SURVEY §2.4 G1/G5 scale path) over star
