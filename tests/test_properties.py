@@ -1,0 +1,109 @@
+"""Property-based tests over the pure kernels (hypothesis).
+
+The reference has no randomized tests (SURVEY §5); these pin the kernel
+invariants the distributed plan relies on: line-range sanity, id
+uniqueness, normalization idempotence, and signature determinism — for
+arbitrary unicode inputs, not just the planted fixtures.
+"""
+
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from cosmos_spark import kernels as K
+
+# text lines: printable-ish unicode without the separators we control
+_line = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",),
+                           blacklist_characters="\r"),
+    max_size=40,
+)
+_content = st.lists(_line, max_size=12).map("\n".join)
+
+
+def _src(contents: list[str]) -> pd.DataFrame:
+    return pd.DataFrame({
+        "repo": [f"org/r{i % 3}" for i in range(len(contents))],
+        "path": [f"f_{i}.py" for i in range(len(contents))],
+        "commit": ["0" * 40] * len(contents),
+        "lang": ["python"] * len(contents),
+        "content": contents,
+        "content_sha256": [K.sha256_hex(c) for c in contents],
+    })
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(_content, min_size=1, max_size=6))
+def test_segment_invariants(contents):
+    src = _src(contents)
+    seg = K.segment_kernel(src)
+    if len(seg) == 0:
+        return
+    # line ranges are 1-based, ordered, and inside the normalized file
+    assert (seg["line_start"] >= 1).all()
+    assert (seg["line_start"] <= seg["line_end"]).all()
+    norm = K.normalize_content(src["content"])
+    n_lines = dict(zip(zip(src["repo"], src["path"]),
+                       norm.str.count("\n") + 1))
+    for r, p, le in zip(seg["repo"], seg["path"], seg["line_end"]):
+        assert le <= n_lines[(r, p)]
+    # segment text has no fully-blank lines (blank lines are separators)
+    assert not seg["text"].str.contains(r"(?m)^[ \t]*$").any()
+    # seg_id is deterministic and unique within the batch
+    assert seg["seg_id"].is_unique
+    # per-row sha invariant: every segment carries its file's content sha
+    expected = dict(zip(zip(src["repo"], src["path"]), src["content_sha256"]))
+    for r, p, s in zip(seg["repo"], seg["path"], seg["content_sha256"]):
+        assert expected[(r, p)] == s
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(_content, min_size=1, max_size=6))
+def test_segmentation_deterministic(contents):
+    src = _src(contents)
+    a = K.segment_kernel(src)
+    b = K.segment_kernel(src.copy())
+    pd.testing.assert_frame_equal(a, b)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(_content, min_size=1, max_size=4))
+def test_mention_invariants(contents):
+    seg = K.segment_kernel(_src(contents))
+    men = K.mention_kernel(seg)
+    if len(men) == 0:
+        return
+    # dedup per (segment, kind, text) -> mention_id unique
+    assert men["mention_id"].is_unique
+    assert men["mention_kind"].isin(["def", "import", "call", "ref"]).all()
+    # at most one link representative per (segment, linkable alias key)
+    linkable = men[men["mention_kind"].isin(["call", "import", "ref"])]
+    key = K.alias_norm(K.basename(linkable["mention_text"]))
+    reps = linkable[linkable["link_rep"]]
+    rep_keys = K.alias_norm(K.basename(reps["mention_text"]))
+    assert not pd.DataFrame({"seg": reps["seg_id"], "k": rep_keys}) \
+        .duplicated().any()
+    # every linkable (seg, key) group has exactly one representative
+    grp = pd.DataFrame({"seg": linkable["seg_id"], "k": key,
+                        "rep": linkable["link_rep"]})
+    assert (grp.groupby(["seg", "k"])["rep"].sum() == 1).all()
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(max_size=30))
+def test_alias_norm_idempotent(s):
+    ser = pd.Series([s])
+    once = K.alias_norm(ser)
+    twice = K.alias_norm(once)
+    assert once.iloc[0] == twice.iloc[0]
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(max_size=20), st.text(max_size=20))
+def test_trigram_jaccard_properties(a, b):
+    ab = K.trigram_jaccard(pd.Series([a]), pd.Series([b])).iloc[0]
+    ba = K.trigram_jaccard(pd.Series([b]), pd.Series([a])).iloc[0]
+    aa = K.trigram_jaccard(pd.Series([a]), pd.Series([a])).iloc[0]
+    assert ab == ba            # symmetric
+    assert 0.0 <= ab <= 1.0    # bounded
+    assert aa == 1.0           # reflexive
