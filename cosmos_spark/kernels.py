@@ -286,8 +286,9 @@ def mention_kernel(seg_pdf: pd.DataFrame) -> pd.DataFrame:
     # still arise from two *distinct* alias_keys resolving to one entity;
     # that needs the alias table itself to alias-collide and both scores
     # to clear the 0.8 threshold — rare enough to live under the P/R
-    # tolerance, and a global dedup can be re-enabled via
-    # triples_of(ment_dedup=True).)
+    # tolerance. The hash-agg fallback that collapses such duplicates at
+    # max score is the `link_rep`-less branch of pipeline.triples_of:
+    # supply links without the link_rep column to trigger it.)
     linkable = out["mention_kind"].isin(["call", "import", "ref"])
     key = alias_norm(basename(out["mention_text"]))
     first = ~pd.DataFrame({"seg": out["seg_id"], "key": key})[linkable] \

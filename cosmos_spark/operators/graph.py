@@ -12,9 +12,11 @@ pairs spanning bands.
 Algorithm: min-label propagation (a simplified large-star step per
 iteration) — converges in O(component diameter) rounds; every round is one
 shuffle join + one aggregation. Convergence detection exploits
-monotonicity: labels only ever decrease, so the label multiset is
-unchanged iff no node changed — one hash-sum aggregate per round replaces
-a self-join change count (half the jobs of the naive loop).
+monotonicity: labels only ever decrease, so an unchanged label multiset
+means no node changed. The check is *probabilistic* — count + sum of
+64-bit xxhash64 per round — so a hash-sum collision across changed rows
+could terminate one round early (probability ~2^-64 per round; replaces a
+self-join change count, halving the jobs of the naive loop).
 Skew note: a giant component's label traffic is spread by the groupBy hash
 shuffle; AQE splits oversized reduce partitions.
 """
@@ -41,8 +43,10 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
     ).persist(StorageLevel.MEMORY_AND_DISK)
 
     def _sig(df: DataFrame) -> tuple:
-        # labels are monotonically non-increasing under min-propagation,
-        # so multiset equality (hash-sum + count) <=> fixpoint reached
+        # labels are monotonically non-increasing under min-propagation, so
+        # an unchanged multiset signature (count + 64-bit hash-sum) detects
+        # the fixpoint; the check is probabilistic — a sum collision across
+        # changed rows (~2^-64/round) would end the loop one round early
         row = df.agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.xxhash64(F.col("node").cast("string"),
@@ -74,4 +78,10 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
             break
         prev_sig = sig
     sym.unpersist()
-    return labels
+    # Hand back a non-persisted materialization: localCheckpoint blocks are
+    # released by the ContextCleaner once the frame is GC'd, so repeated
+    # harness invocations don't accumulate cached label frames (the loop's
+    # own persists are already released above).
+    out = labels.localCheckpoint(eager=True)
+    labels.unpersist()
+    return out

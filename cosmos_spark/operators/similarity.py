@@ -16,8 +16,40 @@ array<double>) — no Python in the hot path.
 
 from __future__ import annotations
 
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
+
+def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
+    """Distributed top-k per q_id over a (q_id, vec_id, cos_sim) frame.
+
+    Stage 1 is a *narrow* per-partition prune (``mapInPandas`` keeps at most
+    k rows per q_id per input partition — the per-partition heap), so the
+    only shuffle is the final window over the pruned survivors:
+    <= k * n_partitions rows per query instead of every scored row funneling
+    through one reducer. Tie-break (cos_sim desc, vec_id asc) is identical
+    in both stages, so the result is exactly the global window's.
+    """
+    schema = scored.schema
+
+    def prune(it):
+        acc: pd.DataFrame | None = None
+        for pdf in it:
+            cur = pdf if acc is None else pd.concat([acc, pdf],
+                                                    ignore_index=True)
+            cur = cur.sort_values(["q_id", "cos_sim", "vec_id"],
+                                  ascending=[True, False, True])
+            acc = cur.groupby("q_id", sort=False).head(k)
+        if acc is not None and len(acc):
+            yield acc
+
+    pruned = scored.mapInPandas(prune, schema)
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        pruned.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+    )
+
 
 _DOT = ("aggregate(zip_with(cast({a} as array<double>), "
         "cast({b} as array<double>), (x, y) -> x * y), 0.0D, "
@@ -32,8 +64,9 @@ def cosine_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
                 round_to: int | None = 6) -> DataFrame:
     """Exact top-k by cosine for each query vector.
 
-    (q_id, vec_id, cos_sim, rn<=k). ``queries`` is broadcast; ranking uses
-    a per-query window (rank ties broken by id for determinism).
+    (q_id, vec_id, cos_sim, rn<=k). ``queries`` is broadcast; ranking is a
+    per-partition top-k prune followed by a small merge window (ties broken
+    by id for determinism) — no single-reducer global window.
     """
     dot = _DOT.format(a=vec_col, b=q_vec_col)
     na = _NORM.format(a=vec_col)
@@ -48,11 +81,7 @@ def cosine_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
                 F.col(id_col).alias("vec_id"),
                 F.expr(sim).alias("cos_sim"))
     )
-    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-    )
+    return _topk_per_query(scored, k)
 
 
 def _plane_expr(vec_col: str, plane_idx: int, dim: int) -> str:
@@ -111,11 +140,7 @@ def cosine_topk_lsh(emb: DataFrame, queries: DataFrame, k: int = 10,
                 F.col(id_col).alias("vec_id"),
                 F.expr(sim).alias("cos_sim"))
     )
-    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-    )
+    return _topk_per_query(scored, k)
 
 
 def embedding_cosine_dup_pairs(emb: DataFrame, threshold: float = 0.95,

@@ -30,7 +30,9 @@ Scale design (the reason this layout wins at 100 TB / 1000 executors):
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 
 import pandas as pd
 import pyspark.sql.functions as F
@@ -277,12 +279,16 @@ def triples_of(
 
     ``source_unique_paths=True`` (default) declares the ingestion-level
     invariant that source rows are unique per (repo, path) — the scan-side
-    contract an Iceberg identifier-field table gives for free. Under it the
-    member_of branch needs no dedup (subj embeds a per-segment content
-    hash), which removes the pipeline's largest remaining shuffle: deduping
-    once at the source (1 row per file) is strictly cheaper than re-deduping
-    the ~3x larger segments relation on every run. Pass False when feeding
-    multi-commit snapshots of the same path."""
+    contract an Iceberg identifier-field table gives for free. Under it no
+    branch needs a dedup (subj embeds a per-segment content hash and each
+    family is distinct by construction), which removes the pipeline's
+    largest remaining shuffle: deduping once at the source (1 row per file)
+    is strictly cheaper than re-deduping the ~3x larger triple relation on
+    every run. Pass False when feeding multi-commit snapshots of the same
+    path: then ALL families are deduped by a global
+    (subj, pred, obj) hash-agg (max score / min repo per key) — duplicate
+    (repo, path) rows duplicate base/mentions/member triples alike, not
+    just member_of."""
     m = mentions.withColumn(
         "subj", F.concat_ws("", F.col("repo"), F.lit("/"), F.col("path"),
                             F.lit("#"), F.col("seg_id")))
@@ -333,13 +339,9 @@ def triples_of(
     # text) so subj repeats only if source holds duplicate (repo, path)
     # rows (e.g. two commits of one file).
     member = segments.select(
-        "repo", "path",
         F.concat_ws("", F.col("repo"), F.lit("/"), F.col("path"),
-                    F.lit("#"), F.col("seg_id")).alias("subj"))
-    if not source_unique_paths:
-        member = member.dropDuplicates(["subj"])
-    member = member.select(
-        "subj", F.lit("member_of").alias("pred"),
+                    F.lit("#"), F.col("seg_id")).alias("subj"),
+        F.lit("member_of").alias("pred"),
         F.concat_ws("/", "repo", "path").alias("obj"),
         "repo", F.lit(1.0).alias("score"))
     # same: one row per non-canonical entity — unique by construction.
@@ -351,27 +353,55 @@ def triples_of(
                 F.lit("*").alias("repo"), F.lit(1.0).alias("score"))
     )
     t = base.unionByName(ment).unionByName(member).unionByName(same)
+    if not source_unique_paths:
+        # multi-commit inputs duplicate every family: one global hash-agg
+        # (map-side partial combine) restores (subj, pred, obj) uniqueness,
+        # matching the oracle's global dedup (oracle.emit_triples)
+        t = (
+            t.groupBy("subj", "pred", "obj")
+            .agg(F.max("score").alias("score"), F.min("repo").alias("repo"))
+            .select("subj", "pred", "obj", "repo", "score")
+        )
     return t.withColumn(
         "provenance",
         F.concat(F.lit(f"triples@{run_id}:"),
                  F.spark_partition_id().cast("string")))
 
 
+_TEMP_DIRS: list[str] = []
+
+
+def _cleanup_temp_dirs() -> None:
+    while _TEMP_DIRS:
+        shutil.rmtree(_TEMP_DIRS.pop(), ignore_errors=True)
+
+
+atexit.register(_cleanup_temp_dirs)
+
+
 def run_pipeline(spark: SparkSession, source: DataFrame,
                  run_id: str = "run0",
                  persist_intermediates: bool = True,
                  fused: bool = True,
-                 workdir: str | None = None) -> dict[str, DataFrame]:
-    """Lazy end-to-end plan (no checkpointing — see plans.lineage for the
-    resumable runner).
+                 workdir: str | None = None,
+                 source_unique_paths: bool = True) -> dict[str, DataFrame]:
+    """End-to-end plan (no checkpointing — see plans.lineage for the
+    resumable runner). NOTE: with ``fused=True`` and
+    ``persist_intermediates=True`` (the defaults) the call is *eager* at
+    the front end — the fused mentions relation is written to parquet
+    immediately (process-lifetime temp dir, cleaned at exit or via
+    ``workdir``); everything downstream stays lazy.
 
-    ``fused=True`` (default) runs segmentation + mention detection as one
+    ``fused=True`` runs segmentation + mention detection as one
     narrow mapInPandas pass whose output (mentions + per-segment marker
     rows) is the only thing persisted: it feeds all four downstream
     branches (entities, links, triple base, member edges). The staged path
     (``fused=False``) materializes segments and mentions separately — the
     layout the checkpointed at-scale runner (plans.lineage) uses, at the
-    cost of caching the segment-text relation."""
+    cost of caching the segment-text relation.
+
+    ``source_unique_paths`` is forwarded to :func:`triples_of` — pass False
+    when source rows are not unique per (repo, path)."""
     if fused:
         fusedf = fused_mentions_of(source)
         if persist_intermediates:
@@ -392,8 +422,11 @@ def run_pipeline(spark: SparkSession, source: DataFrame,
             # (Python function identity), so a shared repartition is
             # recomputed per consumer.
             import tempfile
-            d = (os.path.join(workdir, "fused") if workdir
-                 else tempfile.mkdtemp(prefix="cosmos_fused_"))
+            if workdir:
+                d = os.path.join(workdir, "fused")
+            else:
+                d = tempfile.mkdtemp(prefix="cosmos_fused_")
+                _TEMP_DIRS.append(d)  # reclaimed at process exit
             fusedf.write.mode("overwrite").parquet(d)
             fusedf = spark.read.parquet(d)
         mentions = fusedf.filter(F.col("mention_kind") != SEG_MARKER)
@@ -419,7 +452,8 @@ def run_pipeline(spark: SparkSession, source: DataFrame,
     links = link_mentions(mentions, aliases)
     entities_canon = canonicalize(entities)
     triples = triples_of(member_src, mentions, links, entities_canon,
-                         run_id=run_id)
+                         run_id=run_id,
+                         source_unique_paths=source_unique_paths)
     return {
         "segments": segments,
         "mentions": mentions,
@@ -431,15 +465,26 @@ def run_pipeline(spark: SparkSession, source: DataFrame,
 
 
 def write_triples(triples: DataFrame, path: str) -> None:
-    """Partitioned graph sink. Partition by ``pred`` (6 stable values, never
-    skew-explodes metadata the way per-repo partitioning would at 10^12
-    files); within a partition, sort by (repo, subj) so per-repo reads are
-    clustered (the parquet-dir stand-in for an Iceberg writeTo with
-    bucket(repo) — SURVEY §1.1)."""
+    """Partitioned graph sink. Directory partitioning by ``pred`` (6 stable
+    values, never skew-explodes metadata the way per-repo partitioning would
+    at 10^12 files); shuffle partitioning by ``(pred, repo)`` so the write
+    stage keeps full task parallelism — hash-partitioning on ``pred`` alone
+    would collapse the entire sink to <= 6 non-empty tasks, the single worst
+    bottleneck at 100 TB. Within each task, rows sort by (pred, repo, subj):
+    one pred per output file run and per-repo clustering inside it (the
+    parquet-dir stand-in for an Iceberg writeTo with bucket(repo) —
+    SURVEY §1.1)."""
     (
-        triples.repartition("pred")
-        .sortWithinPartitions("repo", "subj")
+        sink_layout(triples)
         .write.mode("overwrite")
         .partitionBy("pred")
         .parquet(path)
     )
+
+
+def sink_layout(triples: DataFrame) -> DataFrame:
+    """The pre-write shuffle/sort layout of :func:`write_triples`, exposed
+    so plan tests can pin its shape (hash on (pred, repo), never pred
+    alone)."""
+    return (triples.repartition("pred", "repo")
+            .sortWithinPartitions("pred", "repo", "subj"))

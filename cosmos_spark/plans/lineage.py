@@ -164,8 +164,10 @@ def run_resumable(
 
     entities = ck.stage("entities_aliases", fps["entities_aliases"],
                         lambda: P.entities_and_aliases(mentions)[0])
-    # alias dict is derived from entities (cheap, deterministic) — rebuild
-    _, aliases = P.entities_and_aliases(mentions)
+    # alias dict derives from the (checkpointed) entities dim — never from
+    # mentions, so a fully-resumed run re-reads only the tiny entity
+    # parquet and recomputes nothing upstream
+    aliases = P.aliases_of(entities)
     out["entities_aliases"] = entities
     if stop_after == "entities_aliases":
         return out

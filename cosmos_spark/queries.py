@@ -204,7 +204,7 @@ def q_section_window(spark, sf_dir):
 
 
 SQL_SECTION_WINDOW = """
-SELECT user_id, section, count(*) AS n_events,
+SELECT user_id, CAST(section AS BIGINT) AS section, count(*) AS n_events,
        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS section_value
 FROM (
   SELECT user_id, value,
@@ -481,10 +481,13 @@ def q_ann_cosine_topk(spark, sf_dir):
     scored = joined.select(
         "vec_id",
         F.expr(f"round(({dot}) / (({na}) * ({nb})), 4)").alias("cos_sim"))
+    # distributed top-k: orderBy+limit plans as TakeOrderedAndProject
+    # (per-partition take, driver merge of k rows) — no global-window
+    # single-reducer Exchange ever forms; rn is a window over just k rows.
+    top = scored.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(10)
     w = Window.orderBy(F.desc("cos_sim"), F.asc("vec_id"))
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 10)
+        top.withColumn("rn", F.row_number().over(w))
         .select("vec_id", "cos_sim", "rn")
     )
 
@@ -774,6 +777,9 @@ def q_cc_components(spark, sf_dir):
                      F.col("doc_id").alias("dst")))
     nodes = fp.select(F.col("doc_id").alias("node"))
     cc = graph.connected_components(nodes, edges)
+    # cc is eagerly materialized (localCheckpoint) by the loop above, so the
+    # fingerprint cache can be released before the result is consumed.
+    fp.unpersist()
     return cc.select(F.col("node").alias("doc_id"),
                      F.col("component").alias("component_id"))
 

@@ -26,6 +26,9 @@ def test_triples_precision_recall(pipeline_result, oracle_result):
     got = _triple_keys(pipeline_result["triples"])
     exp = _triple_keys(oracle_result["triples"])
     assert got and exp
+    # duplicate emission must fail loudly, not vanish into set compares
+    assert len(pipeline_result["triples"]) == len(got)
+    assert len(oracle_result["triples"]) == len(exp)
     inter = len(got & exp)
     precision = inter / len(got)
     recall = inter / len(exp)
@@ -95,6 +98,27 @@ def test_canonicalization_merges_variants(pipeline_result, oracle_result):
     assert len(exp_same) > 0
 
 
+def test_multi_commit_source_dedups_all_families(spark, corpus_pdf):
+    """source_unique_paths=False: duplicate (repo, path) rows (multi-commit
+    snapshots) must not duplicate ANY triple family (ADVICE r1)."""
+    import pandas as pd
+
+    from cosmos_spark.corpus import corpus_to_spark
+    dup = corpus_pdf.head(6).copy()
+    dup["commit"] = "f" * 40
+    both = pd.concat([corpus_pdf, dup], ignore_index=True)
+    src = corpus_to_spark(spark, both, partitions=4)
+    t = run_pipeline(spark, src,
+                     source_unique_paths=False)["triples"].toPandas()
+    keys = _triple_keys(t)
+    assert len(t) == len(keys)
+    base = run_pipeline(
+        spark, corpus_to_spark(spark, corpus_pdf, partitions=4)
+    )["triples"].toPandas()
+    # duplicated rows add no new keys; the dedup collapses them exactly
+    assert keys == _triple_keys(base)
+
+
 def test_entry_contract(spark):
     """__spark_entry__.entry must run and return a DataFrame with rows."""
     import __spark_entry__ as E
@@ -107,6 +131,8 @@ def test_fused_equals_staged(spark, source_df):
     materialization) must emit exactly the staged path's triples."""
     fused = run_pipeline(spark, source_df, fused=True)["triples"].toPandas()
     staged = run_pipeline(spark, source_df, fused=False)["triples"].toPandas()
+    assert len(fused) == len(_triple_keys(fused))
+    assert len(staged) == len(_triple_keys(staged))
     assert _triple_keys(fused) == _triple_keys(staged)
     f = fused.set_index(["subj", "pred", "obj"])["score"].sort_index()
     s = staged.set_index(["subj", "pred", "obj"])["score"].sort_index()

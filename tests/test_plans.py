@@ -59,6 +59,47 @@ def test_link_join_is_broadcast(spark, source_df):
     assert "BroadcastHashJoin" in plan
 
 
+def test_triple_sink_keeps_write_parallelism(spark):
+    """The sink shuffle must hash on (pred, repo) — hashing on pred alone
+    caps the entire write at <= 6 non-empty tasks (VERDICT r1 #2)."""
+    import pandas as pd
+
+    from cosmos_spark import pipeline as P
+    t = spark.createDataFrame(pd.DataFrame({
+        "subj": ["a#1", "b#2"], "pred": ["defines", "calls"],
+        "obj": ["x", "y"], "repo": ["r1", "r2"],
+        "score": [1.0, 0.9], "provenance": ["p", "p"]}))
+    plan = _plan(P.sink_layout(t))
+    ex = [ln for ln in plan.splitlines()
+          if "hashpartitioning" in ln or "Arguments: hashpartitioning" in ln]
+    assert ex, plan
+    assert any("pred" in ln and "repo" in ln for ln in ex), plan
+
+
+def test_ann_topk_is_distributed(spark):
+    """q_ann_cosine_topk must plan the top-k as TakeOrderedAndProject
+    (per-partition take + driver merge), not a global row_number window
+    funneling every scored row through one reducer (VERDICT r1 #3)."""
+    plan = _plan(Q.q_ann_cosine_topk(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_cosine_topk_no_single_partition_exchange(spark):
+    """operators.similarity.cosine_topk: per-partition prune (MapInPandas)
+    then a per-q_id window — no SinglePartition Exchange anywhere."""
+    import pandas as pd
+
+    from cosmos_spark.operators import similarity
+    emb = spark.createDataFrame(pd.DataFrame({
+        "vec_id": range(8),
+        "embedding": [[float(i), 1.0] for i in range(8)]}))
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    plan = _plan(similarity.cosine_topk(emb, q, k=3))
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "MapInPandas" in plan, plan
+
+
 def test_partial_aggregation_single_shuffle(spark):
     """groupBy plans as partial (map-side) + final hash aggregate around
     exactly one Exchange — the shape that holds at any scale."""

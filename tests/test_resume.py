@@ -65,6 +65,27 @@ def test_changed_input_recomputes(spark, source_df, tmp_path):
         assert json.load(f)["run_id"] == "runB"
 
 
+def test_resumed_aliases_derive_from_entities_only(spark, source_df,
+                                                   tmp_path):
+    """After the entities_aliases stage is resumed, the alias dict the links
+    stage consumes must derive from the checkpointed entities parquet — not
+    lazily re-run the mentions->entities aggregation (VERDICT r1 #8). The
+    plan of aliases_of(resumed entities) must contain no Python map stage
+    and exactly the entities relation."""
+    from cosmos_spark import pipeline as P
+    wd = str(tmp_path / "ckpt4")
+    run_resumable(spark, source_df, wd, run_id="rA",
+                  stop_after="entities_aliases")
+    full = run_resumable(spark, source_df, wd, run_id="rB")
+    ck: Checkpointer = full["_checkpointer"]
+    assert "entities_aliases" in ck.skipped
+    aliases = P.aliases_of(full["entities_aliases"])
+    plan = aliases._sc._jvm.PythonSQLUtils.explainString(
+        aliases._jdf.queryExecution(), "formatted")
+    assert "MapInPandas" not in plan, plan       # no segment/mention kernel
+    assert "entities_aliases" in plan            # reads the checkpoint
+
+
 def test_lineage_rows_shape(spark, source_df, tmp_path):
     wd = str(tmp_path / "ckpt3")
     out = run_resumable(spark, source_df, wd, run_id="runL",
