@@ -151,6 +151,13 @@ def _edge_rows() -> list[dict]:
         {"repo": edge_repo, "path": "wrap.md", "lang": "md",
          "content": "# wrap\n\nThis uses a config-\nuration value.\n"},
     ]
+    # cross-prefix canonicalization variants: xload_config ~ load_config has
+    # trigram J = 0.9 but the names differ in their first 4 chars — a
+    # prefix-blocked canonicalizer silently drops this same_as edge (the
+    # VERDICT r1 recall fixture for multi-key blocking)
+    edge.append({"repo": "org3/canon_x", "path": "canon_x.py",
+                 "lang": "python",
+                 "content": "def xload_config(p):\n    return p\n"})
     dup_content = "import json\n\ndef load_config(p):\n    return json.loads(p)\n"
     edge.append({"repo": "org1/dup_a", "path": "dup.py", "lang": "python",
                  "content": dup_content})

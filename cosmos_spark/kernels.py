@@ -343,51 +343,12 @@ def entity_id_for(norm_names: pd.Series) -> pd.Series:
     return "ent_" + _sha_series("ent|" + norm_names).str[:16]
 
 
-# ---------------------------------------------------------------------------
-# block-local connected components (G1/G5 analog)
-# ---------------------------------------------------------------------------
-
-CC_COLUMNS = ["entity_id", "canonical_id"]
+# (canonicalization blocking lives JVM-side in
+# pipeline.canonical_candidate_pairs: xxhash64 trigram-MinHash bands +
+# exact array-Jaccard verify — no Python kernel in that path)
 
 
-def cc_block_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Connected components within one blocking group.
-
-    Input columns: entity_id, canonical_name (one blocking key per group).
-    Edge iff trigram jaccard >= CANON_THRESHOLD; representative = min
-    (canonical_name, entity_id) per component. Blocking guarantees no edge
-    crosses groups, so per-group union-find IS the global CC — the same
-    shape as the reference's per-page fixpoint bbox merge
-    (`group_cls.py:60-144` via per-group apply).
-    """
-    ids = pdf["entity_id"].tolist()
-    names = pdf["canonical_name"].tolist()
-    n = len(ids)
-    parent = list(range(n))
-
-    def find(x: int) -> int:
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    grams = [_trigrams(nm) for nm in names]
-    for i in range(n):
-        gi = grams[i]
-        for j in range(i + 1, n):
-            gj = grams[j]
-            u = len(gi | gj)
-            sim = (len(gi & gj) / u) if u else 1.0
-            if sim >= CANON_THRESHOLD:
-                ri, rj = find(i), find(j)
-                if ri != rj:
-                    parent[max(ri, rj)] = min(ri, rj)
-
-    comp: dict[int, int] = {}
-    for i in range(n):
-        r = find(i)
-        best = comp.get(r)
-        if best is None or (names[i], ids[i]) < (names[best], ids[best]):
-            comp[r] = i
-    canonical = [ids[comp[find(i)]] for i in range(n)]
-    return pd.DataFrame({"entity_id": ids, "canonical_id": canonical})
+# (the former block-local cc_block_kernel was removed in round 2: its
+# prefix-4 blocking was recall-unsafe — pipeline.canonicalize now uses
+# MinHash-band blocking + operators.graph.connected_components, and the
+# oracle uses an independent exhaustive all-pairs union-find)

@@ -72,14 +72,53 @@ def link_mentions(mentions: pd.DataFrame, aliases: pd.DataFrame) -> pd.DataFrame
         columns={"link_score": "score"}).reset_index(drop=True)
 
 
+def _oracle_trigrams(s: str) -> set:
+    # deliberately re-implemented here (not kernels._trigrams): the oracle
+    # must be independent of the pipeline's similarity/blocking code so a
+    # blocking recall bug cannot hide behind a shared kernel (VERDICT r1 #4)
+    if len(s) < 3:
+        return {s} if s else set()
+    return {s[i:i + 3] for i in range(len(s) - 2)}
+
+
 def canonicalize(entities: pd.DataFrame) -> pd.DataFrame:
-    """Block-local union-find CC (shared kernel with the Spark pipeline:
-    kernels.cc_block_kernel per first-4-chars blocking group)."""
-    e = entities[["entity_id", "canonical_name"]].copy()
-    e["block"] = e["canonical_name"].str[:4]
-    parts = [K.cc_block_kernel(g) for _, g in e.groupby("block", sort=True)]
-    canon = (pd.concat(parts, ignore_index=True) if parts
-             else pd.DataFrame(columns=K.CC_COLUMNS))
+    """Independent exhaustive all-pairs union-find — NO blocking.
+
+    Every pair of entity names is scored (char-trigram Jaccard >= 0.7 =>
+    edge); components via union-find; representative = min
+    (canonical_name, entity_id). O(n^2) — test-scale recall oracle for the
+    pipeline's MinHash-band blocked CC."""
+    ids = entities["entity_id"].tolist()
+    names = entities["canonical_name"].tolist()
+    n = len(ids)
+    parent = list(range(n))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    grams = [_oracle_trigrams(nm) for nm in names]
+    for i in range(n):
+        for j in range(i + 1, n):
+            u = len(grams[i] | grams[j])
+            sim = (len(grams[i] & grams[j]) / u) if u else 1.0
+            if sim >= 0.7:
+                ri, rj = find(i), find(j)
+                if ri != rj:
+                    parent[max(ri, rj)] = min(ri, rj)
+
+    comp: dict[int, int] = {}
+    for i in range(n):
+        r = find(i)
+        best = comp.get(r)
+        if best is None or (names[i], ids[i]) < (names[best], ids[best]):
+            comp[r] = i
+    canon = pd.DataFrame({
+        "entity_id": ids,
+        "canonical_id": [ids[comp[find(i)]] for i in range(n)],
+    })
     return entities.merge(canon, on="entity_id", how="left")
 
 

@@ -234,34 +234,153 @@ def link_mentions(mentions: DataFrame, aliases: DataFrame) -> DataFrame:
     )
 
 
-CC_SCHEMA = T.StructType([
-    T.StructField("entity_id", T.StringType()),
-    T.StructField("canonical_id", T.StringType()),
-])
+CANON_NUM_HASHES = 8    # single-row bands: recall 1-(1-J)^8 at J>=0.7
+CANON_MAX_BUCKET = 64   # hot-bucket cap (same spirit as dedup.minhash_lsh_pairs)
 
 
-def canonicalize(entities: DataFrame) -> DataFrame:
-    """Connected components over a blocked similarity self-join.
+def canonical_candidate_pairs(entities: DataFrame,
+                              max_bucket: int = CANON_MAX_BUCKET) -> DataFrame:
+    """Verified similarity edges (id_a, name_a, id_b, name_b) between
+    entities whose names have trigram-Jaccard >= CANON_THRESHOLD.
 
-    Blocking: the first-4-chars prefix of the normalized name. Because every
-    similarity edge requires a shared block, no component crosses blocks —
-    so global CC reduces to *block-local* union-find, one shuffle on the
-    block key and zero iterations (the same shape as the reference's
-    per-page fixpoint bbox merge, `group_cls.py:60-144`, run per group).
-    The pair generation + scoring happens inside the group kernel, so the
-    quadratic work is bounded by block size; a pathologically hot block is
-    an AQE-splittable group only if we re-block — for identifier-shaped
-    names prefix blocks stay small (monitored via lineage row counts).
-    For genuinely cross-block graphs use
-    :func:`cosmos_spark.operators.graph.connected_components` (iterative).
-    """
-    e = entities.select(
-        "entity_id", "canonical_name",
-        F.substring("canonical_name", 1, 4).alias("block"),
+    Multi-key blocking: each of the CANON_NUM_HASHES trigram-MinHash values
+    (xxhash64 seeded per band) is an independent blocking key (a single-row
+    LSH band), so a J>=0.7 pair collides on >= 1 key w.p. 1-0.3^8 = 99.993%
+    — unlike prefix blocking, edges are not structurally confined to one
+    block. Buckets over ``max_bucket`` are dropped (degenerate names; the
+    19-proposal-cap spirit, `connected_components.py:96,193-196`), bounding
+    the quadratic pairing. Candidates are then *verified* by exact
+    trigram-Jaccard (array_intersect/array_union), so bucket collisions add
+    no false edges.
+
+    Entirely JVM-side (HOF lambdas + xxhash64): per-element lambda
+    interpretation is acceptable here because the input is the
+    distinct-def-name dim — orders smaller than the corpus — and it keeps
+    Python workers (and their cold-start) out of the canonicalization path
+    entirely."""
+    tg = ("array_distinct(filter(transform("
+          "sequence(1, greatest(length(canonical_name) - 2, 1)), "
+          "i -> substring(canonical_name, i, 3)), t -> t != ''))")
+    sig = (f"transform(sequence(0, {CANON_NUM_HASHES - 1}), "
+           f"h -> array_min(transform(tg, t -> xxhash64(t, h))))")
+    banded = (
+        entities.withColumn("tg", F.expr(tg))
+        .filter(F.size("tg") > 0)
+        .select(F.struct("canonical_name", "entity_id", "tg").alias("row"),
+                F.posexplode(F.expr(sig)).alias("band", "bval"))
     )
-    canon = e.groupBy("block").applyInPandas(
-        lambda pdf: K.cc_block_kernel(pdf), CC_SCHEMA)
-    return entities.join(canon, "entity_id", "left")
+    buckets = (
+        banded.groupBy("band", "bval")
+        .agg(F.sort_array(F.collect_list("row")).alias("rows"))
+        .filter((F.size("rows") > 1) & (F.size("rows") <= max_bucket))
+    )
+    pairs = buckets.select(F.explode(F.expr(
+        "flatten(transform(rows, (x, i) -> "
+        "transform(slice(rows, i + 2, size(rows) - i - 1), "
+        "y -> struct(x.entity_id as id_a, x.canonical_name as name_a, "
+        "x.tg as tg_a, y.entity_id as id_b, y.canonical_name as name_b, "
+        "y.tg as tg_b))))"
+    )).alias("p")).select("p.*").distinct()
+    jac = ("size(array_intersect(tg_a, tg_b)) / "
+           "cast(size(array_union(tg_a, tg_b)) as double)")
+    return (
+        pairs.filter(F.expr(f"({jac}) >= {K.CANON_THRESHOLD}"))
+        .select("id_a", "name_a", "id_b", "name_b")
+    )
+
+
+def _driver_union_find(rows) -> list[tuple[str, str]]:
+    """Union-find over collected (id_a, name_a, id_b, name_b) edge rows.
+    Returns only the non-identity (entity_id, canonical_id) mappings;
+    representative = min (canonical_name, entity_id) per component."""
+    parent: dict[str, str] = {}
+    name: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in rows:
+        for i, n in ((r.id_a, r.name_a), (r.id_b, r.name_b)):
+            if i not in parent:
+                parent[i] = i
+                name[i] = n
+        ra, rb = find(r.id_a), find(r.id_b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    members: dict[str, list[str]] = {}
+    for i in parent:
+        members.setdefault(find(i), []).append(i)
+    mapping: list[tuple[str, str]] = []
+    for ms in members.values():
+        rep = min(ms, key=lambda m: (name[m], m))
+        mapping.extend((m, rep) for m in ms if m != rep)
+    return mapping
+
+
+CANON_DRIVER_CC_MAX_EDGES = 200_000
+
+
+def canonicalize(entities: DataFrame,
+                 driver_cc_max_edges: int = CANON_DRIVER_CC_MAX_EDGES
+                 ) -> DataFrame:
+    """Connected components over the multi-key-blocked similarity edges
+    (the scale replacement for `link.py:113` drop_duplicates; fixpoint
+    semantics from the reference's bbox merge, `group_cls.py:60-144`).
+
+    Edges come from :func:`canonical_candidate_pairs` (MinHash-band
+    blocking + exact verify — recall-safe across name prefixes). The CC
+    itself is *adaptive*, the same runtime size-switch AQE applies to join
+    strategies: the verified edge relation is orders smaller than the
+    corpus (it pairs near-identical distinct def names), so when
+    ``limit(max+1)`` proves it fits (<= driver_cc_max_edges, default 200k
+    ~= 30 MB), union-find runs driver-side in one job and the non-identity
+    mapping goes back as a broadcast join — zero shuffles added downstream.
+    Otherwise the iterative min-label CC (:mod:`operators.graph`) runs over
+    only the edge-incident nodes (isolated entities never enter the loop).
+    Representative per component = min (canonical_name, entity_id).
+    Returns ``entities`` + ``canonical_id`` (canonical_id == entity_id for
+    isolated/representative entities)."""
+    spark = entities.sparkSession
+    e = entities.select("entity_id", "canonical_name")
+    pairs = canonical_candidate_pairs(e)
+    schema = "entity_id string, canonical_id string"
+
+    head = pairs.limit(driver_cc_max_edges + 1).collect()
+    if len(head) <= driver_cc_max_edges:
+        mapping = _driver_union_find(head)
+        mdf = spark.createDataFrame(mapping or [], schema)
+        canon = F.broadcast(mdf)
+    else:
+        from pyspark import StorageLevel
+
+        from .operators.graph import connected_components
+        edges = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+        nodes = (edges.select(F.col("id_a").alias("node"))
+                 .unionByName(edges.select(F.col("id_b").alias("node")))
+                 .distinct())
+        cc = connected_components(
+            nodes, edges.select(F.col("id_a").alias("src"),
+                                F.col("id_b").alias("dst")))
+        lab = cc.join(e, cc["node"] == e["entity_id"]).select(
+            "node", "component", "canonical_name")
+        rep = (
+            lab.groupBy("component")
+            .agg(F.min(F.struct("canonical_name",
+                                F.col("node").alias("eid"))).alias("r"))
+            .select("component", F.col("r.eid").alias("canonical_id"))
+        )
+        canon = (lab.join(rep, "component")
+                 .filter(F.col("node") != F.col("canonical_id"))
+                 .select(F.col("node").alias("entity_id"), "canonical_id"))
+    return (
+        entities.join(canon, "entity_id", "left")
+        .withColumn("canonical_id",
+                    F.coalesce(F.col("canonical_id"), F.col("entity_id")))
+    )
 
 
 _PRED_FOR_KIND = {"def": "defines", "import": "imports", "call": "calls"}

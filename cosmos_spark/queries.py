@@ -1133,12 +1133,27 @@ def _linking_source(spark, sf_dir):
     )
 
 
+_PIPELINE_MEMO: dict[tuple[str, str], dict] = {}
+
+
+def _linking_pipeline(spark, sf_dir) -> dict:
+    """One materialized pipeline run shared by q_kg_defines / q_kg_entities
+    / q_kg_mention_links (VERDICT r1 #9: each used to re-run the full
+    pipeline — 3x redundant per bench/driver pass). Keyed by Spark
+    application id so a new session never reuses stale frames."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _PIPELINE_MEMO:
+        from . import pipeline as P
+        _PIPELINE_MEMO[key] = P.run_pipeline(
+            spark, _linking_source(spark, sf_dir))
+    return _PIPELINE_MEMO[key]
+
+
 def q_kg_defines(spark, sf_dir):
     """M3 def-extraction + the defines triple family, value-checked: each
     constructed file yields exactly two function segments and two defines
     triples."""
-    from . import pipeline as P
-    res = P.run_pipeline(spark, _linking_source(spark, sf_dir))
+    res = _linking_pipeline(spark, sf_dir)
     return (res["triples"].filter(F.col("pred") == "defines")
             .select("subj", "pred", "obj", "repo", "score"))
 
@@ -1167,8 +1182,7 @@ FROM documents
 def q_kg_entities(spark, sf_dir):
     """Entity formation (G5/J5): one entity per normalized def name, with
     the content-hash entity id (F10) value-checked."""
-    from . import pipeline as P
-    res = P.run_pipeline(spark, _linking_source(spark, sf_dir))
+    res = _linking_pipeline(spark, sf_dir)
     return res["entities"].select("entity_id", "canonical_name")
 
 
@@ -1187,8 +1201,7 @@ def q_kg_mention_links(spark, sf_dir):
     """End-to-end linking (J4/J6): the call ``f<id>(y)`` inside ``g<id>``
     exact-links to entity f<id> with score 1.0; the mentions triple joins
     segment subj to entity id — fully value-checked."""
-    from . import pipeline as P
-    res = P.run_pipeline(spark, _linking_source(spark, sf_dir))
+    res = _linking_pipeline(spark, sf_dir)
     return (res["triples"].filter(F.col("pred") == "mentions")
             .select("subj", "obj", "repo", "score"))
 

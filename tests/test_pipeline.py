@@ -89,13 +89,47 @@ def test_empty_file_no_segments(pipeline_result):
 
 
 def test_canonicalization_merges_variants(pipeline_result, oracle_result):
-    """same_as edges exist and match the oracle's connected components."""
+    """same_as edges exist and match the *independent* exhaustive all-pairs
+    oracle (no shared blocking code — VERDICT r1 #4)."""
     got = pipeline_result["triples"]
     exp = oracle_result["triples"]
     got_same = {(s, o) for s, p, o in _triple_keys(got) if p == "same_as"}
     exp_same = {(s, o) for s, p, o in _triple_keys(exp) if p == "same_as"}
     assert got_same == exp_same
     assert len(exp_same) > 0
+
+
+def test_canonicalization_cross_prefix_recall(pipeline_result):
+    """xload_config ~ load_config: J = 0.9 but first-4 blocks differ —
+    prefix blocking dropped this edge; MinHash-band blocking must find it."""
+    import hashlib
+
+    def ent(n):
+        return "ent_" + hashlib.sha256(
+            f"ent|{n}".encode()).hexdigest()[:16]
+
+    t = pipeline_result["triples"]
+    same = {(s, o) for s, p, o in zip(t["subj"], t["pred"], t["obj"])
+            if p == "same_as"}
+    assert (ent("xload_config"), ent("load_config")) in same
+
+
+def test_canonicalize_iterative_branch_matches_driver_branch(spark,
+                                                             source_df):
+    """The distributed iterative-CC fallback (forced via
+    driver_cc_max_edges=0) must produce exactly the driver union-find
+    mapping."""
+    from cosmos_spark import pipeline as P
+    mentions = P.mentions_of(P.segments_of(source_df))
+    entities = P.entities_of(mentions).cache()
+    a = P.canonicalize(entities).select(
+        "entity_id", "canonical_id").toPandas()
+    b = P.canonicalize(entities, driver_cc_max_edges=0).select(
+        "entity_id", "canonical_id").toPandas()
+    assert (set(zip(a["entity_id"], a["canonical_id"]))
+            == set(zip(b["entity_id"], b["canonical_id"])))
+    assert len(a) == len(b) == entities.count()
+    entities.unpersist()
 
 
 def test_multi_commit_source_dedups_all_families(spark, corpus_pdf):
