@@ -1,11 +1,17 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata.
 
-The decode/feature-extract steps are STUBBED (the sandbox has no image or
-audio libraries): :func:`decode_image_stub` raises ``NotImplementedError``
-unless ``fake=True``, in which case it produces a deterministic fake
-(dims/hash derived from the bytes) so the Spark-side plumbing — schema,
-Arrow batch shape, partitioning, UDF signature — is real and tested.
+Decoding has two tiers:
+
+- **Header decode (real)** — :func:`decode_media_header` parses PNG IHDR
+  (width/height) and WAV RIFF fmt (sample rate/channels) headers in pure
+  Python; unknown magic raises ``NotImplementedError`` (pixel/sample-level
+  decode genuinely needs PIL/ffmpeg, absent in this sandbox).
+- **Fake decode (stub)** — ``fake=True`` produces deterministic dims/
+  features derived from the payload hash, so the Spark-side plumbing —
+  schema, Arrow binary round-trip, partitioning, UDF signature — is
+  testable on arbitrary blobs. Pixel-level feature extraction remains a
+  hash-derived stub in BOTH tiers (declared, tested).
 
 At scale the pattern is: binary column stays columnar parquet; decode runs
 in ``mapInPandas`` (Arrow ships the bytes zero-copy to the worker) with
@@ -43,16 +49,35 @@ FEATURE_SCHEMA = T.StructType([
 
 _DECODER_SINGLETON = {}  # per-executor lazy "model" slot
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_media_header(payload: bytes) -> tuple[int, int]:
+    """Real pure-Python header decode -> (width, height)-shaped dims.
+
+    PNG: IHDR width/height (big-endian u32 at bytes 16..24 — the IHDR
+    chunk is mandated first by the spec). WAV: RIFF/WAVE fmt chunk ->
+    (sample_rate, n_channels) as the dims analog. Anything else raises
+    ``NotImplementedError`` — sample-level decode needs PIL/ffmpeg."""
+    if payload[:8] == _PNG_MAGIC and payload[12:16] == b"IHDR":
+        return (int.from_bytes(payload[16:20], "big"),
+                int.from_bytes(payload[20:24], "big"))
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        sample_rate = int.from_bytes(payload[24:28], "little")
+        channels = int.from_bytes(payload[22:24], "little")
+        return sample_rate, channels
+    raise NotImplementedError(
+        "unknown media magic — pixel/sample decode needs PIL/ffmpeg, "
+        "not present in this environment")
+
 
 def _get_decoder(fake: bool):
     """Executor-side singleton load (amortized once per worker process)."""
-    if "decoder" not in _DECODER_SINGLETON:
-        if not fake:
-            raise NotImplementedError(
-                "real image/audio decode needs PIL/ffmpeg — not present in "
-                "this environment; pass fake=True for the deterministic stub")
-        _DECODER_SINGLETON["decoder"] = "fake-decoder-v1"
-    return _DECODER_SINGLETON["decoder"]
+    key = "fake" if fake else "real"
+    if key not in _DECODER_SINGLETON:
+        _DECODER_SINGLETON[key] = ("fake-decoder-v1" if fake
+                                   else decode_media_header)
+    return _DECODER_SINGLETON[key]
 
 
 def decode_image_stub(payload: bytes) -> tuple[int, int, list[float]]:
@@ -65,8 +90,12 @@ def decode_image_stub(payload: bytes) -> tuple[int, int, list[float]]:
 
 
 def extract_media_features(media: DataFrame, fake: bool = True) -> DataFrame:
-    """mapInPandas feature extraction over binary payloads — the real batch
-    plumbing with the stubbed decoder."""
+    """mapInPandas feature extraction over binary payloads.
+
+    ``fake=False`` uses the real header decoder for dims (PNG/WAV; unknown
+    formats fail the task — the honest behavior for undecodable media);
+    the 8-dim feature vector is hash-derived in both modes (pixel-level
+    features are the declared stub)."""
 
     def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         _get_decoder(fake)
@@ -76,6 +105,8 @@ def extract_media_features(media: DataFrame, fake: bool = True) -> DataFrame:
                                           pdf["payload"]):
                 b = bytes(payload) if payload is not None else b""
                 w, hgt, feat = decode_image_stub(b)
+                if not fake:
+                    w, hgt = decode_media_header(b)
                 rows.append((mid, kind, len(b),
                              hashlib.sha256(b).hexdigest(), w, hgt, feat))
             yield pd.DataFrame(rows,

@@ -1303,3 +1303,288 @@ QUERIES.update({
     "q_score_recalibrate": (q_score_recalibrate, SQL_SCORE_RECALIBRATE),
     "q_json_export": (q_json_export, SQL_JSON_EXPORT),
 })
+
+
+# ---------------------------------------------------------------------------
+# round 2: context enrichment (F5/A4/S11), verification joins, LSH ANN,
+# retrieval graph join, representation learning
+# ---------------------------------------------------------------------------
+
+def q_context_windows(spark, sf_dir):
+    """F5 (`context_enrichment.py:329-366`): prefix/suffix token windows
+    around each 'table' label hit — prefix = words[i-20:i], suffix =
+    words[i+2:i+22]. Pure JVM slice expressions."""
+    from .operators import enrich
+    docs = _t(spark, sf_dir, "documents")
+    return enrich.context_windows(docs, "doc_id", "text", label="table")
+
+
+SQL_CONTEXT_WINDOWS = r"""
+WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+           FROM documents),
+u AS (SELECT doc_id, toks, unnest(toks) AS tok,
+             generate_subscripts(toks, 1) AS i
+      FROM t),
+h AS (SELECT doc_id, toks, CAST(i - 1 AS INT) AS pos
+      FROM u WHERE tok = 'table')
+SELECT doc_id, pos,
+       coalesce(array_to_string(
+         list_slice(toks, greatest(pos - 20, 0) + 1, pos), ' '), '')
+         AS prefix,
+       coalesce(array_to_string(
+         list_slice(toks, pos + 3, pos + 22), ' '), '') AS suffix
+FROM h
+"""
+
+
+def q_detection_stats(spark, sf_dir):
+    """A4 (`context_enrichment.py:282-312`): per-doc tp/fp/fn ->
+    precision/recall/F1 between a deterministic 'detected' label relation
+    (vocab tokens at even positions) and a 'referenced' relation (vocab
+    tokens at positions divisible by 3) — one full-outer join + one agg."""
+    from .operators import enrich
+    docs = _t(spark, sf_dir, "documents")
+    u = docs.select(
+        "doc_id",
+        F.posexplode(F.expr(r"regexp_extract_all(lower(text), '\\S+', 0)"))
+        .alias("pos", "tok"))
+    base = u.filter(F.col("tok").isin("table", "scan", "join", "window"))
+    detected = (base.filter(F.col("pos") % 2 == 0)
+                .select("doc_id", F.col("tok").alias("label")))
+    truth = (base.filter(F.col("pos") % 3 == 0)
+             .select("doc_id", F.col("tok").alias("label")))
+    return enrich.detection_stats(detected, truth, key="doc_id",
+                                  item="label")
+
+
+SQL_DETECTION_STATS = r"""
+WITH u AS (SELECT doc_id,
+                  unnest(regexp_extract_all(lower(text), '\S+')) AS tok,
+                  generate_subscripts(regexp_extract_all(lower(text), '\S+'), 1)
+                    - 1 AS pos
+           FROM documents),
+b AS (SELECT * FROM u WHERE tok IN ('table', 'scan', 'join', 'window')),
+d AS (SELECT DISTINCT doc_id, tok FROM b WHERE pos % 2 = 0),
+t AS (SELECT DISTINCT doc_id, tok FROM b WHERE pos % 3 = 0),
+j AS (SELECT coalesce(d.doc_id, t.doc_id) AS doc_id,
+             CASE WHEN d.doc_id IS NOT NULL AND t.doc_id IS NOT NULL
+                  THEN 1 ELSE 0 END AS tp_,
+             CASE WHEN d.doc_id IS NOT NULL AND t.doc_id IS NULL
+                  THEN 1 ELSE 0 END AS fp_,
+             CASE WHEN d.doc_id IS NULL THEN 1 ELSE 0 END AS fn_
+      FROM d FULL OUTER JOIN t ON d.doc_id = t.doc_id AND d.tok = t.tok),
+per AS (SELECT doc_id, CAST(sum(tp_) AS BIGINT) AS tp,
+               CAST(sum(fp_) AS BIGINT) AS fp,
+               CAST(sum(fn_) AS BIGINT) AS fn
+        FROM j GROUP BY doc_id),
+pr AS (SELECT doc_id, tp, fp, fn,
+              round(CASE WHEN tp + fp > 0
+                    THEN tp / CAST(tp + fp AS DOUBLE) ELSE 0 END, 6)
+                AS precision,
+              round(CASE WHEN tp + fn > 0
+                    THEN tp / CAST(tp + fn AS DOUBLE) ELSE 0 END, 6)
+                AS recall
+       FROM per)
+SELECT doc_id, tp, fp, fn, precision, recall,
+       round(CASE WHEN precision + recall > 0
+             THEN 2 * precision * recall / (precision + recall)
+             ELSE 0 END, 6) AS f1
+FROM pr
+"""
+
+
+def _csv_source(spark, sf_dir):
+    """Deterministic CSV-blob corpus built from documents: one blob per
+    source with a non-table header line + one 'doc_id,lang,n_chars' row per
+    doc in doc_id order."""
+    docs = _t(spark, sf_dir, "documents")
+    line = F.concat_ws(",", F.col("doc_id").cast("string"), F.col("lang"),
+                       F.col("n_chars").cast("string"))
+    return (
+        docs.select("source", F.struct("doc_id", line.alias("l")).alias("s"))
+        .groupBy("source")
+        .agg(F.array_sort(F.collect_list("s")).alias("ss"))
+        .select(F.col("source").alias("id"),
+                F.concat(F.lit("# table dump\n"),
+                         F.array_join(F.expr("transform(ss, x -> x.l)"),
+                                      "\n")).alias("content"))
+    )
+
+
+def q_table_extract(spark, sf_dir):
+    """S11 analog (`table_extraction.py:131-169,172-307`): parse delimited
+    table blocks inside text blobs into typed rows via a mapInPandas
+    enrichment."""
+    from .operators import enrich
+    return enrich.extract_table_rows(_csv_source(spark, sf_dir),
+                                     "id", "content")
+
+
+SQL_TABLE_EXTRACT = """
+SELECT source AS id,
+       CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1
+            AS INT) AS row_idx,
+       3 AS n_cols,
+       CAST(doc_id AS VARCHAR) AS c0, lang AS c1,
+       CAST(n_chars AS VARCHAR) AS c2
+FROM documents
+"""
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    """Exact n-gram Jaccard verification of the MinHash-LSH candidate pairs
+    (the rerank stage after LSH recall) — cross-checked value-for-value."""
+    from .operators import dedup
+    docs = _t(spark, sf_dir, "documents")
+    cands = dedup.minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=16,
+                                    bands=4, max_bucket=50)
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", cands,
+                                      threshold=0.5)
+    return pairs.select("id_a", "id_b",
+                        F.round("jaccard", 6).alias("jaccard"))
+
+
+SQL_NGRAM_JACCARD_PAIRS = r"""
+WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+           FROM documents),
+sh AS (SELECT doc_id,
+              unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                     i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+                AS s
+       FROM t WHERE len(toks) >= 3),
+hs AS (SELECT doc_id,
+              ('0x' || substr(md5(s), 1, 16))::UBIGINT AS h1,
+              ('0x' || substr(md5(s), 17, 16))::UBIGINT AS h2
+       FROM sh),
+mhu AS (SELECT doc_id, h,
+               min(CAST((h1::UHUGEINT + h::UHUGEINT * h2::UHUGEINT)
+                        % 18446744073709551616::UHUGEINT AS UBIGINT)) AS u
+        FROM hs, range(16) r(h) GROUP BY doc_id, h),
+mh AS (SELECT doc_id, h,
+              CASE WHEN u >= 9223372036854775808::UBIGINT
+                   THEN (u::HUGEINT - 18446744073709551616::HUGEINT)::BIGINT
+                   ELSE u::BIGINT END AS mh
+       FROM mhu),
+banded AS (SELECT doc_id, h // 4 AS band,
+                  md5(string_agg(mh::VARCHAR, '|' ORDER BY h)) AS bhash
+           FROM mh GROUP BY doc_id, h // 4),
+buckets AS (SELECT band, bhash, count(*) AS c FROM banded GROUP BY 1, 2),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM banded a
+         JOIN banded b ON a.band = b.band AND a.bhash = b.bhash
+                      AND a.doc_id < b.doc_id
+         JOIN buckets k ON k.band = a.band AND k.bhash = a.bhash
+         WHERE k.c <= 50),
+shg AS (SELECT doc_id,
+               list_distinct(list_transform(
+                 range(1, greatest(len(toks) - 1, 1)),
+                 i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+                 AS sg
+        FROM t WHERE len(toks) >= 3)
+SELECT id_a, id_b, jaccard FROM (
+  SELECT c.id_a, c.id_b,
+         round(CAST(len(list_intersect(a.sg, b.sg)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.sg, b.sg))), 6) AS jaccard
+  FROM cand c
+  JOIN shg a ON a.doc_id = c.id_a
+  JOIN shg b ON b.doc_id = c.id_b)
+WHERE jaccard >= 0.5
+"""
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    """LSH-bucketed approximate top-k (the ANN scale path): queries =
+    vectors 0-2, k = 5, candidates pruned to the query's RHP bucket —
+    cross-checked bucket-for-bucket and score-for-score."""
+    from .operators import similarity
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    out = similarity.cosine_topk_lsh(emb, qs, k=5, n_planes=8, dim=64,
+                                     round_to=4)
+    return out.select("q_id", "vec_id", "cos_sim", "rn")
+
+
+SQL_ANN_LSH_TOPK = r"""
+WITH e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+                  generate_subscripts(embedding, 1) - 1 AS d
+           FROM embeddings),
+proj AS (SELECT vec_id, p,
+                sum(x * (('0x'||substr(md5(p::VARCHAR||'|'||d::VARCHAR),1,4))::BIGINT
+                         - 32767.5)) AS dot
+         FROM e, range(8) r(p) GROUP BY vec_id, p),
+b AS (SELECT vec_id,
+             CAST(sum(CASE WHEN dot > 0 THEN (1::BIGINT << p) ELSE 0 END)
+                  AS INT) AS bucket
+      FROM proj GROUP BY vec_id),
+q AS (SELECT b.vec_id AS q_id, emb.embedding AS qv, b.bucket
+      FROM b JOIN embeddings emb ON emb.vec_id = b.vec_id
+      WHERE b.vec_id < 3),
+s AS (SELECT q.q_id, c.vec_id,
+             round(list_dot_product(CAST(c.embedding AS DOUBLE[]),
+                                    CAST(q.qv AS DOUBLE[]))
+                   / (sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]),
+                                            CAST(c.embedding AS DOUBLE[])))
+                      * sqrt(list_dot_product(CAST(q.qv AS DOUBLE[]),
+                                              CAST(q.qv AS DOUBLE[])))), 4)
+               AS cos_sim
+      FROM q
+      JOIN b cb ON cb.bucket = q.bucket
+      JOIN embeddings c ON c.vec_id = cb.vec_id
+      WHERE c.vec_id <> q.q_id)
+SELECT q_id, vec_id, cos_sim, CAST(rn AS INT) AS rn FROM (
+  SELECT q_id, vec_id, cos_sim,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY cos_sim DESC, vec_id) AS rn
+  FROM s) WHERE rn <= 5
+"""
+
+
+def q_entity_objects(spark, sf_dir):
+    """J6 (`elastic_retriever.py:239-258`): resolve entity 'f1' then its
+    child objects through the mentions edges of the materialized graph —
+    the parent/child join index as a co-partitionable equi-join."""
+    from . import retrieval
+    res = _linking_pipeline(spark, sf_dir)
+    out = retrieval.entity_objects(res["triples"], res["entities"],
+                                   name="f1")
+    return out.select("object_ref", "repo", "score")
+
+
+SQL_ENTITY_OBJECTS = f"""
+SELECT source || '/d' || doc_id || '.py#' || {_SQL_GSEG} AS object_ref,
+       source AS repo, 1.0 AS score
+FROM documents WHERE doc_id = 1
+"""
+
+
+def q_word_vectors(spark, sf_dir):
+    """A7 (`representation_learning/compute_word_vecs.py:4-11`): corpus
+    word-vector training via pyspark.ml Word2Vec (skipgram analog) over
+    the token stream. Model training is not SQL-expressible -> rows-only
+    driver check; vocabulary completeness is pytest-asserted."""
+    from pyspark.ml.feature import Word2Vec
+    from pyspark.ml.functions import vector_to_array
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.expr(r"regexp_extract_all(lower(text), '\\S+', 0)").alias("words"))
+    w2v = Word2Vec(vectorSize=16, minCount=1, seed=42, maxIter=1,
+                   numPartitions=1, inputCol="words", outputCol="vec")
+    model = w2v.fit(toks)
+    vecs = model.getVectors().withColumn("varr",
+                                         vector_to_array(F.col("vector")))
+    return vecs.select(
+        "word",
+        F.expr("round(aggregate(varr, 0.0D, (a, v) -> a + v * v), 6)")
+        .alias("sq_norm"))
+
+
+QUERIES.update({
+    "q_context_windows": (q_context_windows, SQL_CONTEXT_WINDOWS),
+    "q_detection_stats": (q_detection_stats, SQL_DETECTION_STATS),
+    "q_table_extract": (q_table_extract, SQL_TABLE_EXTRACT),
+    "q_ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
+    "q_ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH_TOPK),
+    "q_entity_objects": (q_entity_objects, SQL_ENTITY_OBJECTS),
+    "q_word_vectors": (q_word_vectors, None),
+})

@@ -164,8 +164,110 @@ def test_multimodal_plumbing(spark):
     assert feats["width"].between(64, 127).all()
 
 
-def test_multimodal_real_decode_raises():
-    multimodal._DECODER_SINGLETON.clear()
+def _png_bytes(width: int, height: int) -> bytes:
+    import struct
+    import zlib
+    ihdr = struct.pack(">II5B", width, height, 8, 2, 0, 0, 0)
+    chunk = b"IHDR" + ihdr
+    return (b"\x89PNG\r\n\x1a\n"
+            + struct.pack(">I", len(ihdr)) + chunk
+            + struct.pack(">I", zlib.crc32(chunk)))
+
+
+def _wav_bytes(sample_rate: int, channels: int) -> bytes:
+    import struct
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate,
+                      sample_rate * channels * 2, channels * 2, 16)
+    return (b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 16) + fmt)
+
+
+def test_multimodal_real_header_decode(spark):
+    """Real pure-python header decode: PNG IHDR dims and WAV fmt params,
+    end-to-end through the Spark binary column + mapInPandas path."""
+    assert multimodal.decode_media_header(_png_bytes(640, 480)) == (640, 480)
+    assert multimodal.decode_media_header(_wav_bytes(44100, 2)) == (44100, 2)
+    pdf = pd.DataFrame({
+        "media_id": ["png1", "wav1"],
+        "kind": ["image", "audio"],
+        "mime": ["image/png", "audio/wav"],
+        "payload": [_png_bytes(320, 200), _wav_bytes(16000, 1)],
+    })
+    media = spark.createDataFrame(pdf, schema=multimodal.MEDIA_SCHEMA)
+    feats = (multimodal.extract_media_features(media, fake=False)
+             .toPandas().set_index("media_id"))
+    assert (feats.loc["png1", "width"], feats.loc["png1", "height"]) == (320, 200)
+    assert (feats.loc["wav1", "width"], feats.loc["wav1", "height"]) == (16000, 1)
+
+
+def test_multimodal_unknown_magic_raises():
     with pytest.raises(NotImplementedError):
-        multimodal._get_decoder(fake=False)
-    multimodal._DECODER_SINGLETON.clear()
+        multimodal.decode_media_header(b"not a media file")
+
+
+def test_context_windows_slicing(spark):
+    from cosmos_spark.operators import enrich
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": ["table 3 shows results", "a b table 9 x y z table end"],
+    })
+    out = (enrich.context_windows(spark.createDataFrame(pdf), "doc_id",
+                                  "text", label="table", prefix_len=2,
+                                  suffix_len=3)
+           .toPandas().sort_values(["doc_id", "pos"]).reset_index(drop=True))
+    # doc 1: hit at 0 -> empty prefix, suffix skips the number slot
+    assert out.loc[0, "pos"] == 0
+    assert out.loc[0, "prefix"] == ""
+    assert out.loc[0, "suffix"] == "shows results"
+    # doc 2: hit at 2 -> 2-token prefix; second hit near end clips suffix
+    assert out.loc[1, "prefix"] == "a b"
+    assert out.loc[1, "suffix"] == "x y z"
+    assert out.loc[2, "pos"] == 7
+    assert out.loc[2, "suffix"] == ""
+
+
+def test_detection_stats_prf(spark):
+    from cosmos_spark.operators import enrich
+    detected = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 1, 1, 2], "label": ["a", "b", "c", "x"]}))
+    truth = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 1, 2, 2], "label": ["a", "d", "x", "y"]}))
+    out = (enrich.detection_stats(detected, truth).toPandas()
+           .set_index("doc_id"))
+    assert (out.loc[1, "tp"], out.loc[1, "fp"], out.loc[1, "fn"]) == (1, 2, 1)
+    assert out.loc[1, "precision"] == pytest.approx(1 / 3, abs=1e-6)
+    assert out.loc[1, "recall"] == pytest.approx(0.5, abs=1e-6)
+    assert (out.loc[2, "tp"], out.loc[2, "fp"], out.loc[2, "fn"]) == (1, 0, 1)
+    summ = enrich.stats_summary(
+        enrich.detection_stats(detected, truth)).toPandas()
+    assert summ.loc[0, "n_docs"] == 2
+    assert summ.loc[0, "sum_tp"] == 2
+
+
+def test_word_vectors_cover_vocab(spark):
+    """A7: Word2Vec trains over the full corpus vocabulary (minCount=1) —
+    one vector per distinct token, all with positive norm."""
+    from cosmos_spark import queries as Q
+    sf = "/root/testdata/sf0.001"
+    out = Q.q_word_vectors(spark, sf).toPandas()
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    n_vocab = (docs.select(F.explode(F.expr(
+        r"regexp_extract_all(lower(text), '\\S+', 0)")).alias("t"))
+        .distinct().count())
+    assert len(out) == n_vocab
+    assert (out["sq_norm"] > 0).all()
+
+
+def test_extract_table_rows(spark):
+    from cosmos_spark.operators import enrich
+    pdf = pd.DataFrame({
+        "id": ["f1"],
+        "content": ["# header no commas\n1,es,100\n2,de,200\nnot a row\n3,zh,300"],
+    })
+    out = (enrich.extract_table_rows(spark.createDataFrame(pdf), "id",
+                                     "content")
+           .toPandas().sort_values("row_idx").reset_index(drop=True))
+    assert list(out["row_idx"]) == [0, 1, 2]
+    assert list(out["c0"]) == ["1", "2", "3"]
+    assert list(out["c1"]) == ["es", "de", "zh"]
+    assert (out["n_cols"] == 3).all()
