@@ -95,15 +95,96 @@ def normalize_content(content: pd.Series) -> pd.Series:
 
 
 # ---------------------------------------------------------------------------
-# segmentation (M1 analog)
+# segmentation (M1 analog; G2 cap/recursion)
 # ---------------------------------------------------------------------------
 
-def segment_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+MAX_SEGMENTS_PER_FILE = 256  # G2 analog of the 19-proposal page cap
+_MAX_COARSE_DEPTH = 4
+
+
+def _classify_segments(texts: pd.Series) -> tuple:
+    """(kind ndarray, score ndarray) for an array of segment texts —
+    shared by the fine (vectorized) and coarse (capped) paths."""
+    first_line = texts.str.split("\n").str[0]
+    is_func = (
+        first_line.str.match(r"[ \t]*def[ \t]+\w+")
+        | first_line.str.match(
+            r"[ \t]*(?:public[ \t]+|private[ \t]+|protected[ \t]+|static[ \t]+|final[ \t]+)*"
+            r"(?:int|void|String|float|double|boolean|long)[ \t]+\w+[ \t]*\(")
+    )
+    is_class = first_line.str.match(r"[ \t]*(?:public[ \t]+)?class[ \t]+\w+")
+    is_import = ~texts.str.contains(r"(?m)^[ \t]*(?!import\b|from\b)\S",
+                                    regex=True)
+    is_comment = ~texts.str.contains(r"(?m)^[ \t]*[^#/\-\s]", regex=True)
+    kind = np.select(
+        [is_func.to_numpy(), is_class.to_numpy(), is_import.to_numpy(),
+         is_comment.to_numpy()],
+        [KIND_FUNCTION, KIND_CLASS, KIND_IMPORT, KIND_COMMENT],
+        default=KIND_OTHER,
+    )
+    score = pd.Series(kind).map(KIND_SCORES).to_numpy()
+    return kind, score
+
+
+def _coarse_segments(lines: list, min_run: int) -> list:
+    """(line_start, line_end, text) splitting only on runs of >= min_run
+    blank lines — the coarser re-proposal pass of the G2 recursion
+    (`connected_components.py:193-196`: blank_row_height+5 re-run).
+    Interior blank runs shorter than min_run stay inside the segment."""
+    out = []
+    cur_start = None
+    last_nonblank = 0
+    blank_run = 0
+    for idx, line in enumerate(lines, 1):
+        if line.strip() == "":
+            blank_run += 1
+            continue
+        if cur_start is None or blank_run >= min_run:
+            if cur_start is not None:
+                out.append((cur_start, last_nonblank,
+                            "\n".join(lines[cur_start - 1:last_nonblank])))
+            cur_start = idx
+        blank_run = 0
+        last_nonblank = idx
+    if cur_start is not None:
+        out.append((cur_start, last_nonblank,
+                    "\n".join(lines[cur_start - 1:last_nonblank])))
+    return out
+
+
+def _cap_overflow_files(agg: pd.DataFrame, norm: pd.Series,
+                        max_segments: int) -> pd.DataFrame:
+    """G2 recursion: files whose fine segmentation exceeds ``max_segments``
+    are re-segmented with progressively coarser separators (blank runs of
+    2, 3, ... up to depth 4), bounding per-file downstream work the way
+    the reference bounds per-page proposals."""
+    counts = agg.groupby("fi")["fi"].transform("size")
+    over = counts > max_segments
+    if not over.any():
+        return agg
+    keep = agg[~over]
+    rows = []
+    for fi in agg.loc[over, "fi"].unique():
+        lines = norm.iloc[fi].split("\n")
+        for min_run in range(2, 2 + _MAX_COARSE_DEPTH):
+            segs = _coarse_segments(lines, min_run)
+            if len(segs) <= max_segments:
+                break
+        rows.extend((fi, s, e, t) for s, e, t in segs)
+    coarse = pd.DataFrame(rows, columns=["fi", "line_start", "line_end",
+                                         "text"])
+    return pd.concat([keep, coarse], ignore_index=True).sort_values(
+        ["fi", "line_start"], ignore_index=True)
+
+
+def segment_kernel(pdf: pd.DataFrame,
+                   max_segments: int = MAX_SEGMENTS_PER_FILE) -> pd.DataFrame:
     """Split files into blank-line-delimited segments, classify, and score.
 
     Input columns: repo, path, commit, lang, content, content_sha256.
     Output: SEGMENT_COLUMNS. Line numbers are 1-based inclusive, relative to
-    the *normalized* content. Fully vectorized (explode + cumsum grouping).
+    the *normalized* content. Fully vectorized (explode + cumsum grouping);
+    files exceeding ``max_segments`` take the coarse G2 recursion path.
     """
     pdf = pdf.reset_index(drop=True)
     if len(pdf) == 0:
@@ -153,27 +234,11 @@ def segment_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
                  for a, b in zip(bounds[:-1], bounds[1:])],
     })
 
-    first_line = agg["text"].str.split("\n").str[0]
-    is_func = (
-        first_line.str.match(r"[ \t]*def[ \t]+\w+")
-        | first_line.str.match(
-            r"[ \t]*(?:public[ \t]+|private[ \t]+|protected[ \t]+|static[ \t]+|final[ \t]+)*"
-            r"(?:int|void|String|float|double|boolean|long)[ \t]+\w+[ \t]*\(")
-    )
-    is_class = first_line.str.match(r"[ \t]*(?:public[ \t]+)?class[ \t]+\w+")
-    # all nonblank lines start with import/from
-    is_import = ~agg["text"].str.contains(r"(?m)^[ \t]*(?!import\b|from\b)\S", regex=True)
-    # all nonblank lines start with #, //, or -
-    is_comment = ~agg["text"].str.contains(r"(?m)^[ \t]*[^#/\-\s]", regex=True)
+    agg = _cap_overflow_files(agg, norm, max_segments)
 
-    kind = np.select(
-        [is_func.to_numpy(), is_class.to_numpy(), is_import.to_numpy(),
-         is_comment.to_numpy()],
-        [KIND_FUNCTION, KIND_CLASS, KIND_IMPORT, KIND_COMMENT],
-        default=KIND_OTHER,
-    )
+    kind, score = _classify_segments(agg["text"])
     agg["kind"] = kind
-    agg["score"] = pd.Series(kind).map(KIND_SCORES).to_numpy()
+    agg["score"] = score
 
     src = pdf.loc[agg["fi"], ["repo", "path", "commit", "lang", "content_sha256"]]
     src = src.reset_index(drop=True)
@@ -187,6 +252,55 @@ def segment_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
     out["line_end"] = out["line_end"].astype("int32")
     out["score"] = out["score"].astype("float64")
     return out[SEGMENT_COLUMNS]
+
+
+SUBSEG_COLUMNS = ["repo", "path", "seg_id", "method",
+                  "sub_line_start", "sub_line_end"]
+
+
+def subsegment_kernel(seg_pdf: pd.DataFrame) -> pd.DataFrame:
+    """G6 analog (`reaggregate_equations.py:122-135,77-120`): nested
+    segmentation *inside* a segment — every indented ``def`` line in a
+    class segment opens a method sub-segment running to the line before
+    the next def (or the segment end), each grouped to its own label the
+    way equation sub-regions group to their nearest label. Line numbers
+    are absolute (segment line_start + relative offset). Vectorized:
+    explode + cumsum grouping, no per-row Python."""
+    cls = seg_pdf[seg_pdf["kind"] == KIND_CLASS].reset_index(drop=True)
+    if len(cls) == 0:
+        return pd.DataFrame(columns=SUBSEG_COLUMNS)
+
+    lines = cls["text"].fillna("").str.split("\n")
+    ex = lines.explode()
+    ri = ex.index.to_numpy()
+    n = len(ex)
+    counts = lines.str.len().to_numpy()
+    starts = np.zeros(len(cls), dtype=np.int64)
+    starts[1:] = np.cumsum(counts)[:-1]
+    rel = np.arange(n) - np.repeat(starts, counts)  # 0-based within segment
+
+    name = ex.astype(str).str.extract(r"^[ \t]+def[ \t]+(\w+)",
+                                      expand=False)
+    isdef = name.notna().to_numpy()
+    cum = np.cumsum(isdef)
+    seg_start_cum = cum[starts] - isdef[starts]
+    within = cum - np.repeat(seg_start_cum, counts)  # k-th def block, 0=pre
+    keep = within > 0
+
+    body = pd.DataFrame({"ri": ri[keep], "sub": within[keep],
+                         "rel": rel[keep]})
+    spans = body.groupby(["ri", "sub"], sort=True)["rel"].agg(
+        ["min", "max"]).reset_index()
+    labels = pd.DataFrame({"ri": ri[isdef], "sub": within[isdef],
+                           "method": name[isdef].to_numpy()})
+    out = spans.merge(labels, on=["ri", "sub"])
+    src = cls.loc[out["ri"], ["repo", "path", "seg_id", "line_start"]]
+    src = src.reset_index(drop=True)
+    out = out.reset_index(drop=True)
+    out["sub_line_start"] = (src["line_start"] + out["min"]).astype("int32")
+    out["sub_line_end"] = (src["line_start"] + out["max"]).astype("int32")
+    out[["repo", "path", "seg_id"]] = src[["repo", "path", "seg_id"]]
+    return out[SUBSEG_COLUMNS]
 
 
 # ---------------------------------------------------------------------------

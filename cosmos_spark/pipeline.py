@@ -156,6 +156,28 @@ def fused_mentions_of(source: DataFrame) -> DataFrame:
     return src.mapInPandas(fn, MENTION_SCHEMA)
 
 
+SUBSEG_SCHEMA = T.StructType([
+    T.StructField("repo", T.StringType()),
+    T.StructField("path", T.StringType()),
+    T.StructField("seg_id", T.StringType()),
+    T.StructField("method", T.StringType()),
+    T.StructField("sub_line_start", T.IntegerType()),
+    T.StructField("sub_line_end", T.IntegerType()),
+])
+
+
+def subsegments_of(segments: DataFrame) -> DataFrame:
+    """G6 nested segmentation (method sub-segments inside class segments)
+    as a narrow mapInPandas over the segments relation — fuses with the
+    segmentation stage, no shuffle."""
+
+    def fn(it):
+        for pdf in it:
+            yield K.subsegment_kernel(pdf)
+
+    return segments.mapInPandas(fn, SUBSEG_SCHEMA)
+
+
 def entities_of(mentions: DataFrame) -> DataFrame:
     """Entities = distinct normalized def names. One shuffle on ``norm``
     (map-side partial aggregation; the key is low-cardinality)."""

@@ -971,12 +971,38 @@ def q_stream_kind_counts(spark, sf_dir):
     return spark.table(name)
 
 
+def q_stream_first_seen(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState): per-repo
+    first-seen/duplicate counters with group state carried across
+    micro-batches — streaming lifecycle, rows-only driver check (state
+    semantics are pytest-asserted in tests/test_streaming.py)."""
+    import tempfile
+
+    from .streaming.ingest import stream_first_seen
+
+    src_dir = tempfile.mkdtemp(prefix="stream_fs_src_")
+    _docs_as_source(spark, sf_dir).write.mode("overwrite").parquet(src_dir)
+    out = stream_first_seen(spark, src_dir)
+    _STREAM_SEQ[0] += 1
+    name = f"stream_first_seen_{_STREAM_SEQ[0]}"
+    q = (
+        out.writeStream.outputMode("append").format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ck_fs_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 QUERIES.update({
     "q_cc_components": (q_cc_components, SQL_CC_COMPONENTS),
     "q_minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH_PAIRS),
     "q_greedy_assoc": (q_greedy_assoc, SQL_GREEDY_ASSOC),
     "q_search_pagination": (q_search_pagination, SQL_SEARCH_PAGINATION),
     "q_stream_kind_counts": (q_stream_kind_counts, None),
+    "q_stream_first_seen": (q_stream_first_seen, None),
 })
 
 
@@ -1579,7 +1605,102 @@ def q_word_vectors(spark, sf_dir):
         .alias("sq_norm"))
 
 
+def q_rerank_top1(spark, sf_dir):
+    """M7 (`bert_reranker/inference.py:22-44` +
+    `elastic_reranking_retriever.py:43-49`): batched cross-encoder-shaped
+    rerank (Iterator pandas UDF, model-singleton hook) + per-doc top-1
+    diversity window — score-exact vs the oracle's set-Jaccard."""
+    from . import retrieval
+    docs = _t(spark, sf_dir, "documents").select("source", "doc_id", "text")
+    scored = retrieval.rerank(docs, query="table scan join")
+    w = Window.partitionBy("source").orderBy(
+        F.desc("rerank_score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("source", "doc_id", "rerank_score")
+    )
+
+
+SQL_RERANK_TOP1 = r"""
+WITH s AS (
+  SELECT source, doc_id,
+         round(CAST(len(list_intersect(
+                 list_distinct(regexp_extract_all(lower(text), '\S+')),
+                 ['table', 'scan', 'join'])) AS DOUBLE)
+               / len(list_distinct(list_concat(
+                   regexp_extract_all(lower(text), '\S+'),
+                   ['table', 'scan', 'join']))), 6) AS rerank_score
+  FROM documents)
+SELECT source, doc_id, rerank_score FROM (
+  SELECT *, row_number() OVER (PARTITION BY source
+                               ORDER BY rerank_score DESC, doc_id) AS rn
+  FROM s) WHERE rn = 1
+"""
+
+
+def q_qa_extract(spark, sf_dir):
+    """M8 (`extraction/extraction/qa_extractor.py:30-47`): span extraction
+    over contexts — answer = the token window after the question keyword,
+    scored by a position prior (the deterministic stand-in for start/end
+    logits) in the Iterator-pandas-UDF model-hook shape."""
+    from . import retrieval
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = retrieval.qa_extract(docs, question="find the table", span_len=5)
+    return (out.filter(F.col("span_start").isNotNull())
+            .select("doc_id", "answer", "qa_score", "span_start"))
+
+
+SQL_QA_EXTRACT = r"""
+WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+           FROM documents),
+h AS (SELECT doc_id, toks, list_position(toks, 'table') AS p
+      FROM t WHERE coalesce(list_position(toks, 'table'), 0) > 0)
+SELECT doc_id,
+       coalesce(array_to_string(list_slice(toks, p + 1, p + 5), ' '), '')
+         AS answer,
+       round(1.0 / CAST(p AS DOUBLE), 6) AS qa_score,
+       CAST(p - 1 AS INT) AS span_start
+FROM h
+"""
+
+
+def q_class_methods(spark, sf_dir):
+    """G6 (`reaggregate_equations.py:122-135`): nested segmentation inside
+    class segments — each indented def opens a method sub-segment with
+    absolute line spans, value-checked per constructed class file."""
+    from . import pipeline as P
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    src = docs.select(
+        F.col("source").alias("repo"),
+        F.concat(F.lit("c"), did, F.lit(".py")).alias("path"),
+        F.lit("0" * 40).alias("commit"),
+        F.lit("python").alias("lang"),
+        F.concat(F.lit("class C"), did,
+                 F.lit(":\n    def m0(self):\n        return 0\n"
+                       "    def m1(self):\n        return 1")).alias("content"),
+    )
+    subs = P.subsegments_of(P.segments_of(src))
+    return subs.select("repo", "path", "method",
+                       "sub_line_start", "sub_line_end")
+
+
+SQL_CLASS_METHODS = """
+SELECT source AS repo, 'c' || doc_id || '.py' AS path, 'm0' AS method,
+       2 AS sub_line_start, 3 AS sub_line_end
+FROM documents
+UNION ALL
+SELECT source AS repo, 'c' || doc_id || '.py' AS path, 'm1' AS method,
+       4 AS sub_line_start, 5 AS sub_line_end
+FROM documents
+"""
+
+
 QUERIES.update({
+    "q_class_methods": (q_class_methods, SQL_CLASS_METHODS),
+    "q_rerank_top1": (q_rerank_top1, SQL_RERANK_TOP1),
+    "q_qa_extract": (q_qa_extract, SQL_QA_EXTRACT),
     "q_context_windows": (q_context_windows, SQL_CONTEXT_WINDOWS),
     "q_detection_stats": (q_detection_stats, SQL_DETECTION_STATS),
     "q_table_extract": (q_table_extract, SQL_TABLE_EXTRACT),

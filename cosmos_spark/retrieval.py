@@ -15,6 +15,10 @@ sides on entity_id before the join.
 
 from __future__ import annotations
 
+import re
+from collections.abc import Iterator
+
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
@@ -98,6 +102,75 @@ def entity_objects(
         mentions.join(members, mentions["obj"] == members["eid"], "left_semi")
         .select(F.col("subj").alias("object_ref"), "repo", "score")
     )
+
+
+_MODEL_SINGLETON: dict = {}  # per-worker lazy model slot (preload analog)
+
+
+def _load_model(name: str):
+    """Executor-side singleton — the Spark analog of the reference's Dask
+    WorkerPlugin preloads (`preload_plugins/process_setup.py:8-19`): the
+    scorer loads once per Python worker, amortized across Arrow batches."""
+    if name not in _MODEL_SINGLETON:
+        _MODEL_SINGLETON[name] = name  # deterministic stand-in "weights"
+    return _MODEL_SINGLETON[name]
+
+
+def rerank(results: DataFrame, query: str,
+           text_col: str = "text") -> DataFrame:
+    """M7: cross-encoder rerank analog (`bert_reranker/inference.py:22-44`,
+    applied `elastic_reranking_retriever.py:17-71`).
+
+    Shape: an **Iterator pandas UDF** so the model loads once per worker
+    and every (query x context) batch is scored vectorized — exactly where
+    a real BERT cross-encoder would slot in. The deterministic stand-in
+    scores token-set Jaccard(query, context), rounded for cross-engine
+    stability. Adds ``rerank_score``; compose with :func:`top1_per_doc`
+    for the reference's diversity rerank."""
+    q = set(re.findall(r"\S+", query.lower()))
+
+    @F.pandas_udf("double")
+    def _score(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        _load_model("overlap-reranker-v1")
+        for s in it:
+            toks = s.fillna("").str.lower().str.findall(r"\S+")
+            inter = toks.map(lambda t: len(q & set(t)))
+            uni = toks.map(lambda t: len(q | set(t)) or 1)
+            yield (inter / uni).round(6)
+
+    return results.withColumn("rerank_score", _score(F.col(text_col)))
+
+
+def qa_extract(contexts: DataFrame, question: str,
+               text_col: str = "text", span_len: int = 5) -> DataFrame:
+    """M8: QA span extraction analog (`extraction/extraction/
+    qa_extractor.py:30-47`): per retrieved context, extract the answer
+    span after the question's key token, scored by a position prior —
+    the deterministic stand-in for BERT start/end logits, in the same
+    Iterator-pandas-UDF model-hook shape as :func:`rerank`.
+
+    Adds (answer, qa_score, span_start); rows whose context lacks the
+    keyword get nulls (filter on ``span_start is not null`` for hits)."""
+    kw = re.findall(r"\S+", question.lower())[-1]
+
+    @F.pandas_udf("answer string, qa_score double, span_start int")
+    def _qa(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        _load_model("span-extractor-v1")
+        for s in it:
+            rows = []
+            for t in s.fillna("").str.lower().str.findall(r"\S+"):
+                try:
+                    i = t.index(kw)
+                except ValueError:
+                    rows.append((None, None, None))
+                    continue
+                rows.append((" ".join(t[i + 1:i + 1 + span_len]),
+                             round(1.0 / (1 + i), 6), i))
+            yield pd.DataFrame(rows,
+                               columns=["answer", "qa_score", "span_start"])
+
+    return (contexts.withColumn("_qa", _qa(F.col(text_col)))
+            .select(*contexts.columns, "_qa.*"))
 
 
 def top1_per_doc(results: DataFrame, doc_col: str = "repo",

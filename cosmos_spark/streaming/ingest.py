@@ -67,6 +67,59 @@ def stream_mention_counts(spark: SparkSession, source_dir: str,
     )
 
 
+FIRST_SEEN_OUTPUT = T.StructType([
+    T.StructField("repo", T.StringType()),
+    T.StructField("n_new", T.LongType()),
+    T.StructField("n_dup", T.LongType()),
+    T.StructField("n_seen_total", T.LongType()),
+])
+
+FIRST_SEEN_STATE = T.StructType([
+    T.StructField("hashes", T.ArrayType(T.StringType())),
+])
+
+
+def stream_first_seen(spark: SparkSession, source_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-repo streaming exact-dedup counters. The group state holds the set
+    of content hashes seen so far; each micro-batch emits how many rows
+    were first-seen vs duplicate.
+
+    This is the S10 job-cache / U4 dedup analog in continuous mode. Scale
+    note: the in-state hash set is the demonstration layout — at 100 TB
+    the state store (RocksDB on executors) holds it fine per-repo-shard,
+    but an unbounded-retention deployment would swap the exact set for a
+    bloom filter or attach a state TTL (``GroupStateTimeout``)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    src = (
+        spark.readStream.schema(SOURCE_SCHEMA)
+        .parquet(source_dir)
+        .withColumn("content_sha256", F.sha2(F.col("content"), 256))
+    )
+
+    def fn(key, pdfs, state: GroupState):
+        seen = set(state.get[0]) if state.exists else set()
+        n_new = n_dup = 0
+        for pdf in pdfs:
+            for h in pdf["content_sha256"]:
+                if h in seen:
+                    n_dup += 1
+                else:
+                    seen.add(h)
+                    n_new += 1
+        state.update((sorted(seen),))
+        yield pd.DataFrame([{"repo": key[0], "n_new": n_new,
+                             "n_dup": n_dup, "n_seen_total": len(seen)}])
+
+    return (
+        src.groupBy("repo")
+        .applyInPandasWithState(fn, FIRST_SEEN_OUTPUT, FIRST_SEEN_STATE,
+                                "append", GroupStateTimeout.NoTimeout)
+    )
+
+
 def run_stream_once(stream_df: DataFrame, checkpoint_dir: str,
                     out_dir: str | None = None) -> None:
     """Drain all available input with availableNow (the test/catch-up

@@ -97,6 +97,61 @@ def test_trigram_jaccard_bounds():
     assert out[3] == 1.0
 
 
+def test_subsegment_kernel_methods():
+    """G6: indented defs inside a class segment become method sub-segments
+    with absolute line spans; non-class segments contribute nothing."""
+    content = ("import os\n\n"
+               "class C:\n"
+               "    def a(self):\n"
+               "        return 1\n"
+               "    def b(self):\n"
+               "        return 2\n")
+    segs = K.segment_kernel(_one("r", "c.py", "python", content))
+    subs = K.subsegment_kernel(segs)
+    assert list(subs["method"]) == ["a", "b"]
+    assert list(subs["sub_line_start"]) == [4, 6]
+    assert list(subs["sub_line_end"]) == [5, 7]
+    assert set(subs["seg_id"]) == {segs[segs["kind"] == "class"]
+                                   .iloc[0]["seg_id"]}
+
+
+def test_subsegment_kernel_no_classes():
+    segs = K.segment_kernel(_one("r", "f.py", "python", "def f(x):\n    return x\n"))
+    subs = K.subsegment_kernel(segs)
+    assert len(subs) == 0
+
+
+def test_segment_cap_recursion():
+    """G2 analog: a file whose fine segmentation exceeds the cap is
+    re-segmented with coarser separators (blank runs >= 2), like the
+    reference's blank_row_height+5 re-proposal pass."""
+    blocks = [f"a{i} = {i}" for i in range(300)]
+    groups = ["\n\n".join(blocks[i:i + 100]) for i in range(0, 300, 100)]
+    content = "\n\n\n".join(groups)  # 2 blank lines between groups
+    segs = K.segment_kernel(_one("r", "big.py", "python", content))
+    assert len(segs) == 3  # fine path would yield 300 > MAX_SEGMENTS (256)
+    assert segs.iloc[0]["line_start"] == 1
+    # groups are 199 lines (100 blocks + 99 single blanks), separators 2
+    assert segs.iloc[0]["line_end"] == 199
+    assert segs.iloc[1]["line_start"] == 202
+    # interior single-blank lines stay inside the coarse segment text
+    assert "\n\n" in segs.iloc[0]["text"]
+    # a small file in the same batch is untouched by the cap path
+    both = pd.concat([
+        _one("r", "big.py", "python", content),
+        _one("r", "small.py", "python", "import os\n\ndef f(x):\n    return x\n"),
+    ], ignore_index=True)
+    segs2 = K.segment_kernel(both)
+    small = segs2[segs2["path"] == "small.py"]
+    assert list(small["kind"]) == ["import_block", "function"]
+
+
+def test_segment_cap_not_triggered_below_threshold():
+    content = "\n\n".join(f"b{i} = {i}" for i in range(50))
+    segs = K.segment_kernel(_one("r", "ok.py", "python", content))
+    assert len(segs) == 50  # untouched fine path
+
+
 def test_keywords_not_calls():
     content = "def f(x):\n    if (x):\n        return (x)\n    print(x)\n"
     segs = K.segment_kernel(_one("r", "kw.py", "python", content))

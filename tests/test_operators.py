@@ -244,6 +244,63 @@ def test_detection_stats_prf(spark):
     assert summ.loc[0, "sum_tp"] == 2
 
 
+def _boxes(rows):
+    df = pd.DataFrame(rows, columns=["seg_id", "x1", "y1", "x2", "y2"])
+    df["repo"] = "r"
+    df["path"] = "p"
+    df["page"] = 1
+    for c in ("x1", "y1", "x2", "y2"):
+        df[c] = df[c].astype("float64")
+    df["page"] = df["page"].astype("int32")
+    return df
+
+
+def test_order_page_bands(spark):
+    """W1: two side-by-side boxes band together (left first), a lower box
+    forms its own band; a y-overlapping tall box joins the first band."""
+    from cosmos_spark.operators import order
+    segs = _boxes([
+        ("b_right", 600, 100, 900, 150),
+        ("a_left", 100, 110, 400, 160),
+        ("c_lower", 100, 500, 900, 560),
+        ("tall", 950, 140, 1100, 400),   # y1=140 <= others' y2 -> same band
+    ])
+    out = order.order_pages(spark.createDataFrame(segs)).toPandas()
+    ordered = list(out.sort_values("ord")["seg_id"])
+    assert ordered == ["a_left", "b_right", "tall", "c_lower"]
+    # kernel parity (shared-kernel oracle, same as assoc)
+    direct = order.order_page_kernel(segs)
+    assert list(direct.sort_values("ord")["seg_id"]) == ordered
+
+
+def test_column_break_repair(spark):
+    """W2: a right-column item entirely above a full-width block is hoisted
+    before that block (`parquet_to_json.py:53-94`)."""
+    from cosmos_spark.operators import order
+    segs = _boxes([
+        ("left_top", 100, 100, 400, 200),
+        ("wide_block", 100, 900, 1000, 1100),   # span 900 >= 800
+        ("right_col", 600, 120, 900, 300),      # above wide_block
+    ])
+    out = order.repair_column_breaks(spark.createDataFrame(segs)).toPandas()
+    ordered = list(out.sort_values("ord")["seg_id"])
+    # base sort: left_top, wide_block, right_col; repair hoists right_col
+    # before wide_block
+    assert ordered == ["left_top", "right_col", "wide_block"]
+
+
+def test_column_break_no_repair_without_spanning_block(spark):
+    from cosmos_spark.operators import order
+    segs = _boxes([
+        ("left_top", 100, 100, 400, 200),
+        ("narrow", 100, 900, 700, 1100),        # span 600 < 800
+        ("right_col", 600, 120, 900, 300),
+    ])
+    out = order.repair_column_breaks(spark.createDataFrame(segs)).toPandas()
+    assert list(out.sort_values("ord")["seg_id"]) == \
+        ["left_top", "narrow", "right_col"]
+
+
 def test_word_vectors_cover_vocab(spark):
     """A7: Word2Vec trains over the full corpus vocabulary (minCount=1) —
     one vector per distinct token, all with positive norm."""

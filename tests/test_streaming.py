@@ -1,0 +1,81 @@
+"""Structured-Streaming tests: the custom stateful operator
+(applyInPandasWithState) must carry group state across separate
+availableNow drains sharing one checkpoint — the continuous-mode analog of
+the S10 job cache."""
+
+import pandas as pd
+import pyspark.sql.functions as F
+
+from cosmos_spark.streaming import ingest
+
+
+def _write_batch(spark, src, rows):
+    (spark.createDataFrame(pd.DataFrame(rows))
+     .withColumn("ingested_at", F.current_timestamp())
+     .write.mode("append").parquet(src))
+
+
+def _drain(spark, src, ck, out):
+    # parquet sink: the memory sink cannot recover from a checkpoint, and
+    # checkpoint recovery is exactly what the cross-batch state test needs
+    q = (ingest.stream_first_seen(spark, src).writeStream
+         .outputMode("append").format("parquet").option("path", out)
+         .option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.read.parquet(out).toPandas()
+
+
+def test_stream_first_seen_state_across_batches(spark, tmp_path):
+    src = str(tmp_path / "src")
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+    _write_batch(spark, src, [
+        {"repo": "r1", "path": "a", "commit": "c", "lang": "py",
+         "content": "X"},
+        {"repo": "r1", "path": "b", "commit": "c", "lang": "py",
+         "content": "X"},
+        {"repo": "r2", "path": "c", "commit": "c", "lang": "py",
+         "content": "Y"},
+    ])
+    t1 = (_drain(spark, src, ck, out)
+          .groupby("repo")[["n_new", "n_dup"]].sum())
+    assert (t1.loc["r1", "n_new"], t1.loc["r1", "n_dup"]) == (1, 1)
+    assert t1.loc["r2", "n_new"] == 1
+
+    # second drain, same checkpoint: X is already in r1's state -> dup;
+    # Z is genuinely new. Cumulative over both emitted batches:
+    _write_batch(spark, src, [
+        {"repo": "r1", "path": "d", "commit": "c", "lang": "py",
+         "content": "X"},
+        {"repo": "r1", "path": "e", "commit": "c", "lang": "py",
+         "content": "Z"},
+    ])
+    t2 = _drain(spark, src, ck, out)
+    r1 = t2[t2["repo"] == "r1"]
+    # X in batch 2 counts as DUP only because the state survived the
+    # restart — a reset state would make n_new sum to 3
+    assert r1["n_new"].sum() == 2          # X (batch 1) + Z (batch 2)
+    assert r1["n_dup"].sum() == 2          # X dup in each batch
+    assert r1["n_seen_total"].max() == 2   # {X, Z} accumulated
+
+
+def test_stream_mention_counts_watermarked(spark, tmp_path, corpus_pdf):
+    """The watermarked windowed aggregation drains under availableNow and
+    produces per-kind mention counts."""
+    src = str(tmp_path / "msrc")
+    (spark.createDataFrame(corpus_pdf.head(20)
+                           [["repo", "path", "commit", "lang", "content"]])
+     .withColumn("ingested_at", F.current_timestamp())
+     .write.mode("append").parquet(src))
+    counts = ingest.stream_mention_counts(spark, src)
+    q = (counts.writeStream.outputMode("append").format("memory")
+         .queryName("wm_counts")
+         .option("checkpointLocation", str(tmp_path / "mck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    out = spark.table("wm_counts").toPandas()
+    # append mode emits only watermark-closed windows; the drain ran within
+    # one window, so rows may be zero — the lifecycle (plan validity,
+    # state store, trigger) is what this asserts
+    assert set(out.columns) == {"start", "end", "mention_kind", "n_mentions"}
