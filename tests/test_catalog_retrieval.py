@@ -31,6 +31,33 @@ def test_catalog_roundtrip_partitioned(spark, graph, tmp_path_factory):
     assert "graph.triples" in " ".join(cat.tables())
 
 
+def test_bucketed_join_no_shuffle(spark, tmp_path_factory):
+    """Co-located bucketed tables: an equi-join on the bucket key must plan
+    with ZERO shuffle Exchange (the Iceberg bucket(key) / same-shard
+    routing analog)."""
+    import pandas as pd
+    cat = Catalog(spark, str(tmp_path_factory.mktemp("wh_b")))
+    a = spark.createDataFrame(pd.DataFrame(
+        {"k": [f"e{i % 40}" for i in range(400)], "va": range(400)}))
+    b = spark.createDataFrame(pd.DataFrame(
+        {"k": [f"e{i % 40}" for i in range(200)], "vb": range(200)}))
+    cat.write_bucketed(a, "bk_a", ("k",), 8, sort_by=("k",))
+    cat.write_bucketed(b, "bk_b", ("k",), 8, sort_by=("k",))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("bk_a").join(spark.table("bk_b"), "k")
+        plan = j._sc._jvm.PythonSQLUtils.explainString(
+            j._jdf.queryExecution(), "formatted")
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+        assert j.count() == 400 * 200 // 40
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS bk_a")
+        spark.sql("DROP TABLE IF EXISTS bk_b")
+
+
 def test_search_segments_terms_and_pagination(graph):
     segs = graph["segments"]
     hits = retrieval.search_segments(segs, ["def "], kinds=["function"],
