@@ -1697,7 +1697,40 @@ FROM documents
 """
 
 
+def q_reading_order(spark, sf_dir):
+    """W1/W2 (`aggregate.py:115-156`, `parquet_to_json.py:42-94`): the
+    reading-order operator over a constructed page of non-overlapping
+    boxes (one per doc, stacked by doc_id, alternating columns, no
+    >=800px spanning blocks) — bands degrade to y-order and the repair is
+    a no-op, making the greedy kernels' output relationally decidable.
+    Non-degenerate band/repair cases are pinned by pytest fixtures
+    (tests/test_operators.py)."""
+    from .operators import order
+    docs = _t(spark, sf_dir, "documents")
+    boxes = docs.select(
+        F.col("source").alias("repo"),
+        F.lit("page.py").alias("path"),
+        F.lit(1).cast("int").alias("page"),
+        F.col("doc_id").cast("string").alias("seg_id"),
+        ((F.col("doc_id") % 2) * 600).cast("double").alias("x1"),
+        (F.col("doc_id") * 100).cast("double").alias("y1"),
+        ((F.col("doc_id") % 2) * 600 + 300).cast("double").alias("x2"),
+        (F.col("doc_id") * 100 + 50).cast("double").alias("y2"),
+    )
+    out = order.order_pages(boxes)
+    return out.select("repo", "seg_id", "ord")
+
+
+SQL_READING_ORDER = """
+SELECT source AS repo, CAST(doc_id AS VARCHAR) AS seg_id,
+       CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1
+            AS INT) AS ord
+FROM documents
+"""
+
+
 QUERIES.update({
+    "q_reading_order": (q_reading_order, SQL_READING_ORDER),
     "q_class_methods": (q_class_methods, SQL_CLASS_METHODS),
     "q_rerank_top1": (q_rerank_top1, SQL_RERANK_TOP1),
     "q_qa_extract": (q_qa_extract, SQL_QA_EXTRACT),

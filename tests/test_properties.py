@@ -89,6 +89,56 @@ def test_mention_invariants(contents):
     assert (grp.groupby(["seg", "k"])["rep"].sum() == 1).all()
 
 
+@settings(max_examples=40, deadline=None)
+@given(st.lists(_content, min_size=1, max_size=4))
+def test_subsegment_invariants(contents):
+    """G6: sub-segments sit inside their parent class segment's line span,
+    are non-overlapping in order, and carry a valid parent seg_id."""
+    seg = K.segment_kernel(_src(contents))
+    subs = K.subsegment_kernel(seg)
+    if len(subs) == 0:
+        return
+    spans = seg.set_index("seg_id")[["line_start", "line_end"]]
+    for sid, a, b in zip(subs["seg_id"], subs["sub_line_start"],
+                         subs["sub_line_end"]):
+        assert a <= b
+        assert spans.loc[sid, "line_start"] <= a
+        assert b <= spans.loc[sid, "line_end"]
+    # within a parent segment, sub-segments are disjoint and ordered
+    for _sid, g in subs.groupby("seg_id"):
+        g = g.sort_values("sub_line_start")
+        assert (g["sub_line_start"].values[1:]
+                > g["sub_line_end"].values[:-1]).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=3),
+                min_size=1, max_size=400),
+       st.integers(min_value=4, max_value=32))
+def test_segment_cap_bounds_output(gaps, cap):
+    """G2: for any blank-run structure, the capped kernel emits at most
+    max(max_segments, what the coarsest pass yields) segments, and line
+    spans stay in-file and ordered."""
+    # build a file of one-line blocks separated by `gaps[i]` blank lines
+    parts = []
+    for i, g in enumerate(gaps):
+        parts.append(f"v{i} = {i}")
+        parts.append("\n" * g)
+    content = "\n".join(parts)
+    src = _src([content])
+    seg = K.segment_kernel(src, max_segments=cap)
+    # separators here are at most 4 blank lines, so the coarsest pass
+    # (min_run=5) always collapses to one segment -> the cap always holds
+    assert len(seg) <= cap
+    n_lines = content.count("\n") + 1
+    assert (seg["line_start"] >= 1).all()
+    assert (seg["line_start"] <= seg["line_end"]).all()
+    assert (seg["line_end"] <= n_lines).all()
+    # per-file segments are ordered and disjoint
+    s = seg.sort_values("line_start")
+    assert (s["line_start"].values[1:] > s["line_end"].values[:-1]).all()
+
+
 @settings(max_examples=100, deadline=None)
 @given(st.text(max_size=30))
 def test_alias_norm_idempotent(s):
