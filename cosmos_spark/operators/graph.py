@@ -85,3 +85,84 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
     out = labels.localCheckpoint(eager=True)
     labels.unpersist()
     return out
+
+
+def connected_components_star(nodes: DataFrame, edges: DataFrame,
+                              max_iters: int = 20) -> DataFrame:
+    """Alternating large-star/small-star connected components — the
+    O(log n)-round algorithm (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14) for graphs whose components may be
+    chain-shaped, where min-label propagation's O(diameter) rounds is the
+    scale risk. Every round is two groupBy+join passes over the edge
+    relation; convergence = stable edge multiset (same probabilistic
+    hash-sum check as :func:`connected_components`).
+
+    large-star: every neighbor v > u of node u re-attaches to
+    m = min(N(u) + {u}); small-star: every neighbor v <= u (and u itself)
+    attaches to m. At the fixpoint the edge set is a star forest mapping
+    each node directly to its component minimum. Returns
+    (node, component)."""
+    from pyspark import StorageLevel
+
+    def _sym(e: DataFrame) -> DataFrame:
+        return e.unionByName(
+            e.select(F.col("u").alias("v"), F.col("v").alias("u"))
+            .select("u", "v")).distinct()
+
+    def _mins(sym: DataFrame) -> DataFrame:
+        return (sym.groupBy("u").agg(F.min("v").alias("mn"))
+                .select("u", F.least("mn", F.col("u")).alias("m")))
+
+    def _sig(e: DataFrame) -> tuple:
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64(F.least("u", "v").cast("string"),
+                             F.greatest("u", "v").cast("string"))
+                  .cast("decimal(38,0)")).alias("s"),
+        ).collect()[0]
+        return (row["n"], row["s"])
+
+    E = (edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+         .filter(F.col("u") != F.col("v")).distinct()
+         .persist(StorageLevel.MEMORY_AND_DISK))
+    prev_sig = _sig(E)
+    for i in range(max_iters):
+        # large-star
+        sym = _sym(E)
+        m = _mins(sym)
+        large = (sym.join(m, "u").filter(F.col("v") > F.col("u"))
+                 .select(F.col("v").alias("u"), F.col("m").alias("v")))
+        hang = (m.filter(F.col("m") != F.col("u"))
+                .select("u", F.col("m").alias("v")))
+        E1 = large.unionByName(hang).filter(
+            F.col("u") != F.col("v")).distinct()
+        # small-star
+        sym2 = _sym(E1)
+        m2 = _mins(sym2)
+        small = (sym2.join(m2, "u").filter(F.col("v") <= F.col("u"))
+                 .select(F.col("v").alias("u"), F.col("m").alias("v")))
+        hang2 = (m2.filter(F.col("m") != F.col("u"))
+                 .select("u", F.col("m").alias("v")))
+        E2 = (small.unionByName(hang2).filter(F.col("u") != F.col("v"))
+              .distinct())
+        # truncate lineage EVERY round: E appears in several subtrees per
+        # round, so the logical plan otherwise grows exponentially and
+        # blows the driver heap on tree stringification by ~round 10
+        E2 = E2.localCheckpoint(eager=True)
+        sig = _sig(E2)
+        old = E
+        E = E2
+        old.unpersist()
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # at the fixpoint each node has exactly one parent (the component min);
+    # the min-agg is a cheap guard for max_iters exhaustion mid-converge
+    mapping = (E.groupBy(F.col("u").alias("node"))
+               .agg(F.min("v").alias("component")))
+    labels = (nodes.join(mapping, "node", "left")
+              .select("node",
+                      F.coalesce("component", "node").alias("component")))
+    out = labels.localCheckpoint(eager=True)
+    E.unpersist()
+    return out

@@ -379,12 +379,15 @@ def canonicalize(entities: DataFrame,
     else:
         from pyspark import StorageLevel
 
-        from .operators.graph import connected_components
+        from .operators.graph import connected_components_star
         edges = pairs.persist(StorageLevel.MEMORY_AND_DISK)
         nodes = (edges.select(F.col("id_a").alias("node"))
                  .unionByName(edges.select(F.col("id_b").alias("node")))
                  .distinct())
-        cc = connected_components(
+        # star CC: name-similarity components can be chain-shaped
+        # (a~b~c with a!~c), where min-label propagation would need
+        # O(chain length) rounds — large/small-star needs O(log n)
+        cc = connected_components_star(
             nodes, edges.select(F.col("id_a").alias("src"),
                                 F.col("id_b").alias("dst")))
         lab = cc.join(e, cc["node"] == e["entity_id"]).select(

@@ -115,6 +115,37 @@ def test_iterative_cc(spark):
     assert comp["d"] == comp["e"] == "d"
 
 
+def test_star_cc_matches_min_label(spark):
+    """large/small-star CC agrees with min-label CC on mixed graphs."""
+    import random
+    rng = random.Random(7)
+    ns = [f"n{i:02d}" for i in range(30)]
+    es = [(ns[i], ns[i + 1]) for i in range(0, 8)]          # chain
+    es += [("n20", x) for x in ("n21", "n22", "n23")]       # star
+    es += [(ns[rng.randrange(24, 30)], ns[rng.randrange(24, 30)])
+           for _ in range(6)]                               # random clump
+    nodes = spark.createDataFrame(pd.DataFrame({"node": ns}))
+    edges = spark.createDataFrame(
+        pd.DataFrame(es, columns=["src", "dst"]))
+    a = graph.connected_components(nodes, edges).toPandas()
+    b = graph.connected_components_star(nodes, edges).toPandas()
+    assert (dict(zip(a["node"], a["component"]))
+            == dict(zip(b["node"], b["component"])))
+
+
+def test_star_cc_chain_converges_in_log_rounds(spark):
+    """A 64-node chain: min-label needs O(64) rounds; star CC must finish
+    within its default O(log n) budget and label everything n00."""
+    ns = [f"n{i:02d}" for i in range(64)]
+    nodes = spark.createDataFrame(pd.DataFrame({"node": ns}))
+    edges = spark.createDataFrame(pd.DataFrame(
+        [(ns[i], ns[i + 1]) for i in range(63)], columns=["src", "dst"]))
+    out = graph.connected_components_star(nodes, edges,
+                                          max_iters=10).toPandas()
+    assert set(out["component"]) == {"n00"}
+    assert len(out) == 64
+
+
 def test_greedy_association_semantics(spark):
     """Two comments nearest the same function: the first (in line order)
     takes it, the second gets the next-nearest — pool-pop semantics a
