@@ -67,6 +67,61 @@ def stream_mention_counts(spark: SparkSession, source_dir: str,
     )
 
 
+def stream_triples(spark: SparkSession, source_dir: str,
+                   aliases: DataFrame | None = None) -> DataFrame:
+    """Continuous KG construction: a streaming source table -> the SAME
+    fused segmentation+mention kernel -> append-mode triples.
+
+    Emits the stateless families — defines/imports/calls from mentions,
+    member_of from the per-segment markers, and (when a *static* alias
+    dim is supplied) the mentions family via a stream-static broadcast
+    join (`link_mentions` unchanged: its window runs on the static alias
+    side, the stream side only ever map-side-joins). Canonicalization
+    (same_as) stays batch — it is a global fixpoint over the entity dim,
+    recomputed per snapshot, not a row-incremental operator."""
+    import pyspark.sql.functions as F  # noqa: F811 (local alias clarity)
+
+    from .. import pipeline as P
+
+    src = (
+        spark.readStream.schema(SOURCE_SCHEMA)
+        .parquet(source_dir)
+        .drop("ingested_at")
+        .withColumn("content_sha256", F.sha2(F.col("content"), 256))
+    )
+    fused = P.fused_mentions_of(src)
+    mentions = fused.filter(F.col("mention_kind") != P.SEG_MARKER)
+    markers = fused.filter(F.col("mention_kind") == P.SEG_MARKER)
+
+    subj = F.concat_ws("", F.col("repo"), F.lit("/"), F.col("path"),
+                       F.lit("#"), F.col("seg_id"))
+    pred_map = F.create_map(*[
+        F.lit(x) for kv in P._PRED_FOR_KIND.items() for x in kv])
+    base = (
+        mentions.filter(F.col("mention_kind").isin(*P._PRED_FOR_KIND))
+        .select(subj.alias("subj"),
+                pred_map[F.col("mention_kind")].alias("pred"),
+                F.col("mention_text").alias("obj"), "repo", "score")
+    )
+    member = markers.select(
+        subj.alias("subj"), F.lit("member_of").alias("pred"),
+        F.concat_ws("/", "repo", "path").alias("obj"),
+        "repo", F.lit(1.0).alias("score"))
+    out = base.unionByName(member)
+    if aliases is not None:
+        links = P.link_mentions(mentions, aliases)
+        ment = (
+            links.filter(F.col("linked") & F.col("link_rep"))
+            .select(F.concat_ws("", F.col("repo"), F.lit("/"),
+                                F.col("path"), F.lit("#"),
+                                F.col("seg_id")).alias("subj"),
+                    F.lit("mentions").alias("pred"),
+                    F.col("entity_id").alias("obj"), "repo", "score")
+        )
+        out = out.unionByName(ment)
+    return out
+
+
 FIRST_SEEN_OUTPUT = T.StructType([
     T.StructField("repo", T.StringType()),
     T.StructField("n_new", T.LongType()),

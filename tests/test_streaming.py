@@ -60,6 +60,40 @@ def test_stream_first_seen_state_across_batches(spark, tmp_path):
     assert r1["n_seen_total"].max() == 2   # {X, Z} accumulated
 
 
+def test_stream_triples_match_batch(spark, tmp_path, corpus_pdf):
+    """Continuous KG construction: streaming triples (availableNow drain)
+    must equal the batch pipeline's stateless families on the same
+    corpus, including the mentions family via the static alias dim."""
+    from cosmos_spark import pipeline as P
+    from cosmos_spark.corpus import corpus_to_spark
+
+    src_dir = str(tmp_path / "kg_src")
+    pdf = corpus_pdf.head(40).copy()
+    pdf["ingested_at"] = pd.Timestamp("2026-01-01")
+    (spark.createDataFrame(pdf[["repo", "path", "commit", "lang",
+                                "content", "ingested_at"]])
+     .write.mode("overwrite").parquet(src_dir))
+
+    batch_src = corpus_to_spark(spark, pdf.drop(columns=["ingested_at"]))
+    batch = P.run_pipeline(spark, batch_src)
+    aliases = batch["aliases"]
+
+    stream = ingest.stream_triples(spark, src_dir, aliases=aliases)
+    out_dir = str(tmp_path / "kg_out")
+    q = (stream.writeStream.outputMode("append").format("parquet")
+         .option("path", out_dir)
+         .option("checkpointLocation", str(tmp_path / "kg_ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    got = spark.read.parquet(out_dir).toPandas()
+    exp = (batch["triples"].filter(F.col("pred") != "same_as")
+           .toPandas())
+    key = lambda df: set(zip(df["subj"], df["pred"], df["obj"]))  # noqa: E731
+    assert key(got) == key(exp)
+    assert len(got) == len(key(got))
+
+
 def test_stream_mention_counts_watermarked(spark, tmp_path, corpus_pdf):
     """The watermarked windowed aggregation drains under availableNow and
     produces per-kind mention counts."""
