@@ -65,6 +65,19 @@ def main() -> None:
     n_triples = triples.count()
     kg_sec = time.monotonic() - t0
     times["kg_pipeline"] = round(kg_sec, 3)
+
+    # sink-inclusive: the partitioned (pred-dirs, (pred,repo)-parallel)
+    # graph write on top of the already-built plan
+    import shutil
+    import tempfile
+
+    from cosmos_spark.pipeline import write_triples
+    sink_dir = tempfile.mkdtemp(prefix="bench_sink_")
+    t0 = time.monotonic()
+    write_triples(triples, sink_dir)
+    sink_sec = time.monotonic() - t0
+    times["kg_sink"] = round(sink_sec, 3)
+    shutil.rmtree(sink_dir, ignore_errors=True)
     spark.catalog.clearCache()  # release kg caches before the query suite
 
     # --- operator suite at the sf dir ---
@@ -86,6 +99,9 @@ def main() -> None:
             "n_triples": n_triples,
             "triples_per_sec": round(n_triples / kg_sec, 1) if kg_sec else None,
             "kg_sec": round(kg_sec, 3),
+            "sink_sec": round(sink_sec, 3),
+            "triples_per_sec_with_sink": round(
+                n_triples / (kg_sec + sink_sec), 1),
         },
     }))
     spark.stop()
