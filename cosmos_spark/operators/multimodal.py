@@ -115,6 +115,71 @@ def extract_media_features(media: DataFrame, fake: bool = True) -> DataFrame:
     return media.mapInPandas(fn, FEATURE_SCHEMA)
 
 
+FRAME_SCHEMA = T.StructType([
+    T.StructField("media_id", T.StringType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("n_bytes", T.IntegerType()),
+    T.StructField("frame_sha256", T.StringType()),
+    T.StructField("frame", T.BinaryType()),
+])
+
+
+def sample_frames(media: DataFrame, frame_size: int = 16,
+                  every: int = 2) -> DataFrame:
+    """Frame sampling over binary payloads: treat the payload as a
+    sequence of fixed-size frame records and keep every ``every``-th one
+    (the video frame-sample analog; with a real container format the
+    chunking would come from the demuxer index instead of fixed strides).
+    Real byte plumbing — frames are actual payload slices, shipped back
+    through Arrow as binary."""
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                n_frames = (len(b) + frame_size - 1) // frame_size
+                for i in range(0, n_frames, every):
+                    fr = b[i * frame_size:(i + 1) * frame_size]
+                    rows.append((mid, i, len(fr),
+                                 hashlib.sha256(fr).hexdigest(), fr))
+            yield pd.DataFrame(rows,
+                               columns=[f.name for f in FRAME_SCHEMA.fields])
+
+    return media.mapInPandas(fn, FRAME_SCHEMA)
+
+
+def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize step: for PNG payloads this performs REAL byte surgery —
+    rewrites the IHDR width/height fields and recomputes the chunk CRC
+    (zlib.crc32), so the output header is a valid PNG header at the
+    target dims; pixel resampling itself needs PIL and is the declared
+    stub (the payload body passes through untouched). Non-PNG payloads
+    pass through with dims stamped in metadata only."""
+    import struct
+    import zlib
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for mid, kind, mime, payload in zip(
+                    pdf["media_id"], pdf["kind"], pdf["mime"],
+                    pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                if b[:8] == _PNG_MAGIC and b[12:16] == b"IHDR":
+                    ln = int.from_bytes(b[8:12], "big")
+                    body = struct.pack(">II", width, height) + b[24:16 + ln]
+                    chunk = b"IHDR" + body
+                    b = (b[:8] + b[8:12] + chunk
+                         + struct.pack(">I", zlib.crc32(chunk))
+                         + b[16 + ln + 4:])
+                out.append((mid, kind, mime, b))
+            yield pd.DataFrame(out, columns=["media_id", "kind", "mime",
+                                             "payload"])
+
+    return media.mapInPandas(fn, MEDIA_SCHEMA)
+
+
 def media_from_documents(docs: DataFrame) -> DataFrame:
     """Synthesize a media table from the documents fixture: payload =
     utf-8 bytes of the text (a deterministic opaque blob for plumbing

@@ -745,11 +745,44 @@ FROM documents
 """
 
 
+def q_media_frames(spark, sf_dir):
+    """Multimodal frame sampling: payload split into 16-byte frame
+    records, every 2nd kept — real binary slicing through Arrow,
+    value-checked frame-for-frame (sha of each sampled frame)."""
+    from .operators import multimodal
+    docs = _t(spark, sf_dir, "documents")
+    media = multimodal.media_from_documents(docs)
+    frames = multimodal.sample_frames(media, frame_size=16, every=2)
+    return frames.select("media_id", "frame_idx", "n_bytes", "frame_sha256")
+
+
+# DuckDB has no BLOB substring; the synthetic documents are pure ASCII at
+# every SF (verified octet_length(encode(text)) == length(text)), so
+# character slicing on the VARCHAR is byte-identical to the Spark side's
+# payload-byte slicing and sha256(varchar) hashes the same UTF-8 bytes.
+SQL_MEDIA_FRAMES = """
+WITH m AS (SELECT CAST(doc_id AS VARCHAR) AS media_id, text AS s
+           FROM documents),
+f AS (SELECT media_id, s, frame_idx FROM (
+        SELECT media_id, s,
+               CAST(unnest(range(0, CAST(ceil(length(s) / 16.0) AS BIGINT)))
+                    AS INT) AS frame_idx
+        FROM m)
+      WHERE frame_idx % 2 = 0)
+SELECT media_id, frame_idx,
+       CAST(length(substring(s, frame_idx * 16 + 1, 16)) AS INT)
+         AS n_bytes,
+       sha256(substring(s, frame_idx * 16 + 1, 16)) AS frame_sha256
+FROM f
+"""
+
+
 QUERIES.update({
     "q_simhash_bands": (q_simhash_bands, SQL_SIMHASH_BANDS),
     "q_minhash_sig": (q_minhash_sig, SQL_MINHASH_SIG),
     "q_lsh_bucket": (q_lsh_bucket, SQL_LSH_BUCKET),
     "q_media_features": (q_media_features, SQL_MEDIA_FEATURES),
+    "q_media_frames": (q_media_frames, SQL_MEDIA_FRAMES),
 })
 
 

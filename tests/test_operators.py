@@ -231,6 +231,45 @@ def test_multimodal_real_header_decode(spark):
     assert (feats.loc["wav1", "width"], feats.loc["wav1", "height"]) == (16000, 1)
 
 
+def test_resize_media_png_header_surgery(spark):
+    """resize_media rewrites PNG IHDR dims with a valid recomputed CRC;
+    non-PNG payloads pass through untouched."""
+    import struct
+    import zlib
+    pdf = pd.DataFrame({
+        "media_id": ["p", "x"],
+        "kind": ["image", "image"],
+        "mime": ["image/png", "application/octet-stream"],
+        "payload": [_png_bytes(640, 480), b"not png"],
+    })
+    media = spark.createDataFrame(pdf, schema=multimodal.MEDIA_SCHEMA)
+    out = (multimodal.resize_media(media, 100, 50).toPandas()
+           .set_index("media_id"))
+    resized = bytes(out.loc["p", "payload"])
+    assert multimodal.decode_media_header(resized) == (100, 50)
+    ln = int.from_bytes(resized[8:12], "big")
+    chunk = resized[12:16 + ln]
+    crc = int.from_bytes(resized[16 + ln:20 + ln], "big")
+    assert crc == zlib.crc32(chunk)
+    assert bytes(out.loc["x", "payload"]) == b"not png"
+
+
+def test_sample_frames_byte_slices(spark):
+    pdf = pd.DataFrame({
+        "media_id": ["m"],
+        "kind": ["video"],
+        "mime": ["application/octet-stream"],
+        "payload": [bytes(range(40))],  # 3 frames of 16 (last short)
+    })
+    media = spark.createDataFrame(pdf, schema=multimodal.MEDIA_SCHEMA)
+    out = (multimodal.sample_frames(media, frame_size=16, every=2)
+           .toPandas().sort_values("frame_idx"))
+    assert list(out["frame_idx"]) == [0, 2]
+    assert bytes(out.iloc[0]["frame"]) == bytes(range(16))
+    assert bytes(out.iloc[1]["frame"]) == bytes(range(32, 40))
+    assert list(out["n_bytes"]) == [16, 8]
+
+
 def test_multimodal_unknown_magic_raises():
     with pytest.raises(NotImplementedError):
         multimodal.decode_media_header(b"not a media file")
