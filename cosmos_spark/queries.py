@@ -1621,7 +1621,11 @@ def q_word_vectors(spark, sf_dir):
     """A7 (`representation_learning/compute_word_vecs.py:4-11`): corpus
     word-vector training via pyspark.ml Word2Vec (skipgram analog) over
     the token stream. Model training is not SQL-expressible -> rows-only
-    driver check; vocabulary completeness is pytest-asserted."""
+    driver check; vocabulary completeness is pytest-asserted.
+    numPartitions=1 pins bit-determinism for the test harness; at corpus
+    scale raise it (Word2Vec shards skip-gram batches per partition) and
+    accept run-to-run jitter, as the reference's fastText training
+    would."""
     from pyspark.ml.feature import Word2Vec
     from pyspark.ml.functions import vector_to_array
     docs = _t(spark, sf_dir, "documents")
