@@ -143,6 +143,90 @@ def cosine_topk_lsh(emb: DataFrame, queries: DataFrame, k: int = 10,
     return _topk_per_query(scored, k)
 
 
+def ivf_centroids(emb: DataFrame, n_centroids: int = 8,
+                  id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Deterministic coarse quantizer for the IVF index: the n_centroids
+    lowest-id vectors serve as centroids. (A k-means refinement pass would
+    drop recall variance at real scale; determinism + cross-engine
+    replicability is what the correctness gate needs, and the index
+    *structure* — coarse lists + probe-limited search — is identical.)"""
+    return (emb.orderBy(id_col).limit(n_centroids)
+            .select(F.col(id_col).alias("centroid_id"),
+                    F.col(vec_col).alias("c_vec")))
+
+
+def ivf_assign(emb: DataFrame, centroids: DataFrame,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               round_to: int = 6) -> DataFrame:
+    """(vec_id, centroid_id): nearest centroid by cosine — the IVF index
+    build. Centroids broadcast; C dot products per row JVM-side; the
+    argmax is a map-side-combinable max(struct) agg (ties -> smallest
+    centroid id), so the only shuffle is one row per vector."""
+    dot = _DOT.format(a=vec_col, b="c_vec")
+    na = _NORM.format(a=vec_col)
+    nb = _NORM.format(a="c_vec")
+    sim = f"round(({dot}) / (({na}) * ({nb})), {round_to})"
+    scored = (
+        emb.crossJoin(F.broadcast(centroids))
+        .select(F.col(id_col).alias("vec_id"), "centroid_id",
+                F.expr(sim).alias("c_sim"))
+    )
+    best = (
+        scored.groupBy("vec_id")
+        .agg(F.max(F.struct(F.col("c_sim"),
+                            (-F.col("centroid_id")).alias("neg"),
+                            F.col("centroid_id").alias("cid"))).alias("b"))
+        .select("vec_id", F.col("b.cid").alias("centroid_id"))
+    )
+    return best
+
+
+def cosine_topk_ivf(emb: DataFrame, queries: DataFrame, k: int = 10,
+                    n_centroids: int = 8, n_probe: int = 2,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    q_id_col: str = "q_id", q_vec_col: str = "q_vec",
+                    round_to: int | None = 4) -> DataFrame:
+    """IVF approximate top-k: score only vectors whose coarse list is
+    among the query's ``n_probe`` nearest centroids. At corpus scale the
+    assignment is the pre-built index (write once, partition by
+    centroid_id, prune at query time) and the probe fraction bounds the
+    scan at ~n_probe/n_centroids of the corpus."""
+    cents = ivf_centroids(emb, n_centroids, id_col, vec_col)
+    assign = ivf_assign(emb, cents, id_col, vec_col)
+
+    qdot = _DOT.format(a=q_vec_col, b="c_vec")
+    qna = _NORM.format(a=q_vec_col)
+    qnb = _NORM.format(a="c_vec")
+    qsim = f"round(({qdot}) / (({qna}) * ({qnb})), 6)"
+    qprobe = (
+        queries.crossJoin(F.broadcast(cents))
+        .select(q_id_col, q_vec_col, "centroid_id",
+                F.expr(qsim).alias("c_sim"))
+    )
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("c_sim"),
+                                             F.asc("centroid_id"))
+    probes = (qprobe.withColumn("pr", F.row_number().over(w))
+              .filter(F.col("pr") <= n_probe)
+              .select(q_id_col, q_vec_col, "centroid_id"))
+
+    cand = emb.join(assign.withColumnRenamed("vec_id", id_col), id_col)
+    dot = _DOT.format(a=vec_col, b=q_vec_col)
+    na = _NORM.format(a=vec_col)
+    nb = _NORM.format(a=q_vec_col)
+    sim = f"({dot}) / (({na}) * ({nb}))"
+    if round_to is not None:
+        sim = f"round({sim}, {round_to})"
+    scored = (
+        cand.join(F.broadcast(probes), "centroid_id")
+        .filter(F.col(id_col) != F.col(q_id_col))
+        .select(F.col(q_id_col).alias("q_id"),
+                F.col(id_col).alias("vec_id"),
+                F.expr(sim).alias("cos_sim"))
+    )
+    return _topk_per_query(scored, k)
+
+
 def embedding_cosine_dup_pairs(emb: DataFrame, threshold: float = 0.95,
                                n_planes: int = 6, id_col: str = "vec_id",
                                vec_col: str = "embedding",

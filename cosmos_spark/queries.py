@@ -1766,7 +1766,86 @@ FROM documents
 """
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF approximate top-k (the other ANN scale path beside LSH):
+    deterministic coarse centroids -> per-vector nearest-centroid index ->
+    probe the query's 2 nearest lists -> exact rerank, k=5, queries =
+    vectors 0-2 — assignment, probes, and scores all cross-checked."""
+    from .operators import similarity
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    out = similarity.cosine_topk_ivf(emb, qs, k=5, n_centroids=8,
+                                     n_probe=2)
+    return out.select("q_id", "vec_id", "cos_sim", "rn")
+
+
+SQL_ANN_IVF_TOPK = r"""
+WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+           FROM embeddings WHERE vec_id < 8),
+av AS (SELECT e.vec_id, c.cid,
+              round(list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cv)
+                    / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                             CAST(e.embedding AS DOUBLE[])))
+                       * sqrt(list_dot_product(c.cv, c.cv))), 6) AS s
+       FROM embeddings e, c),
+assign AS (SELECT vec_id, cid FROM (
+             SELECT vec_id, cid,
+                    row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY s DESC, cid) AS rn
+             FROM av) WHERE rn = 1),
+qv AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
+       FROM embeddings WHERE vec_id < 3),
+qs AS (SELECT q.q_id, q.qe, c.cid,
+              round(list_dot_product(q.qe, c.cv)
+                    / (sqrt(list_dot_product(q.qe, q.qe))
+                       * sqrt(list_dot_product(c.cv, c.cv))), 6) AS s
+       FROM qv q, c),
+probes AS (SELECT q_id, qe, cid FROM (
+             SELECT q_id, qe, cid,
+                    row_number() OVER (PARTITION BY q_id
+                                       ORDER BY s DESC, cid) AS pr
+             FROM qs) WHERE pr <= 2),
+sc AS (SELECT p.q_id, e.vec_id,
+              round(list_dot_product(CAST(e.embedding AS DOUBLE[]), p.qe)
+                    / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                             CAST(e.embedding AS DOUBLE[])))
+                       * sqrt(list_dot_product(p.qe, p.qe))), 4) AS cos_sim
+       FROM probes p
+       JOIN assign a ON a.cid = p.cid
+       JOIN embeddings e ON e.vec_id = a.vec_id
+       WHERE e.vec_id <> p.q_id)
+SELECT q_id, vec_id, cos_sim, CAST(rn AS INT) AS rn FROM (
+  SELECT q_id, vec_id, cos_sim,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY cos_sim DESC, vec_id) AS rn
+  FROM sc) WHERE rn <= 5
+"""
+
+
+def q_detection_summary(spark, sf_dir):
+    """A4 corpus roll-up (`context_enrichment.py:110-115`
+    describe().round(3) analog): one-row summary over the per-doc
+    detection stats."""
+    from .operators import enrich
+    return enrich.stats_summary(q_detection_stats(spark, sf_dir))
+
+
+SQL_DETECTION_SUMMARY = f"""
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(precision), 3) AS avg_precision,
+       round(avg(recall), 3) AS avg_recall,
+       round(avg(f1), 3) AS avg_f1,
+       CAST(sum(tp) AS BIGINT) AS sum_tp,
+       CAST(sum(fp) AS BIGINT) AS sum_fp,
+       CAST(sum(fn) AS BIGINT) AS sum_fn
+FROM ({SQL_DETECTION_STATS})
+"""
+
+
 QUERIES.update({
+    "q_ann_ivf_topk": (q_ann_ivf_topk, SQL_ANN_IVF_TOPK),
+    "q_detection_summary": (q_detection_summary, SQL_DETECTION_SUMMARY),
     "q_reading_order": (q_reading_order, SQL_READING_ORDER),
     "q_class_methods": (q_class_methods, SQL_CLASS_METHODS),
     "q_rerank_top1": (q_rerank_top1, SQL_RERANK_TOP1),

@@ -97,6 +97,18 @@ def test_cosine_topk_lsh_agrees_on_top1(emb):
     assert out.sort_values("rn").iloc[0]["vec_id"] == 5
 
 
+def test_cosine_topk_ivf_finds_colinear(emb):
+    """IVF path: a vector colinear with the query shares its nearest
+    centroid (identical cosine profile), so it is always probed and must
+    rank first."""
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    out = similarity.cosine_topk_ivf(emb, q, k=3, n_centroids=4,
+                                     n_probe=2).toPandas()
+    assert out.sort_values("rn").iloc[0]["vec_id"] == 5
+    assert len(out) <= 3
+
+
 def test_embedding_cosine_dup_pairs(emb):
     out = similarity.embedding_cosine_dup_pairs(
         emb, threshold=0.95, n_planes=4, dim=8).toPandas()
