@@ -955,6 +955,18 @@ WHERE rn > 25 AND rn <= 50
 _STREAM_SEQ = [0]
 
 
+def _tmpdir(prefix: str) -> str:
+    """Process-lifetime temp dir, reclaimed at exit via the pipeline's
+    tracked-cleanup list (the r1 ADVICE temp-leak fix, applied to the
+    streaming queries' source/checkpoint dirs too)."""
+    import tempfile
+
+    from . import pipeline as P
+    d = tempfile.mkdtemp(prefix=prefix)
+    P._TEMP_DIRS.append(d)
+    return d
+
+
 def q_stream_kind_counts(spark, sf_dir):
     """Structured Streaming: file-source stream of the documents table ->
     the same segmentation mapInPandas kernel -> stateful per-kind counts,
@@ -962,7 +974,6 @@ def q_stream_kind_counts(spark, sf_dir):
     (streaming lifecycle) -> rows-only driver check; determinism of the
     counts themselves is covered by q_kg_segments."""
     import os
-    import tempfile
 
     from pyspark.sql import types as T
 
@@ -977,7 +988,7 @@ def q_stream_kind_counts(spark, sf_dir):
     ])
     # the streaming file source wants a directory: stage the single table
     # file into one via symlink (zero copy)
-    stream_dir = tempfile.mkdtemp(prefix="stream_src_")
+    stream_dir = _tmpdir("stream_src_")
     os.symlink(os.path.abspath(f"{sf_dir}/documents.parquet"),
                os.path.join(stream_dir, "documents.parquet"))
     src = (
@@ -996,7 +1007,7 @@ def q_stream_kind_counts(spark, sf_dir):
     q = (
         counts.writeStream.outputMode("complete").format("memory")
         .queryName(name)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ck_stream_"))
+        .option("checkpointLocation", _tmpdir("ck_stream_"))
         .trigger(availableNow=True)
         .start()
     )
@@ -1009,11 +1020,9 @@ def q_stream_first_seen(spark, sf_dir):
     first-seen/duplicate counters with group state carried across
     micro-batches — streaming lifecycle, rows-only driver check (state
     semantics are pytest-asserted in tests/test_streaming.py)."""
-    import tempfile
-
     from .streaming.ingest import stream_first_seen
 
-    src_dir = tempfile.mkdtemp(prefix="stream_fs_src_")
+    src_dir = _tmpdir("stream_fs_src_")
     _docs_as_source(spark, sf_dir).write.mode("overwrite").parquet(src_dir)
     out = stream_first_seen(spark, src_dir)
     _STREAM_SEQ[0] += 1
@@ -1021,7 +1030,7 @@ def q_stream_first_seen(spark, sf_dir):
     q = (
         out.writeStream.outputMode("append").format("memory")
         .queryName(name)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ck_fs_"))
+        .option("checkpointLocation", _tmpdir("ck_fs_"))
         .trigger(availableNow=True)
         .start()
     )
