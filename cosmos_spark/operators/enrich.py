@@ -1,6 +1,6 @@
 """Context-enrichment operator family — the Spark restatement of the
 reference's table/caption context miner and its in-pipeline QA stats
-(`cosmos/ingestion/ingest/process/context_enrichment.py`) plus the
+(`cosmos/ingestion/ingest/process/enrich/context_enrichment.py`) plus the
 table-structure extraction utility (`.../utils/table_extraction.py`).
 
 - :func:`context_windows`  — F5: prefix/suffix token windows around label
