@@ -190,6 +190,38 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     )
 
 
+def near_dedup(df: DataFrame, id_col: str, text_col: str,
+               num_hashes: int = 16, bands: int = 4, shingle_k: int = 3,
+               threshold: float = 0.8, max_bucket: int = 50) -> DataFrame:
+    """End-to-end near-duplicate removal — the composed training-data
+    pipeline: MinHash-LSH candidates -> exact n-gram-Jaccard verify ->
+    connected components (large/small-star) over the verified similarity
+    graph -> keep the min-id representative per duplicate cluster.
+
+    Returns ``df`` plus ``dup_of`` (the representative's id, null for
+    keepers) and ``keep`` (boolean). The final attach is a plain equi-join
+    (not a forced broadcast): on a heavily duplicated corpus the mapping
+    can approach the corpus size, and AQE picks the strategy at runtime.
+    """
+    from .graph import connected_components_star
+
+    cands = minhash_lsh_pairs(df, id_col, text_col, num_hashes, bands,
+                              shingle_k, max_bucket)
+    verified = ngram_jaccard_pairs(df, id_col, text_col, cands, shingle_k,
+                                   threshold)
+    edges = verified.select(F.col("id_a").alias("src"),
+                            F.col("id_b").alias("dst"))
+    nodes = (edges.select(F.col("src").alias("node"))
+             .unionByName(edges.select(F.col("dst").alias("node")))
+             .distinct())
+    cc = connected_components_star(nodes, edges)
+    mapping = (cc.filter(F.col("node") != F.col("component"))
+               .select(F.col("node").alias(id_col),
+                       F.col("component").alias("dup_of")))
+    return (df.join(mapping, id_col, "left")
+            .withColumn("keep", F.col("dup_of").isNull()))
+
+
 def simhash_signatures(df: DataFrame, id_col: str, text_col: str,
                        bits: int = 64) -> DataFrame:
     """(id, simhash: bigint). Row-local, no shuffle.

@@ -1038,7 +1038,39 @@ def q_stream_first_seen(spark, sf_dir):
     return spark.table(name)
 
 
+def q_search_bool(spark, sf_dir):
+    """§3.3 boolean search tree (`elastic_retriever.py:279-310`): one
+    compiled predicate — (value OR data) AND NOT slow AND kind filter —
+    plus deterministic pagination, over the KG segments."""
+    from . import pipeline as P
+    from . import retrieval
+    segs = P.segments_of(_docs_as_source(spark, sf_dir))
+    query = {"and": [
+        {"or": [{"term": "value"}, {"term": "data"}]},
+        {"not": {"term": "slow"}},
+        {"kind": ["other"]},
+    ]}
+    page = retrieval.search(segs, query, page=0, per_page=30)
+    return page.select("seg_id", "kind", "line_start", "score")
+
+
+SQL_SEARCH_BOOL = r"""
+WITH segs AS (
+  SELECT substr(sha256(source || '|' || CAST(doc_id AS VARCHAR)
+                || '|1|1|' || text), 1, 16) AS seg_id,
+         'other' AS kind, 1 AS line_start, 0.5 AS score
+  FROM documents
+  WHERE regexp_matches(text, '\S')
+        AND (contains(text, 'value') OR contains(text, 'data'))
+        AND NOT contains(text, 'slow'))
+SELECT seg_id, kind, line_start, score FROM (
+  SELECT *, row_number() OVER (ORDER BY score DESC, seg_id) AS rn FROM segs)
+WHERE rn <= 30
+"""
+
+
 QUERIES.update({
+    "q_search_bool": (q_search_bool, SQL_SEARCH_BOOL),
     "q_cc_components": (q_cc_components, SQL_CC_COMPONENTS),
     "q_minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH_PAIRS),
     "q_greedy_assoc": (q_greedy_assoc, SQL_GREEDY_ASSOC),
@@ -1560,6 +1592,79 @@ WHERE jaccard >= 0.5
 """
 
 
+def q_near_dedup(spark, sf_dir):
+    """End-to-end near-duplicate removal (the composed dedup pipeline:
+    LSH candidates -> Jaccard verify -> star CC -> min-id representative).
+    The oracle reproduces the components with a recursive reachability
+    query — fully independent of the Spark CC implementation."""
+    from .operators import dedup
+    docs = _t(spark, sf_dir, "documents")
+    out = dedup.near_dedup(docs, "doc_id", "text", num_hashes=16, bands=4,
+                           threshold=0.5, max_bucket=50)
+    return out.select("doc_id", "dup_of", "keep")
+
+
+SQL_NEAR_DEDUP = r"""
+WITH RECURSIVE
+t AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+      FROM documents),
+sh AS (SELECT doc_id,
+              unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                     i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+                AS s
+       FROM t WHERE len(toks) >= 3),
+hs AS (SELECT doc_id,
+              ('0x' || substr(md5(s), 1, 16))::UBIGINT AS h1,
+              ('0x' || substr(md5(s), 17, 16))::UBIGINT AS h2
+       FROM sh),
+mhu AS (SELECT doc_id, h,
+               min(CAST((h1::UHUGEINT + h::UHUGEINT * h2::UHUGEINT)
+                        % 18446744073709551616::UHUGEINT AS UBIGINT)) AS u
+        FROM hs, range(16) r(h) GROUP BY doc_id, h),
+mh AS (SELECT doc_id, h,
+              CASE WHEN u >= 9223372036854775808::UBIGINT
+                   THEN (u::HUGEINT - 18446744073709551616::HUGEINT)::BIGINT
+                   ELSE u::BIGINT END AS mh
+       FROM mhu),
+banded AS (SELECT doc_id, h // 4 AS band,
+                  md5(string_agg(mh::VARCHAR, '|' ORDER BY h)) AS bhash
+           FROM mh GROUP BY doc_id, h // 4),
+buckets AS (SELECT band, bhash, count(*) AS c FROM banded GROUP BY 1, 2),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM banded a
+         JOIN banded b ON a.band = b.band AND a.bhash = b.bhash
+                      AND a.doc_id < b.doc_id
+         JOIN buckets k ON k.band = a.band AND k.bhash = a.bhash
+         WHERE k.c <= 50),
+shg AS (SELECT doc_id,
+               list_distinct(list_transform(
+                 range(1, greatest(len(toks) - 1, 1)),
+                 i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+                 AS sg
+        FROM t WHERE len(toks) >= 3),
+ver AS (SELECT c.id_a, c.id_b
+        FROM cand c
+        JOIN shg a ON a.doc_id = c.id_a
+        JOIN shg b ON b.doc_id = c.id_b
+        WHERE CAST(len(list_intersect(a.sg, b.sg)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.sg, b.sg))) >= 0.5),
+e AS (SELECT id_a AS a, id_b AS b FROM ver
+      UNION SELECT id_b, id_a FROM ver),
+n AS (SELECT DISTINCT a AS id FROM e),
+reach(id, r) AS (
+  SELECT id, id FROM n
+  UNION
+  SELECT reach.id, e.b FROM reach JOIN e ON e.a = reach.r
+),
+comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id)
+SELECT d.doc_id,
+       CASE WHEN c.comp IS NOT NULL AND c.comp <> d.doc_id
+            THEN c.comp END AS dup_of,
+       (c.comp IS NULL OR c.comp = d.doc_id) AS keep
+FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+"""
+
+
 def q_ann_lsh_topk(spark, sf_dir):
     """LSH-bucketed approximate top-k (the ANN scale path): queries =
     vectors 0-2, k = 5, candidates pruned to the query's RHP bucket —
@@ -1863,6 +1968,7 @@ QUERIES.update({
     "q_detection_stats": (q_detection_stats, SQL_DETECTION_STATS),
     "q_table_extract": (q_table_extract, SQL_TABLE_EXTRACT),
     "q_ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
+    "q_near_dedup": (q_near_dedup, SQL_NEAR_DEDUP),
     "q_ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH_TOPK),
     "q_entity_objects": (q_entity_objects, SQL_ENTITY_OBJECTS),
     "q_word_vectors": (q_word_vectors, None),

@@ -56,6 +56,58 @@ def search_segments(
     )
 
 
+def compile_search(node: dict, text_col: str = "text"):
+    """Boolean query-AST -> one Catalyst predicate Column — the DataFrame
+    restatement of the reference's ES DSL boolean tree
+    (`elastic_retriever.py:279-310`): match_phrase shoulds (OR) vs
+    ``inclusive`` musts (AND), must_not veto, class ``term`` filters and
+    score ``range`` filters, all folded into a single pushdown-able
+    expression instead of an ES query object.
+
+    Grammar::
+
+        {"term": "phrase"}          substring/phrase containment
+        {"and": [node, ...]}        bool.must
+        {"or":  [node, ...]}        bool.should
+        {"not": node}               bool.must_not
+        {"kind": ["function", ..]}  class term filter (P1 analog)
+        {"min_score": 0.9}          score range filter (P2 analog)
+    """
+    if "term" in node:
+        return F.col(text_col).contains(node["term"])
+    if "and" in node:
+        out = F.lit(True)
+        for child in node["and"]:
+            out = out & compile_search(child, text_col)
+        return out
+    if "or" in node:
+        out = F.lit(False)
+        for child in node["or"]:
+            out = out | compile_search(child, text_col)
+        return out
+    if "not" in node:
+        return ~compile_search(node["not"], text_col)
+    if "kind" in node:
+        return F.col("kind").isin(*node["kind"])
+    if "min_score" in node:
+        return F.col("score") >= F.lit(node["min_score"])
+    raise ValueError(f"unknown search node: {node}")
+
+
+def search(segments: DataFrame, query: dict, page: int = 0,
+           per_page: int = 30) -> DataFrame:
+    """Boolean-tree search + deterministic pagination (the full §3.3
+    query path in one call)."""
+    w = Window.orderBy(F.desc("score"), F.asc("seg_id"))
+    lo, hi = page * per_page, (page + 1) * per_page
+    return (
+        segments.filter(compile_search(query))
+        .withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") > lo) & (F.col("rn") <= hi))
+        .drop("rn")
+    )
+
+
 def resolve_entity(entities: DataFrame, name: str) -> DataFrame:
     """Entity lookup by canonical name or alias (case-normalized), collapsed
     to the canonical representative (same_as-aware)."""

@@ -47,6 +47,43 @@ def test_ngram_jaccard_verification(spark, docs):
     assert (0, 3) not in j
 
 
+def test_near_dedup_end_to_end(docs):
+    """Composed dedup pipeline: the exact duplicate (0,2) always collapses
+    (identical docs share every LSH band) to representative 0; the
+    unrelated doc keeps itself. The J~0.54 near pair (0,1) sits at the
+    LSH recall floor for 4x4 banding — whichever way the deterministic
+    hashes land, the output must stay self-consistent."""
+    out = (dedup.near_dedup(docs, "doc_id", "text", threshold=0.5)
+           .toPandas().set_index("doc_id"))
+    assert bool(out.loc[0, "keep"])
+    assert not bool(out.loc[2, "keep"]) and out.loc[2, "dup_of"] == 0
+    assert bool(out.loc[3, "keep"]) and pd.isna(out.loc[3, "dup_of"])
+    if not bool(out.loc[1, "keep"]):
+        assert out.loc[1, "dup_of"] == 0
+    # keepers have null dup_of; non-keepers point at a keeper
+    assert out[out["keep"]]["dup_of"].isna().all()
+    for d in out[~out["keep"]]["dup_of"]:
+        assert bool(out.loc[d, "keep"])
+
+
+def test_compile_search_tree(spark):
+    from cosmos_spark import retrieval
+    segs = spark.createDataFrame(pd.DataFrame({
+        "seg_id": ["a", "b", "c", "d"],
+        "kind": ["function", "function", "comment", "function"],
+        "text": ["x value", "y data slow", "z value", "w none"],
+        "score": [0.9, 0.9, 0.9, 0.9],
+        "line_start": [1, 1, 1, 1],
+    }))
+    q = {"and": [{"or": [{"term": "value"}, {"term": "data"}]},
+                 {"not": {"term": "slow"}},
+                 {"kind": ["function"]}]}
+    out = retrieval.search(segs, q).toPandas()
+    assert list(out["seg_id"]) == ["a"]
+    with pytest.raises(ValueError):
+        retrieval.compile_search({"bogus": 1})
+
+
 def test_simhash_signatures_and_candidates(docs):
     sigs = dedup.simhash_signatures(docs, "doc_id", "text").toPandas()
     s = dict(zip(sigs["id"], sigs["simhash"]))
