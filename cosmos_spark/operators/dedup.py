@@ -199,11 +199,13 @@ def near_dedup(df: DataFrame, id_col: str, text_col: str,
     graph -> keep the min-id representative per duplicate cluster.
 
     Returns ``df`` plus ``dup_of`` (the representative's id, null for
-    keepers) and ``keep`` (boolean). The final attach is a plain equi-join
-    (not a forced broadcast): on a heavily duplicated corpus the mapping
-    can approach the corpus size, and AQE picks the strategy at runtime.
+    keepers) and ``keep`` (boolean). The CC is adaptive (driver union-find
+    when the verified edge set provably fits, else distributed star CC);
+    the final attach is a plain equi-join (not a forced broadcast): on a
+    heavily duplicated corpus the mapping can approach the corpus size,
+    and AQE picks the strategy at runtime.
     """
-    from .graph import connected_components_star
+    from .graph import adaptive_component_mapping
 
     cands = minhash_lsh_pairs(df, id_col, text_col, num_hashes, bands,
                               shingle_k, max_bucket)
@@ -211,10 +213,7 @@ def near_dedup(df: DataFrame, id_col: str, text_col: str,
                                    threshold)
     edges = verified.select(F.col("id_a").alias("src"),
                             F.col("id_b").alias("dst"))
-    nodes = (edges.select(F.col("src").alias("node"))
-             .unionByName(edges.select(F.col("dst").alias("node")))
-             .distinct())
-    cc = connected_components_star(nodes, edges)
+    cc = adaptive_component_mapping(edges)
     mapping = (cc.filter(F.col("node") != F.col("component"))
                .select(F.col("node").alias(id_col),
                        F.col("component").alias("dup_of")))

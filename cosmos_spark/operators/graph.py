@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
+from pyspark.sql import types as T
 
 
 def connected_components(nodes: DataFrame, edges: DataFrame,
@@ -85,6 +86,44 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
     out = labels.localCheckpoint(eager=True)
     labels.unpersist()
     return out
+
+
+def adaptive_component_mapping(edges: DataFrame,
+                               driver_max_edges: int = 200_000) -> DataFrame:
+    """(node, component) for every edge-incident node; component = min
+    node id. The runtime size-switch shared by the dedup/canonicalize
+    family: a ``limit(N+1)`` probe proves whether the edge set fits on the
+    driver — if so, one collect + in-memory union-find replaces the whole
+    distributed loop (the AQE-broadcast-threshold idea applied to graph
+    connectivity); otherwise the O(log n)-round star CC runs. Isolated
+    nodes never appear (callers left-join + coalesce)."""
+    spark = edges.sparkSession
+    head = edges.limit(driver_max_edges + 1).collect()
+    if len(head) <= driver_max_edges:
+        parent: dict = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in head:
+            for v in (r.src, r.dst):
+                if v not in parent:
+                    parent[v] = v
+            ra, rb = find(r.src), find(r.dst)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        rows = [(n, find(n)) for n in parent]
+        ntype = edges.schema["src"].dataType
+        schema = T.StructType([T.StructField("node", ntype),
+                               T.StructField("component", ntype)])
+        return spark.createDataFrame(rows or [], schema)
+    nodes = (edges.select(F.col("src").alias("node"))
+             .unionByName(edges.select(F.col("dst").alias("node")))
+             .distinct())
+    return connected_components_star(nodes, edges)
 
 
 def connected_components_star(nodes: DataFrame, edges: DataFrame,

@@ -66,6 +66,19 @@ def test_near_dedup_end_to_end(docs):
         assert bool(out.loc[d, "keep"])
 
 
+def test_adaptive_component_mapping_paths_agree(spark):
+    """The driver union-find path and the forced star-CC path produce the
+    identical (node, component) mapping."""
+    edges = spark.createDataFrame(pd.DataFrame(
+        {"src": [1, 2, 10, 11], "dst": [2, 3, 11, 12]}))
+    a = graph.adaptive_component_mapping(edges).toPandas()
+    b = graph.adaptive_component_mapping(edges,
+                                         driver_max_edges=0).toPandas()
+    am = dict(zip(a["node"], a["component"]))
+    bm = dict(zip(b["node"], b["component"]))
+    assert am == bm == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
+
+
 def test_compile_search_tree(spark):
     from cosmos_spark import retrieval
     segs = spark.createDataFrame(pd.DataFrame({
