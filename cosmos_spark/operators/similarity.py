@@ -182,6 +182,29 @@ def ivf_assign(emb: DataFrame, centroids: DataFrame,
     return best
 
 
+def ivf_refine(emb: DataFrame, assign: DataFrame,
+               id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """One Lloyd (k-means) refinement iteration over the IVF assignment:
+    (centroid_id, dim, val) where val = elementwise mean of the vectors in
+    that coarse list. One equi-join + one groupBy with map-side partial
+    aggregation — the shape iterates cheaply at any scale (re-assign with
+    :func:`ivf_assign` against the refined centroids and repeat). Sums go
+    through decimal so the cross-engine compare is exact, not
+    float-association-dependent."""
+    j = emb.join(assign.withColumnRenamed("vec_id", id_col), id_col)
+    d = j.select(
+        "centroid_id",
+        F.posexplode(F.expr(f"cast({vec_col} as array<double>)"))
+        .alias("dim", "x"))
+    return (
+        d.groupBy("centroid_id", "dim")
+        .agg(F.round(
+            F.sum(F.col("x").cast("decimal(28,10)")).cast("double")
+            / F.count(F.lit(1)), 6).alias("val"))
+    )
+
+
 def cosine_topk_ivf(emb: DataFrame, queries: DataFrame, k: int = 10,
                     n_centroids: int = 8, n_probe: int = 2,
                     id_col: str = "vec_id", vec_col: str = "embedding",

@@ -1957,7 +1957,45 @@ FROM ({SQL_DETECTION_STATS})
 """
 
 
+def q_ivf_refine(spark, sf_dir):
+    """IVF k-means refinement (one Lloyd iteration over the coarse lists):
+    per-centroid per-dimension means, decimal-exact across engines."""
+    from .operators import similarity
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = similarity.ivf_centroids(emb, 8)
+    assign = similarity.ivf_assign(emb, cents)
+    return similarity.ivf_refine(emb, assign)
+
+
+SQL_IVF_REFINE = r"""
+WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+           FROM embeddings WHERE vec_id < 8),
+av AS (SELECT e.vec_id, c.cid,
+              round(list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cv)
+                    / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                             CAST(e.embedding AS DOUBLE[])))
+                       * sqrt(list_dot_product(c.cv, c.cv))), 6) AS s
+       FROM embeddings e, c),
+assign AS (SELECT vec_id, cid FROM (
+             SELECT vec_id, cid,
+                    row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY s DESC, cid) AS rn
+             FROM av) WHERE rn = 1),
+j AS (SELECT a.cid AS centroid_id, e.embedding
+      FROM assign a JOIN embeddings e ON e.vec_id = a.vec_id),
+d AS (SELECT centroid_id,
+             CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM j)
+SELECT centroid_id, dim,
+       round(CAST(sum(CAST(x AS DECIMAL(28,10))) AS DOUBLE) / count(*), 6)
+         AS val
+FROM d GROUP BY centroid_id, dim
+"""
+
+
 QUERIES.update({
+    "q_ivf_refine": (q_ivf_refine, SQL_IVF_REFINE),
     "q_ann_ivf_topk": (q_ann_ivf_topk, SQL_ANN_IVF_TOPK),
     "q_detection_summary": (q_detection_summary, SQL_DETECTION_SUMMARY),
     "q_reading_order": (q_reading_order, SQL_READING_ORDER),
