@@ -626,6 +626,24 @@ def write_triples(triples: DataFrame, path: str) -> None:
     )
 
 
+def write_graph(result: dict[str, DataFrame], catalog,
+                prefix: str = "graph") -> None:
+    """Materialize the whole queryable knowledge graph through the table
+    catalog: the ``triples`` edge table (pred-partitioned, (pred, repo)-
+    parallel) and the ``nodes`` entity dim (with canonical ids + aliases)
+    — the Spark analog of the reference indexing both `eo-site` object
+    docs and their parent entities into the ES join index
+    (`elastic_retriever.py:360-613`). Query-time code
+    (:mod:`cosmos_spark.retrieval`) runs unchanged on the re-read
+    tables."""
+    catalog.write(result["triples"], f"{prefix}.triples",
+                  partition_by=("pred",), sort_within_by=("repo", "subj"))
+    nodes = result["entities"].select(
+        "entity_id", "canonical_name", "canonical_id", "aliases", "types")
+    catalog.write(nodes, f"{prefix}.nodes",
+                  sort_within_by=("canonical_name",))
+
+
 def sink_layout(triples: DataFrame) -> DataFrame:
     """The pre-write shuffle/sort layout of :func:`write_triples`, exposed
     so plan tests can pin its shape (hash on (pred, repo), never pred

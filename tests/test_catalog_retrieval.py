@@ -31,6 +31,29 @@ def test_catalog_roundtrip_partitioned(spark, graph, tmp_path_factory):
     assert "graph.triples" in " ".join(cat.tables())
 
 
+def test_write_graph_roundtrip_query(spark, graph, tmp_path_factory):
+    """Materialize the full graph through the catalog, then answer the
+    entity->objects query from the re-read tables — results identical to
+    querying the in-memory frames."""
+    from cosmos_spark.pipeline import write_graph
+    cat = Catalog(spark, str(tmp_path_factory.mktemp("wh_g")))
+    write_graph(graph, cat)
+    triples_rt = cat.read("graph.triples")
+    nodes_rt = cat.read("graph.nodes")
+    assert triples_rt.count() == graph["triples"].count()
+    assert nodes_rt.count() == graph["entities"].count()
+
+    ents = graph["entities"].toPandas()
+    merged = ents[ents["entity_id"] != ents["canonical_id"]]
+    canon_id = merged.iloc[0]["canonical_id"]
+    name = ents[ents["entity_id"] == canon_id].iloc[0]["canonical_name"]
+    mem = retrieval.entity_objects(graph["triples"], graph["entities"],
+                                   name).toPandas()
+    rt = retrieval.entity_objects(triples_rt, nodes_rt, name).toPandas()
+    assert set(rt["object_ref"]) == set(mem["object_ref"])
+    assert len(rt) > 0
+
+
 def test_bucketed_join_no_shuffle(spark, tmp_path_factory):
     """Co-located bucketed tables: an equi-join on the bucket key must plan
     with ZERO shuffle Exchange (the Iceberg bucket(key) / same-shard
