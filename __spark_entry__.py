@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from cosmos_spark.queries import QUERIES, _docs_as_source  # noqa: E402
+from cosmos_spark.queries import _docs_as_source, ordered_queries  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -31,9 +31,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: fn for name, (fn, _sql) in QUERIES.items()}
+    return {name: fn for name, (fn, _sql) in ordered_queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: sql for name, (_fn, sql) in QUERIES.items()
+    return {name: sql for name, (_fn, sql) in ordered_queries().items()
             if sql is not None}

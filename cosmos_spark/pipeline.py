@@ -311,12 +311,12 @@ def canonical_candidate_pairs(entities: DataFrame,
     )
 
 
-def _driver_union_find(rows) -> list[tuple[str, str]]:
-    """Union-find over collected (id_a, name_a, id_b, name_b) edge rows.
-    Returns only the non-identity (entity_id, canonical_id) mappings;
-    representative = min (canonical_name, entity_id) per component."""
+def _union_find_mapping(edges: list[tuple[str, str]],
+                        name: dict[str, str]) -> list[tuple[str, str]]:
+    """Union-find over (id_a, id_b) edges. Returns only the non-identity
+    (entity_id, canonical_id) mappings; representative = min
+    (canonical_name, entity_id) per component."""
     parent: dict[str, str] = {}
-    name: dict[str, str] = {}
 
     def find(x: str) -> str:
         while parent[x] != x:
@@ -324,12 +324,11 @@ def _driver_union_find(rows) -> list[tuple[str, str]]:
             x = parent[x]
         return x
 
-    for r in rows:
-        for i, n in ((r.id_a, r.name_a), (r.id_b, r.name_b)):
+    for ia, ib in edges:
+        for i in (ia, ib):
             if i not in parent:
                 parent[i] = i
-                name[i] = n
-        ra, rb = find(r.id_a), find(r.id_b)
+        ra, rb = find(ia), find(ib)
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
 
@@ -343,44 +342,166 @@ def _driver_union_find(rows) -> list[tuple[str, str]]:
     return mapping
 
 
+def _driver_union_find(rows) -> list[tuple[str, str]]:
+    """Union-find over collected (id_a, name_a, id_b, name_b) edge rows."""
+    name: dict[str, str] = {}
+    edges: list[tuple[str, str]] = []
+    for r in rows:
+        name[r.id_a] = r.name_a
+        name[r.id_b] = r.name_b
+        edges.append((r.id_a, r.id_b))
+    return _union_find_mapping(edges, name)
+
+
+def _driver_canonical_mapping(
+        rows,
+        num_hashes: int = CANON_NUM_HASHES,
+        max_bucket: int = CANON_MAX_BUCKET) -> list[tuple[str, str]]:
+    """Driver-side twin of ``canonical_candidate_pairs`` + union-find, run
+    when the entities dim itself fits on the driver (the adaptive fast
+    path of :func:`canonicalize`).
+
+    Same algorithm, vectorized in numpy instead of Catalyst HOFs: per-name
+    trigram sets (``kernels._trigrams`` — identical to the SQL trigram
+    expression), ``num_hashes`` trigram-MinHash blocking keys per name
+    (splitmix64 over crc32 trigram codes; the *bits* need not match the
+    distributed path — banding only generates candidates, recall comes
+    from the same 1-(1-J)^8 collision bound), buckets over ``max_bucket``
+    dropped, then candidates verified by EXACT trigram Jaccard >=
+    CANON_THRESHOLD (so the blocking hash never changes the edge set on
+    any pair it surfaces), then union-find with min-(name, id)
+    representatives. Semantics therefore match the distributed branch
+    edge-for-edge wherever both surface the candidate, with the identical
+    verify + component contract."""
+    import zlib
+
+    import numpy as np
+
+    ids: list[str] = []
+    names: list[str] = []
+    tgs: list[set] = []
+    for r in rows:
+        t = K._trigrams(r.canonical_name or "")
+        if t:
+            ids.append(r.entity_id)
+            names.append(r.canonical_name)
+            tgs.append(t)
+    if not ids:
+        return []
+
+    vocab: dict[str, int] = {}
+    flat: list[int] = []
+    offsets = [0]
+    for t in tgs:
+        for g in t:
+            gi = vocab.get(g)
+            if gi is None:
+                gi = vocab[g] = len(vocab)
+            flat.append(gi)
+        offsets.append(len(flat))
+    flat_ids = np.asarray(flat, dtype=np.int64)
+    starts = np.asarray(offsets[:-1], dtype=np.int64)
+    base = np.array([zlib.crc32(g.encode("utf-8")) for g in vocab],
+                    dtype=np.uint64)
+
+    cand: set[tuple[int, int]] = set()
+    n = len(ids)
+    for b in range(num_hashes):
+        # splitmix64 finalizer over (crc32(trigram), band)
+        h = base + np.uint64(b) * np.uint64(0x9E3779B97F4A7C15)
+        h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        h = h ^ (h >> np.uint64(31))
+        mins = np.minimum.reduceat(h[flat_ids], starts)
+        order = np.argsort(mins, kind="stable")
+        sm = mins[order]
+        run_starts = np.flatnonzero(np.r_[True, sm[1:] != sm[:-1]])
+        run_ends = np.r_[run_starts[1:], n]
+        for s, e in zip(run_starts, run_ends):
+            if 1 < e - s <= max_bucket:
+                members = order[s:e]
+                for i in range(len(members)):
+                    for j in range(i + 1, len(members)):
+                        a, c = members[i], members[j]
+                        cand.add((a, c) if a < c else (c, a))
+
+    thr = K.CANON_THRESHOLD
+    name_of = dict(zip(ids, names))
+    edges = []
+    for a, c in cand:
+        u = len(tgs[a] | tgs[c])
+        if u and len(tgs[a] & tgs[c]) / u >= thr:
+            edges.append((ids[a], ids[c]))
+    return _union_find_mapping(edges, name_of)
+
+
 CANON_DRIVER_CC_MAX_EDGES = 200_000
+CANON_DRIVER_DIM_MAX = 500_000
 
 
 def canonicalize(entities: DataFrame,
-                 driver_cc_max_edges: int = CANON_DRIVER_CC_MAX_EDGES
+                 driver_cc_max_edges: int = CANON_DRIVER_CC_MAX_EDGES,
+                 driver_dim_max: int = CANON_DRIVER_DIM_MAX
                  ) -> DataFrame:
     """Connected components over the multi-key-blocked similarity edges
     (the scale replacement for `link.py:113` drop_duplicates; fixpoint
     semantics from the reference's bbox merge, `group_cls.py:60-144`).
 
-    Edges come from :func:`canonical_candidate_pairs` (MinHash-band
-    blocking + exact verify — recall-safe across name prefixes). The CC
-    itself is *adaptive*, the same runtime size-switch AQE applies to join
-    strategies: the verified edge relation is orders smaller than the
-    corpus (it pairs near-identical distinct def names), so when
-    ``limit(max+1)`` proves it fits (<= driver_cc_max_edges, default 200k
-    ~= 30 MB), union-find runs driver-side in one job and the non-identity
-    mapping goes back as a broadcast join — zero shuffles added downstream.
-    Otherwise the iterative min-label CC (:mod:`operators.graph`) runs over
-    only the edge-incident nodes (isolated entities never enter the loop).
+    Edges come from MinHash-band blocking + exact verify — recall-safe
+    across name prefixes. The whole step is *adaptive*, the same runtime
+    size-switch AQE applies to join strategies, with a two-level cascade:
+
+    1. The entities dim (one row per distinct normalized def name — orders
+       smaller than the corpus) is probed with ``limit(dim_max+1)``. When
+       it fits (<= driver_dim_max, default 500k ~= 40 MB of short
+       strings), the ENTIRE blocking + verify + union-find runs
+       driver-side, numpy-vectorized (:func:`_driver_canonical_mapping`),
+       in the one job that also materializes the entities persist for the
+       downstream alias/same_as consumers — no Catalyst banding job at
+       all, and the mapping goes back as a broadcast join (zero shuffles
+       added downstream). This removed the pipeline's largest fixed eager
+       cost (~1.3 s of HOF banding codegen + execution per run at sf0.1).
+    2. Otherwise the distributed :func:`canonical_candidate_pairs` plan
+       builds the verified edges; ``limit(max+1)`` probes THEM, and when
+       they fit (<= driver_cc_max_edges, default 200k) union-find still
+       runs driver-side. The edge relation is persisted *before* the probe
+       so the overflow branch reuses the expensive LSH+verify computation
+       instead of recomputing it.
+    3. Else the iterative large/small-star CC (:mod:`operators.graph`)
+       runs over only the edge-incident nodes (isolated entities never
+       enter the loop).
+
     Representative per component = min (canonical_name, entity_id).
     Returns ``entities`` + ``canonical_id`` (canonical_id == entity_id for
     isolated/representative entities)."""
     spark = entities.sparkSession
     e = entities.select("entity_id", "canonical_name")
-    pairs = canonical_candidate_pairs(e)
     schema = "entity_id string, canonical_id string"
 
+    dim_head = e.limit(driver_dim_max + 1).collect()
+    if len(dim_head) <= driver_dim_max:
+        mapping = _driver_canonical_mapping(dim_head)
+        mdf = spark.createDataFrame(mapping or [], schema)
+        canon = F.broadcast(mdf)
+        return (
+            entities.join(canon, "entity_id", "left")
+            .withColumn("canonical_id",
+                        F.coalesce(F.col("canonical_id"),
+                                   F.col("entity_id")))
+        )
+
+    from pyspark import StorageLevel
+
+    pairs = canonical_candidate_pairs(e).persist(StorageLevel.MEMORY_AND_DISK)
     head = pairs.limit(driver_cc_max_edges + 1).collect()
     if len(head) <= driver_cc_max_edges:
+        pairs.unpersist()
         mapping = _driver_union_find(head)
         mdf = spark.createDataFrame(mapping or [], schema)
         canon = F.broadcast(mdf)
     else:
-        from pyspark import StorageLevel
-
         from .operators.graph import connected_components_star
-        edges = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+        edges = pairs
         nodes = (edges.select(F.col("id_a").alias("node"))
                  .unionByName(edges.select(F.col("id_b").alias("node")))
                  .distinct())
@@ -401,6 +522,10 @@ def canonicalize(entities: DataFrame,
         canon = (lab.join(rep, "component")
                  .filter(F.col("node") != F.col("canonical_id"))
                  .select(F.col("node").alias("entity_id"), "canonical_id"))
+        # connected_components_star localCheckpoints eagerly per round, so
+        # the persisted edge relation has been fully consumed by the time
+        # it returns — release it (cache-leak fix, ADVICE r2).
+        pairs.unpersist()
     return (
         entities.join(canon, "entity_id", "left")
         .withColumn("canonical_id",

@@ -114,21 +114,26 @@ def test_canonicalization_cross_prefix_recall(pipeline_result):
     assert (ent("xload_config"), ent("load_config")) in same
 
 
-def test_canonicalize_iterative_branch_matches_driver_branch(spark,
-                                                             source_df):
-    """The distributed iterative-CC fallback (forced via
-    driver_cc_max_edges=0) must produce exactly the driver union-find
-    mapping."""
+def test_canonicalize_all_three_branches_agree(spark, source_df):
+    """All levels of the adaptive cascade must produce the same mapping:
+    (1) dim-fits driver fast path (default), (2) distributed pairs +
+    driver union-find (forced via driver_dim_max=0), (3) distributed
+    iterative star-CC (forced via both =0)."""
     from cosmos_spark import pipeline as P
     mentions = P.mentions_of(P.segments_of(source_df))
     entities = P.entities_of(mentions).cache()
     a = P.canonicalize(entities).select(
         "entity_id", "canonical_id").toPandas()
-    b = P.canonicalize(entities, driver_cc_max_edges=0).select(
+    b = P.canonicalize(entities, driver_dim_max=0).select(
         "entity_id", "canonical_id").toPandas()
-    assert (set(zip(a["entity_id"], a["canonical_id"]))
-            == set(zip(b["entity_id"], b["canonical_id"])))
-    assert len(a) == len(b) == entities.count()
+    c = P.canonicalize(entities, driver_dim_max=0,
+                       driver_cc_max_edges=0).select(
+        "entity_id", "canonical_id").toPandas()
+    sa = set(zip(a["entity_id"], a["canonical_id"]))
+    sb = set(zip(b["entity_id"], b["canonical_id"]))
+    sc = set(zip(c["entity_id"], c["canonical_id"]))
+    assert sa == sb == sc
+    assert len(a) == len(b) == len(c) == entities.count()
     entities.unpersist()
 
 
