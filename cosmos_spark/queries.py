@@ -249,14 +249,15 @@ SELECT DISTINCT s_nationkey AS nationkey FROM supplier
 
 
 def q_pagination(spark, sf_dir):
-    """L1: deterministic page 2 (rows 31-60) of the order list."""
+    """L1: deterministic page 2 (rows 31-60) of the order list.
+    TakeOrderedAndProject shape (orderBy + limit(hi), rank over the <= 60
+    retained rows) — never a single-reducer window over the full table."""
+    from .operators import ranks
     orders = _t(spark, sf_dir, "orders")
-    w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
-    return (
-        orders.withColumn("rn", F.row_number().over(w))
-        .filter((F.col("rn") > 30) & (F.col("rn") <= 60))
-        .select("o_orderkey", "o_totalprice", "rn")
-    )
+    return ranks.paginate(
+        orders, [F.desc("o_totalprice"), F.asc("o_orderkey")],
+        page=1, per_page=30, rank_col="rn",
+    ).select("o_orderkey", "o_totalprice", "rn")
 
 
 SQL_PAGINATION = """
@@ -1380,13 +1381,18 @@ FROM documents
 
 def q_json_export(spark, sf_dir):
     """S7 analog (`parquet_to_json.py:12-104`): rows in deterministic
-    reading order, serialized to JSON — `orderBy + to_json` replaces the
-    reference's driver-side re-order + json.dump loop. Fields are non-null
-    (Spark's to_json drops null fields; DuckDB keeps them)."""
+    reading order, serialized to JSON — a bucketed distributed rank +
+    `to_json` replaces the reference's driver-side re-order + json.dump
+    loop (full-corpus exports never funnel through one reducer; see
+    operators.ranks.bucketed_rank). Fields are non-null (Spark's to_json
+    drops null fields; DuckDB keeps them)."""
     docs = _t(spark, sf_dir, "documents")
-    w = Window.orderBy("doc_id")
-    return docs.select(
-        "doc_id", F.row_number().over(w).alias("ord"),
+    from .operators import ranks
+    ranked = ranks.bucketed_rank(
+        docs.select("doc_id", "lang", "n_chars"), "doc_id", rank_col="ord",
+        bucket=F.floor(F.col("doc_id") / 1024))
+    return ranked.select(
+        "doc_id", "ord",
         F.to_json(F.struct("doc_id", "lang", "n_chars")).alias("doc_json"))
 
 

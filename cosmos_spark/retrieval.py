@@ -22,6 +22,8 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
+from .operators import ranks
+
 
 def search_segments(
     segments: DataFrame,
@@ -47,13 +49,11 @@ def search_segments(
         segments = segments.filter(F.col("kind").isin(*kinds))
     if min_score is not None:
         segments = segments.filter(F.col("score") >= min_score)
-    w = Window.orderBy(F.desc("score"), F.asc("seg_id"))
-    lo, hi = page * per_page, (page + 1) * per_page
-    return (
-        segments.withColumn("rn", F.row_number().over(w))
-        .filter((F.col("rn") > lo) & (F.col("rn") <= hi))
-        .drop("rn")
-    )
+    # TakeOrderedAndProject (per-partition top-hi + merge), never a
+    # single-reducer window over the full filtered result — a hot term at
+    # corpus scale would otherwise funnel everything through one task.
+    return ranks.paginate(
+        segments, [F.desc("score"), F.asc("seg_id")], page, per_page)
 
 
 def compile_search(node: dict, text_col: str = "text"):
@@ -98,14 +98,9 @@ def search(segments: DataFrame, query: dict, page: int = 0,
            per_page: int = 30) -> DataFrame:
     """Boolean-tree search + deterministic pagination (the full §3.3
     query path in one call)."""
-    w = Window.orderBy(F.desc("score"), F.asc("seg_id"))
-    lo, hi = page * per_page, (page + 1) * per_page
-    return (
-        segments.filter(compile_search(query))
-        .withColumn("rn", F.row_number().over(w))
-        .filter((F.col("rn") > lo) & (F.col("rn") <= hi))
-        .drop("rn")
-    )
+    return ranks.paginate(
+        segments.filter(compile_search(query)),
+        [F.desc("score"), F.asc("seg_id")], page, per_page)
 
 
 def resolve_entity(entities: DataFrame, name: str) -> DataFrame:
