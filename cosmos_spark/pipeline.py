@@ -97,27 +97,55 @@ def _entity_id_col(norm_col):
     )
 
 
-def segments_of(source: DataFrame) -> DataFrame:
+def _with_passthrough(base_schema: T.StructType, source: DataFrame,
+                      passthrough: tuple[str, ...]) -> T.StructType:
+    """base kernel schema + the passthrough columns (typed from source)."""
+    out = T.StructType(list(base_schema.fields))
+    for c in passthrough:
+        out = out.add(source.schema[c])
+    return out
+
+
+def segments_of(source: DataFrame,
+                passthrough: tuple[str, ...] = ()) -> DataFrame:
     """source -> segments. Narrow mapInPandas — the whole segmentation stage
     fuses with the scan (reference: one Dask task + pickle per page,
-    `ingest.py:156-169`)."""
+    `ingest.py:156-169`).
+
+    ``passthrough`` columns (e.g. an event-time ``ingested_at``) are
+    carried from the source row onto every derived segment row via an
+    in-batch (repo, path) merge — exact under the unique-(repo, path)
+    source invariant, still row-local (no shuffle)."""
     src = source
     if "content_sha256" not in src.columns:
         src = src.withColumn("content_sha256", F.sha2(F.col("content"), 256))
 
     def fn(it):
         for pdf in it:
-            yield K.segment_kernel(pdf)
+            out = K.segment_kernel(pdf)
+            if passthrough:
+                out = out.merge(pdf[["repo", "path", *passthrough]],
+                                on=["repo", "path"], how="left")
+            yield out
 
-    return src.mapInPandas(fn, SEGMENT_SCHEMA)
+    return src.mapInPandas(
+        fn, _with_passthrough(SEGMENT_SCHEMA, src, passthrough))
 
 
-def mentions_of(segments: DataFrame) -> DataFrame:
+def mentions_of(segments: DataFrame,
+                passthrough: tuple[str, ...] = ()) -> DataFrame:
     def fn(it):
         for pdf in it:
-            yield K.mention_kernel(pdf)
+            out = K.mention_kernel(pdf)
+            if passthrough:
+                out = out.merge(
+                    pdf[["repo", "path", *passthrough]].drop_duplicates(
+                        ["repo", "path"]),
+                    on=["repo", "path"], how="left")
+            yield out
 
-    return segments.mapInPandas(fn, MENTION_SCHEMA)
+    return segments.mapInPandas(
+        fn, _with_passthrough(MENTION_SCHEMA, segments, passthrough))
 
 
 SEG_MARKER = "_seg"

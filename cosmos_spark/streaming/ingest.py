@@ -46,18 +46,23 @@ def stream_mention_counts(spark: SparkSession, source_dir: str,
                           window: str = "1 minute",
                           watermark: str = "2 minutes") -> DataFrame:
     """Windowed mention counts per kind with late-data watermark — the
-    stateful-aggregation shape (counts analog of A6 class counters)."""
+    stateful-aggregation shape (counts analog of A6 class counters).
+
+    Event time is the source row's ``ingested_at``, propagated through
+    both kernel stages (the ``passthrough`` merge in
+    ``segments_of``/``mentions_of`` — row-local, no shuffle), so the
+    watermark guards true event time: a row arriving more than
+    ``watermark`` behind the max observed ``ingested_at`` is dropped and
+    its finalized window is never revised (asserted by the late-data
+    pytest)."""
     src = (
         spark.readStream.schema(SOURCE_SCHEMA)
         .parquet(source_dir)
         .withColumn("content_sha256", F.sha2(F.col("content"), 256))
     )
-    segs = P.segments_of(src.drop("ingested_at"))
-    # re-attach event time by joining is overkill for counts; file sources
-    # carry ingested_at on the row — propagate it through the kernel input
-    mentions = P.mentions_of(segs)
-    # streaming aggregations need an event-time column: stamp arrival time
-    stamped = mentions.withColumn("event_time", F.current_timestamp())
+    segs = P.segments_of(src, passthrough=("ingested_at",))
+    mentions = P.mentions_of(segs, passthrough=("ingested_at",))
+    stamped = mentions.withColumn("event_time", F.col("ingested_at"))
     return (
         stamped.withWatermark("event_time", watermark)
         .groupBy(F.window("event_time", window).alias("win"),
@@ -133,18 +138,49 @@ FIRST_SEEN_STATE = T.StructType([
     T.StructField("hashes", T.ArrayType(T.StringType())),
 ])
 
+FIRST_SEEN_BLOOM_STATE = T.StructType([
+    T.StructField("n_seen", T.LongType()),
+    T.StructField("bloom", T.BinaryType()),
+])
 
-def stream_first_seen(spark: SparkSession, source_dir: str) -> DataFrame:
+_BLOOM_K = 4  # hash functions per key (4 x 8 hex chars of the sha256)
+
+
+def _bloom_probe_insert(bloom: bytearray, h: str) -> bool:
+    """Insert sha256-hex ``h``; returns True if it was (probably) already
+    present. Indices = 4 independent 32-bit slices of the hash itself —
+    deterministic, no extra hashing."""
+    m = len(bloom) * 8
+    present = True
+    for i in range(_BLOOM_K):
+        idx = int(h[i * 8:(i + 1) * 8], 16) % m
+        byte, bit = divmod(idx, 8)
+        if not (bloom[byte] >> bit) & 1:
+            present = False
+            bloom[byte] |= 1 << bit
+    return present
+
+
+def stream_first_seen(spark: SparkSession, source_dir: str,
+                      bloom_bytes: int | None = None) -> DataFrame:
     """Custom stateful streaming operator via ``applyInPandasWithState``:
-    per-repo streaming exact-dedup counters. The group state holds the set
-    of content hashes seen so far; each micro-batch emits how many rows
-    were first-seen vs duplicate.
+    per-repo streaming exact-dedup counters. Each micro-batch emits how
+    many rows were first-seen vs duplicate.
 
-    This is the S10 job-cache / U4 dedup analog in continuous mode. Scale
-    note: the in-state hash set is the demonstration layout — at 100 TB
-    the state store (RocksDB on executors) holds it fine per-repo-shard,
-    but an unbounded-retention deployment would swap the exact set for a
-    bloom filter or attach a state TTL (``GroupStateTimeout``)."""
+    This is the S10 job-cache / U4 dedup analog in continuous mode. Two
+    state layouts:
+
+    - ``bloom_bytes=None`` (exact, default for tests): state = the unsorted
+      hash list. Append-only merge, no per-batch re-sort; serialization is
+      still O(total seen) per batch per key — the demonstration layout.
+    - ``bloom_bytes=N`` (bounded, the retention deployment): state = a
+      (count, N-byte bloom filter) pair — CONSTANT serialization per batch
+      regardless of history. Bit indices are 32-bit slices of the sha256
+      itself (deterministic, no RNG). "new" becomes probabilistic: a false
+      positive undercounts n_new by at most the bloom FP rate (~(s*k/8N)^k
+      after s insertions); size N for the expected per-repo cardinality.
+      A ``GroupStateTimeout`` TTL composes with either layout for
+      bounded-retention deployments."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -154,8 +190,9 @@ def stream_first_seen(spark: SparkSession, source_dir: str) -> DataFrame:
         .withColumn("content_sha256", F.sha2(F.col("content"), 256))
     )
 
-    def fn(key, pdfs, state: GroupState):
-        seen = set(state.get[0]) if state.exists else set()
+    def fn_exact(key, pdfs, state: GroupState):
+        hashes = list(state.get[0]) if state.exists else []
+        seen = set(hashes)
         n_new = n_dup = 0
         for pdf in pdfs:
             for h in pdf["content_sha256"]:
@@ -163,14 +200,35 @@ def stream_first_seen(spark: SparkSession, source_dir: str) -> DataFrame:
                     n_dup += 1
                 else:
                     seen.add(h)
+                    hashes.append(h)
                     n_new += 1
-        state.update((sorted(seen),))
+        state.update((hashes,))
         yield pd.DataFrame([{"repo": key[0], "n_new": n_new,
                              "n_dup": n_dup, "n_seen_total": len(seen)}])
 
+    def fn_bloom(key, pdfs, state: GroupState):
+        if state.exists:
+            n_seen, bloom = state.get
+            bloom = bytearray(bloom)
+        else:
+            n_seen, bloom = 0, bytearray(bloom_bytes)
+        n_new = n_dup = 0
+        for pdf in pdfs:
+            for h in pdf["content_sha256"]:
+                if _bloom_probe_insert(bloom, h):
+                    n_dup += 1
+                else:
+                    n_new += 1
+        n_seen += n_new
+        state.update((n_seen, bytes(bloom)))
+        yield pd.DataFrame([{"repo": key[0], "n_new": n_new,
+                             "n_dup": n_dup, "n_seen_total": n_seen}])
+
+    fn = fn_exact if bloom_bytes is None else fn_bloom
+    schema = FIRST_SEEN_STATE if bloom_bytes is None else FIRST_SEEN_BLOOM_STATE
     return (
         src.groupBy("repo")
-        .applyInPandasWithState(fn, FIRST_SEEN_OUTPUT, FIRST_SEEN_STATE,
+        .applyInPandasWithState(fn, FIRST_SEEN_OUTPUT, schema,
                                 "append", GroupStateTimeout.NoTimeout)
     )
 

@@ -94,6 +94,102 @@ def test_stream_triples_match_batch(spark, tmp_path, corpus_pdf):
     assert len(got) == len(key(got))
 
 
+def test_stream_first_seen_bloom_state_bounded(spark, tmp_path):
+    """bloom_bytes mode: same counters across checkpointed drains (no
+    false positives at this size), with CONSTANT state size — the bloom
+    binary in the state store stays exactly bloom_bytes long however many
+    hashes accumulate."""
+    src = str(tmp_path / "bsrc")
+    ck = str(tmp_path / "bck")
+    out = str(tmp_path / "bout")
+
+    def drain():
+        q = (ingest.stream_first_seen(spark, src, bloom_bytes=256)
+             .writeStream.outputMode("append").format("parquet")
+             .option("path", out).option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        return spark.read.parquet(out).toPandas()
+
+    def state_bloom_lens():
+        st = (spark.read.format("statestore").load(ck).toPandas())
+        return sorted(len(b) for b in st["value"].map(
+            lambda v: v["groupState"]["bloom"]))
+
+    _write_batch(spark, src, [
+        {"repo": "r1", "path": "a", "commit": "c", "lang": "py",
+         "content": "X"},
+        {"repo": "r1", "path": "b", "commit": "c", "lang": "py",
+         "content": "X"},
+    ])
+    t1 = drain()
+    assert (t1["n_new"].sum(), t1["n_dup"].sum()) == (1, 1)
+    lens1 = state_bloom_lens()
+
+    _write_batch(spark, src, [
+        {"repo": "r1", "path": "d", "commit": "c", "lang": "py",
+         "content": "X"},
+        {"repo": "r1", "path": "e", "commit": "c", "lang": "py",
+         "content": "Z"},
+        {"repo": "r1", "path": "f", "commit": "c", "lang": "py",
+         "content": "W"},
+    ])
+    t2 = drain()
+    r1 = t2[t2["repo"] == "r1"]
+    assert r1["n_new"].sum() == 3          # X, Z, W
+    assert r1["n_dup"].sum() == 2          # X dup in each batch
+    assert r1["n_seen_total"].max() == 3
+    lens2 = state_bloom_lens()
+    assert lens1 == [256] and lens2 == [256]  # flat, not O(seen)
+
+
+def test_stream_mention_counts_drops_late_rows(spark, tmp_path):
+    """Real event-time semantics: a row whose ingested_at is older than
+    the watermark must be dropped — its already-finalized window is never
+    revised and no duplicate window row is appended (VERDICT r2 #4)."""
+    src = str(tmp_path / "lsrc")
+    ck = str(tmp_path / "lck")
+    out_dir = str(tmp_path / "lout")
+
+    def write(rows, ts):
+        pdf = pd.DataFrame(rows)
+        pdf["ingested_at"] = pd.Timestamp(ts)
+        (spark.createDataFrame(pdf).write.mode("append").parquet(src))
+
+    def drain():
+        q = (ingest.stream_mention_counts(spark, src)
+             .writeStream.outputMode("append").format("parquet")
+             .option("path", out_dir)
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        return spark.read.parquet(out_dir).toPandas()
+
+    f = {"commit": "c", "lang": "py"}
+    # batch 1: two defs inside the 10:00:00 window
+    write([{"repo": "r", "path": "a", "content": "def alpha():\n    return 1",
+            **f},
+           {"repo": "r", "path": "b", "content": "def beta():\n    return 2",
+            **f}], "2026-01-01 10:00:30")
+    drain()
+    # batch 2: fresh row far ahead -> watermark will pass 10:01
+    write([{"repo": "r", "path": "c", "content": "def gamma():\n    return 3",
+            **f}], "2026-01-01 10:10:00")
+    drain()
+    # batch 3: one LATE def back in the finalized 10:00 window (must be
+    # dropped) + one fresh row keeping the stream moving
+    write([{"repo": "r", "path": "late", "content":
+            "def late_fn():\n    return 9", **f}], "2026-01-01 10:00:40")
+    write([{"repo": "r", "path": "d", "content": "def delta():\n    return 4",
+            **f}], "2026-01-01 10:12:00")
+    out = drain()
+
+    w0 = out[(out["start"] == pd.Timestamp("2026-01-01 10:00:00"))
+             & (out["mention_kind"] == "def")]
+    assert len(w0) == 1                    # finalized exactly once
+    assert int(w0["n_mentions"].iloc[0]) == 2   # alpha+beta, late_fn dropped
+
+
 def test_stream_mention_counts_watermarked(spark, tmp_path, corpus_pdf):
     """The watermarked windowed aggregation drains under availableNow and
     produces per-kind mention counts."""
