@@ -170,6 +170,16 @@ def _cap_overflow_files(agg: pd.DataFrame, norm: pd.Series,
             segs = _coarse_segments(lines, min_run)
             if len(segs) <= max_segments:
                 break
+        if len(segs) > max_segments:
+            # depth exhausted (blank runs longer than the coarsest
+            # separator never appear): HARD cap, like the reference's
+            # 19-proposal limit — merge the whole tail into one segment
+            # spanning from the first overflow segment to EOF (interior
+            # blanks included; degenerate files earn a degenerate tail).
+            head = segs[:max_segments - 1]
+            s0 = segs[max_segments - 1][0]
+            e_last = segs[-1][1]
+            segs = head + [(s0, e_last, "\n".join(lines[s0 - 1:e_last]))]
         rows.extend((fi, s, e, t) for s, e, t in segs)
     coarse = pd.DataFrame(rows, columns=["fi", "line_start", "line_end",
                                          "text"])

@@ -12,7 +12,11 @@ from __future__ import annotations
 
 import numpy as np
 
-IOU_THRESHOLDS = np.arange(0.5, 1.0, 0.05)
+# exact COCO grid: rounded, not raw arange — accumulated float error
+# (0.8500000000000001) would fail predictions sitting exactly ON a
+# threshold (ADVICE r2). Rounding pins each threshold to the nearest
+# double of the decimal literal, bit-equal to an IoU that computes to it.
+IOU_THRESHOLDS = np.round(np.linspace(0.5, 0.95, 10), 2)
 
 
 def span_iou(a: tuple[float, float], b: tuple[float, float]) -> float:

@@ -60,9 +60,13 @@ def decode_media_header(payload: bytes) -> tuple[int, int]:
     (sample_rate, n_channels) as the dims analog. Anything else raises
     ``NotImplementedError`` — sample-level decode needs PIL/ffmpeg."""
     if payload[:8] == _PNG_MAGIC and payload[12:16] == b"IHDR":
+        if len(payload) < 24:  # truncated after the IHDR tag
+            raise ValueError("truncated PNG: IHDR dims missing")
         return (int.from_bytes(payload[16:20], "big"),
                 int.from_bytes(payload[20:24], "big"))
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        if len(payload) < 28:  # truncated before the fmt fields
+            raise ValueError("truncated WAV: fmt chunk missing")
         sample_rate = int.from_bytes(payload[24:28], "little")
         channels = int.from_bytes(payload[22:24], "little")
         return sample_rate, channels

@@ -146,6 +146,22 @@ def test_segment_cap_recursion():
     assert list(small["kind"]) == ["import_block", "function"]
 
 
+def test_segment_cap_is_hard_after_depth_exhaustion():
+    """ADVICE r2: >cap blocks separated by runs >= the coarsest separator
+    (5 blanks) must STILL come out <= cap — the tail merges into one
+    EOF-spanning segment, like the reference's hard 19-proposal limit."""
+    content = ("\n" * 6).join(f"x{i} = {i}" for i in range(300))
+    segs = K.segment_kernel(_one("r", "worst.py", "python", content))
+    assert len(segs) == K.MAX_SEGMENTS_PER_FILE
+    tail = segs.iloc[-1]
+    n_lines = content.count("\n") + 1
+    assert tail["line_end"] == n_lines        # tail runs to EOF
+    assert "x299 = 299" in tail["text"]       # last block retained
+    # spans stay ordered and disjoint through the merge
+    assert (segs["line_start"].values[1:]
+            > segs["line_end"].values[:-1]).all()
+
+
 def test_segment_cap_not_triggered_below_threshold():
     content = "\n\n".join(f"b{i} = {i}" for i in range(50))
     segs = K.segment_kernel(_one("r", "ok.py", "python", content))

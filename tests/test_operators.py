@@ -293,6 +293,18 @@ def test_multimodal_real_header_decode(spark):
     assert (feats.loc["wav1", "width"], feats.loc["wav1", "height"]) == (16000, 1)
 
 
+def test_multimodal_truncated_payload_raises():
+    """ADVICE r2: a payload cut off right after the magic/IHDR tag must
+    raise, not return garbage (0, 0) dims from short-slice int parses."""
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="truncated PNG"):
+        multimodal.decode_media_header(_png_bytes(640, 480)[:16])
+    with _pytest.raises(ValueError, match="truncated WAV"):
+        multimodal.decode_media_header(_wav_bytes(44100, 2)[:12])
+    with _pytest.raises(NotImplementedError):
+        multimodal.decode_media_header(b"\x00\x01\x02")
+
+
 def test_resize_media_png_header_surgery(spark):
     """resize_media rewrites PNG IHDR dims with a valid recomputed CRC;
     non-PNG payloads pass through untouched."""

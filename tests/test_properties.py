@@ -112,13 +112,14 @@ def test_subsegment_invariants(contents):
 
 
 @settings(max_examples=25, deadline=None)
-@given(st.lists(st.integers(min_value=0, max_value=3),
+@given(st.lists(st.integers(min_value=0, max_value=8),
                 min_size=1, max_size=400),
        st.integers(min_value=4, max_value=32))
 def test_segment_cap_bounds_output(gaps, cap):
-    """G2: for any blank-run structure, the capped kernel emits at most
-    max(max_segments, what the coarsest pass yields) segments, and line
-    spans stay in-file and ordered."""
+    """G2: for ANY blank-run structure — including runs the coarsest
+    separator cannot collapse — the capped kernel emits at most
+    max_segments segments (hard bound, ADVICE r2), with line spans
+    in-file, ordered, disjoint."""
     # build a file of one-line blocks separated by `gaps[i]` blank lines
     parts = []
     for i, g in enumerate(gaps):
@@ -127,8 +128,6 @@ def test_segment_cap_bounds_output(gaps, cap):
     content = "\n".join(parts)
     src = _src([content])
     seg = K.segment_kernel(src, max_segments=cap)
-    # separators here are at most 4 blank lines, so the coarsest pass
-    # (min_run=5) always collapses to one segment -> the cap always holds
     assert len(seg) <= cap
     n_lines = content.count("\n") + 1
     assert (seg["line_start"] >= 1).all()
