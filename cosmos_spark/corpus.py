@@ -112,11 +112,14 @@ def _java_file(rng: random.Random, repo: str, fidx: int) -> str:
 
 def _md_file(rng: random.Random, repo: str, fidx: int) -> str:
     stem = rng.choice(STEMS)
-    return (
+    body = (
         f"# Notes {fidx}\n\n"
         f"This doc mentions {stem} and the ﬁle format.\n\n"
         f"- item one\n- item two\n"
     )
+    if fidx % 3 == 0:  # M2 fixture: display-math block -> equation kind
+        body += f"\n$$\nE_{{{fidx}}} = m \\cdot c^2 + {fidx}\n$$\n"
+    return body
 
 
 def _file_row(seed: int, repo: str, fidx: int) -> dict:
@@ -150,6 +153,10 @@ def _edge_rows() -> list[dict]:
         # hyphen line-wrap (dehyphenation analog)
         {"repo": edge_repo, "path": "wrap.md", "lang": "md",
          "content": "# wrap\n\nThis uses a config-\nuration value.\n"},
+        # M2: LaTeX equation environment -> equation kind
+        {"repo": edge_repo, "path": "eq.md", "lang": "md",
+         "content": ("# eq\n\n\\begin{equation}\nx^2 + y^2 = z^2\n"
+                     "\\end{equation}\n\n$$\na = b + c\n$$\n")},
     ]
     # cross-prefix canonicalization variants: xload_config ~ load_config has
     # trigram J = 0.9 but the names differ in their first 4 chars — a

@@ -41,6 +41,7 @@ KIND_FUNCTION = "function"
 KIND_CLASS = "class"
 KIND_IMPORT = "import_block"
 KIND_COMMENT = "comment"
+KIND_EQUATION = "equation"
 KIND_OTHER = "other"
 
 KIND_SCORES = {
@@ -48,6 +49,7 @@ KIND_SCORES = {
     KIND_CLASS: 0.98,
     KIND_IMPORT: 0.95,
     KIND_COMMENT: 0.90,
+    KIND_EQUATION: 0.97,
     KIND_OTHER: 0.50,
 }
 
@@ -106,6 +108,15 @@ def _classify_segments(texts: pd.Series) -> tuple:
     """(kind ndarray, score ndarray) for an array of segment texts —
     shared by the fine (vectorized) and coarse (capped) paths."""
     first_line = texts.str.split("\n").str[0]
+    # M2 analog: the reference routes math regions through a dedicated MFD
+    # detector channel (`connected_components.py:225-253`) whose rows get
+    # their own aggregation path (`make_parquet.py:515-516`). Here the
+    # math channel is a segment kind: display-math blocks ($$-opened, the
+    # markdown/LaTeX convention) or LaTeX equation environments. Checked
+    # FIRST — a separate detector outranks the layout classes.
+    is_equation = (first_line.str.match(r"[ \t]*\$\$")
+                   | first_line.str.match(
+                       r"[ \t]*\\begin\{(?:equation|align)"))
     is_func = (
         first_line.str.match(r"[ \t]*def[ \t]+\w+")
         | first_line.str.match(
@@ -117,9 +128,10 @@ def _classify_segments(texts: pd.Series) -> tuple:
                                     regex=True)
     is_comment = ~texts.str.contains(r"(?m)^[ \t]*[^#/\-\s]", regex=True)
     kind = np.select(
-        [is_func.to_numpy(), is_class.to_numpy(), is_import.to_numpy(),
-         is_comment.to_numpy()],
-        [KIND_FUNCTION, KIND_CLASS, KIND_IMPORT, KIND_COMMENT],
+        [is_equation.to_numpy(), is_func.to_numpy(), is_class.to_numpy(),
+         is_import.to_numpy(), is_comment.to_numpy()],
+        [KIND_EQUATION, KIND_FUNCTION, KIND_CLASS, KIND_IMPORT,
+         KIND_COMMENT],
         default=KIND_OTHER,
     )
     score = pd.Series(kind).map(KIND_SCORES).to_numpy()

@@ -561,10 +561,27 @@ def q_kg_segments(spark, sf_dir):
                        "line_start", "line_end", "content_sha256")
 
 
+# The kind CASE mirrors kernels._classify_segments' precedence (equation
+# -> function -> class -> import -> comment -> other) for SINGLE-LINE
+# segments — the import_block arm uses the single-line equivalence
+# (first word import/from) because RE2 lacks the kernel's negative
+# lookahead; the synthetic docs are single-line so the two agree.
 SQL_KG_SEGMENTS = r"""
 SELECT source AS repo, CAST(doc_id AS VARCHAR) AS path,
        substr(sha256(source || '|' || CAST(doc_id AS VARCHAR) || '|1|1|' || text), 1, 16) AS seg_id,
-       'other' AS kind, 1 AS line_start, 1 AS line_end,
+       CASE
+         WHEN regexp_matches(text, '^[ \t]*(\$\$|\\begin\{(equation|align))')
+           THEN 'equation'
+         WHEN regexp_matches(text, '^[ \t]*def[ \t]+\w+')
+           OR regexp_matches(text, '^[ \t]*((public|private|protected|static|final)[ \t]+)*(int|void|String|float|double|boolean|long)[ \t]+\w+[ \t]*\(')
+           THEN 'function'
+         WHEN regexp_matches(text, '^[ \t]*(public[ \t]+)?class[ \t]+\w+')
+           THEN 'class'
+         WHEN regexp_matches(text, '^[ \t]*(import|from)\b') THEN 'import_block'
+         WHEN NOT regexp_matches(text, '(?m)^[ \t]*[^#/\-\s]') THEN 'comment'
+         ELSE 'other'
+       END AS kind,
+       1 AS line_start, 1 AS line_end,
        sha256(text) AS content_sha256
 FROM documents WHERE regexp_matches(text, '\S')
 """

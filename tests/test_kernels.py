@@ -146,6 +146,26 @@ def test_segment_cap_recursion():
     assert list(small["kind"]) == ["import_block", "function"]
 
 
+def test_equation_kind_classification():
+    """M2 analog: display-math blocks ($$-opened) and LaTeX equation
+    environments get their own 'equation' kind — checked before the
+    layout classes, like the reference's dedicated MFD detector channel
+    (`connected_components.py:225-253`)."""
+    content = ("# eq doc\n\n"
+               "$$\nE = m c^2\n$$\n\n"
+               "\\begin{equation}\nx + y = z\n\\end{equation}\n\n"
+               "def f(x):\n    return x\n")
+    segs = K.segment_kernel(_one("r", "eq.md", "md", content))
+    kinds = list(segs["kind"])
+    assert kinds == ["comment", "equation", "equation", "function"]
+    eq = segs[segs["kind"] == "equation"]
+    assert (eq["score"] == K.KIND_SCORES[K.KIND_EQUATION]).all()
+    # equation segments are NOT prose: no snake_case ref mentions leak out
+    m = K.mention_kernel(segs)
+    assert not set(m.loc[m["mention_kind"] == "ref", "seg_id"]) \
+        & set(eq["seg_id"])
+
+
 def test_segment_cap_is_hard_after_depth_exhaustion():
     """ADVICE r2: >cap blocks separated by runs >= the coarsest separator
     (5 blanks) must STILL come out <= cap — the tail merges into one

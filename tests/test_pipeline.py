@@ -137,6 +137,18 @@ def test_canonicalize_all_three_branches_agree(spark, source_df):
     entities.unpersist()
 
 
+def test_equation_segments_in_corpus(spark, source_df, corpus_pdf):
+    """M2: the corpus's display-math fixtures come out as 'equation'
+    segments, count-exact (one per $$ block + one per equation env)."""
+    from cosmos_spark import pipeline as P
+    segs = P.segments_of(source_df).toPandas()
+    n_eq = int((segs["kind"] == "equation").sum())
+    expected = (sum(c.count("$$") // 2 for c in corpus_pdf["content"])
+                + sum(c.count("\\begin{equation}")
+                      for c in corpus_pdf["content"]))
+    assert n_eq == expected > 0
+
+
 def test_multi_commit_source_dedups_all_families(spark, corpus_pdf):
     """source_unique_paths=False: duplicate (repo, path) rows (multi-commit
     snapshots) must not duplicate ANY triple family (ADVICE r1)."""
