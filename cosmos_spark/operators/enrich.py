@@ -99,25 +99,38 @@ def stats_summary(per: DataFrame) -> DataFrame:
 
 TABLE_ROW_SCHEMA = T.StructType([
     T.StructField("id", T.StringType()),
+    T.StructField("table_idx", T.IntegerType()),
     T.StructField("row_idx", T.IntegerType()),
     T.StructField("n_cols", T.IntegerType()),
-    T.StructField("c0", T.StringType()),
-    T.StructField("c1", T.StringType()),
-    T.StructField("c2", T.StringType()),
+    T.StructField("cells", T.ArrayType(T.StringType())),
+    T.StructField("header", T.ArrayType(T.StringType())),
 ])
 
 _CSV_LINE = re.compile(r"^[^,\n]+(?:,[^,\n]+)+$")
+_NUMERIC_CELL = re.compile(r"^\s*-?\d+(?:\.\d+)?\s*$")
 
 
 def extract_table_rows(df: DataFrame, id_col: str,
                        text_col: str) -> DataFrame:
-    """Parse comma-delimited table lines out of a text blob into typed rows
-    (id, row_idx, n_cols, c0..c2). Lines that do not look like table rows
-    are skipped; row_idx counts surviving rows per blob in line order.
+    """Parse comma-delimited table blocks out of a text blob into the
+    DataFrame-per-table shape of the reference's camelot path
+    (`table_extraction.py:172-307`: each detected table becomes a pandas
+    DataFrame with inferred column headers).
+
+    - A *table* is a maximal run of consecutive delimited lines;
+      ``table_idx`` numbers tables per blob in line order.
+    - Column count is variable: ``cells`` is the full ``array<string>``
+      split (``n_cols`` its length); ragged rows keep their own width.
+    - *Header inference*: a table's first line is its header iff the
+      table has >= 2 lines and none of the first line's cells parse as a
+      number — the camelot-style heuristic, deterministic and
+      SQL-replicable. The header row is not emitted as data; its cells
+      ride along on every data row of that table (null when no header).
+    - ``row_idx`` counts DATA rows per table.
 
     The per-blob parse is imperative (the camelot analog) but batch-
-    vectorized: one pandas explode + regex filter per Arrow batch inside
-    ``mapInPandas`` — blobs never leave the executor."""
+    vectorized: one pandas explode + vectorized run/group ops per Arrow
+    batch inside ``mapInPandas`` — blobs never leave the executor."""
 
     def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -125,20 +138,37 @@ def extract_table_rows(df: DataFrame, id_col: str,
                 continue
             lines = pdf[text_col].fillna("").str.split("\n")
             ex = lines.explode()
-            keep = ex.str.match(_CSV_LINE.pattern, na=False)
-            ex = ex[keep]
-            if ex.empty:
-                continue
-            ids = pdf.loc[ex.index, id_col].astype(str).reset_index(drop=True)
-            cells = ex.str.split(",").reset_index(drop=True)
-            out = pd.DataFrame({
-                "id": ids,
-                "row_idx": ids.groupby(ids).cumcount().astype("int32"),
-                "n_cols": cells.map(len).astype("int32"),
-                "c0": cells.str[0],
-                "c1": cells.str[1],
-                "c2": cells.str[2],
+            d = pd.DataFrame({
+                "bi": ex.index.to_numpy(),
+                "line": ex.to_numpy(dtype=object),
             })
-            yield out
+            d["line"] = d["line"].fillna("")
+            d["is_t"] = d["line"].str.match(_CSV_LINE.pattern, na=False)
+            prev_t = (d["is_t"].shift(fill_value=False)
+                      & (d["bi"] == d["bi"].shift()))
+            d["tid"] = (d["is_t"] & ~prev_t).cumsum()
+            d = d[d["is_t"]]
+            if d.empty:
+                continue
+            d = d.copy()
+            d["table_idx"] = (d.groupby("bi")["tid"]
+                              .rank(method="dense").astype("int32") - 1)
+            d["cells"] = d["line"].str.split(",")
+            d["pos"] = d.groupby("tid").cumcount()
+            size = d.groupby("tid")["tid"].transform("size")
+            first_nonnum = d["cells"].map(
+                lambda cs: not any(_NUMERIC_CELL.match(c) for c in cs))
+            d["is_header"] = (d["pos"] == 0) & (size >= 2) & first_nonnum
+            hdr_map = (d.loc[d["is_header"]]
+                       .set_index("tid")["cells"].to_dict())
+            d["header"] = d["tid"].map(lambda t: hdr_map.get(t))
+            out = d[~d["is_header"]].copy()
+            if out.empty:
+                continue
+            out["id"] = pdf.loc[out["bi"], id_col].astype(str).to_numpy()
+            out["row_idx"] = out.groupby("tid").cumcount().astype("int32")
+            out["n_cols"] = out["cells"].map(len).astype("int32")
+            yield out[["id", "table_idx", "row_idx", "n_cols", "cells",
+                       "header"]]
 
     return df.mapInPandas(fn, TABLE_ROW_SCHEMA)

@@ -1518,8 +1518,8 @@ FROM pr
 
 def _csv_source(spark, sf_dir):
     """Deterministic CSV-blob corpus built from documents: one blob per
-    source with a non-table header line + one 'doc_id,lang,n_chars' row per
-    doc in doc_id order."""
+    source with a non-table prologue line, a 'doc_id,lang,n_chars' header
+    row, then one data row per doc in doc_id order."""
     docs = _t(spark, sf_dir, "documents")
     line = F.concat_ws(",", F.col("doc_id").cast("string"), F.col("lang"),
                        F.col("n_chars").cast("string"))
@@ -1528,7 +1528,7 @@ def _csv_source(spark, sf_dir):
         .groupBy("source")
         .agg(F.array_sort(F.collect_list("s")).alias("ss"))
         .select(F.col("source").alias("id"),
-                F.concat(F.lit("# table dump\n"),
+                F.concat(F.lit("# table dump\ndoc_id,lang,n_chars\n"),
                          F.array_join(F.expr("transform(ss, x -> x.l)"),
                                       "\n")).alias("content"))
     )
@@ -1536,20 +1536,27 @@ def _csv_source(spark, sf_dir):
 
 def q_table_extract(spark, sf_dir):
     """S11 analog (`table_extraction.py:131-169,172-307`): parse delimited
-    table blocks inside text blobs into typed rows via a mapInPandas
-    enrichment."""
+    table blocks inside text blobs into the DataFrame-per-table shape —
+    per-blob table runs, variable-width array cells, inferred header row
+    attached to every data row. Arrays are '|'-joined for the
+    cross-engine value compare."""
     from .operators import enrich
-    return enrich.extract_table_rows(_csv_source(spark, sf_dir),
+    rows = enrich.extract_table_rows(_csv_source(spark, sf_dir),
                                      "id", "content")
+    return rows.select(
+        "id", "table_idx", "row_idx", "n_cols",
+        F.array_join("cells", "|").alias("cells_str"),
+        F.array_join("header", "|").alias("header_str"))
 
 
 SQL_TABLE_EXTRACT = """
-SELECT source AS id,
+SELECT source AS id, 0 AS table_idx,
        CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1
             AS INT) AS row_idx,
        3 AS n_cols,
-       CAST(doc_id AS VARCHAR) AS c0, lang AS c1,
-       CAST(n_chars AS VARCHAR) AS c2
+       CAST(doc_id AS VARCHAR) || '|' || lang || '|'
+         || CAST(n_chars AS VARCHAR) AS cells_str,
+       'doc_id|lang|n_chars' AS header_str
 FROM documents
 """
 

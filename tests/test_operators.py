@@ -460,15 +460,44 @@ def test_word_vectors_cover_vocab(spark):
 
 
 def test_extract_table_rows(spark):
+    """S11 (widened, VERDICT r2 #6): consecutive runs form tables, the
+    first all-non-numeric row of a >=2-line table is its inferred header
+    (attached, not emitted as data), cells are variable-width arrays."""
     from cosmos_spark.operators import enrich
     pdf = pd.DataFrame({
         "id": ["f1"],
-        "content": ["# header no commas\n1,es,100\n2,de,200\nnot a row\n3,zh,300"],
+        "content": ["# prologue no commas\n"
+                    "name,lang,chars\n1,es,100\n2,de,200\n"   # table 0
+                    "not a row\n"
+                    "3,zh,300\n"                               # table 1
+                    "prose again\n"
+                    "a,b\n7,8,9\n"],                           # table 2
     })
     out = (enrich.extract_table_rows(spark.createDataFrame(pdf), "id",
                                      "content")
-           .toPandas().sort_values("row_idx").reset_index(drop=True))
-    assert list(out["row_idx"]) == [0, 1, 2]
-    assert list(out["c0"]) == ["1", "2", "3"]
-    assert list(out["c1"]) == ["es", "de", "zh"]
-    assert (out["n_cols"] == 3).all()
+           .toPandas().sort_values(["table_idx", "row_idx"])
+           .reset_index(drop=True))
+    # table 0: header inferred, two data rows
+    t0 = out[out["table_idx"] == 0]
+    assert list(t0["row_idx"]) == [0, 1]
+    assert [list(h) for h in t0["header"]] == [["name", "lang", "chars"]] * 2
+    assert [list(c) for c in t0["cells"]] == [["1", "es", "100"],
+                                              ["2", "de", "200"]]
+    # table 1: single line -> no header, one data row
+    t1 = out[out["table_idx"] == 1]
+    assert len(t1) == 1 and t1["header"].iloc[0] is None
+    assert list(t1["cells"].iloc[0]) == ["3", "zh", "300"]
+    # table 2: ragged widths — header 2 cols, data row 3 cols
+    t2 = out[out["table_idx"] == 2]
+    assert list(t2["header"].iloc[0]) == ["a", "b"]
+    assert (list(t2["cells"].iloc[0]), int(t2["n_cols"].iloc[0])) \
+        == (["7", "8", "9"], 3)
+
+
+def test_extract_table_rows_numeric_first_line_not_header(spark):
+    from cosmos_spark.operators import enrich
+    pdf = pd.DataFrame({"id": ["f1"], "content": ["1,es\n2,de\n"]})
+    out = (enrich.extract_table_rows(spark.createDataFrame(pdf), "id",
+                                     "content").toPandas())
+    # first line has a numeric cell -> data, not header
+    assert len(out) == 2 and out["header"].isna().all()
