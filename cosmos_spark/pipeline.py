@@ -779,22 +779,61 @@ def write_triples(triples: DataFrame, path: str) -> None:
     )
 
 
+def doc_rollup(segments: DataFrame, mentions: DataFrame) -> DataFrame:
+    """G4 whole-document rollup — one row per (repo, path) with the
+    reassembled content plus segment/mention counters: the Spark analog of
+    the reference's separate ``fulldocument`` index
+    (`elastic_retriever.py:262-277`), which backs the doc-level filter
+    semi-join at query time.
+
+    One hash-shuffle on (repo, path) per input (map-side partial agg;
+    the key is the file key, so skew follows file count, never repo
+    size). Content pooling is order-deterministic (segments sorted by
+    line_start)."""
+    segs = (
+        segments.groupBy("repo", "path")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.array_join(F.expr(
+                "transform(array_sort(collect_list("
+                "struct(line_start, seg_id, text))), x -> x.text)"),
+                "\n\n").alias("content"),
+            F.sort_array(F.collect_set("kind")).alias("kinds"),
+            F.max("score").alias("max_score"),
+        )
+    )
+    men = (mentions.groupBy("repo", "path")
+           .agg(F.count(F.lit(1)).alias("n_mentions")))
+    return (
+        segs.join(men, ["repo", "path"], "left")
+        .withColumn("n_mentions",
+                    F.coalesce(F.col("n_mentions"), F.lit(0)))
+    )
+
+
 def write_graph(result: dict[str, DataFrame], catalog,
                 prefix: str = "graph") -> None:
     """Materialize the whole queryable knowledge graph through the table
     catalog: the ``triples`` edge table (pred-partitioned, (pred, repo)-
-    parallel) and the ``nodes`` entity dim (with canonical ids + aliases)
-    — the Spark analog of the reference indexing both `eo-site` object
-    docs and their parent entities into the ES join index
-    (`elastic_retriever.py:360-613`). Query-time code
-    (:mod:`cosmos_spark.retrieval`) runs unchanged on the re-read
-    tables."""
+    parallel), the ``nodes`` entity dim (with canonical ids + aliases),
+    and the ``documents`` whole-doc rollup (:func:`doc_rollup` — the
+    two-index layout of the reference, which maintains `fulldocument`
+    beside the object index, `elastic_retriever.py:262-277,360-613`).
+    Query-time code (:mod:`cosmos_spark.retrieval`) runs unchanged on the
+    re-read tables; the documents table serves doc-level filters without
+    touching the segment relation. NOTE: in the fused pipeline layout the
+    ``segments`` relation is lazy — materializing the rollup is the one
+    consumer that re-runs the segmentation kernel (the fused output
+    deliberately drops segment text)."""
     catalog.write(result["triples"], f"{prefix}.triples",
                   partition_by=("pred",), sort_within_by=("repo", "subj"))
     nodes = result["entities"].select(
         "entity_id", "canonical_name", "canonical_id", "aliases", "types")
     catalog.write(nodes, f"{prefix}.nodes",
                   sort_within_by=("canonical_name",))
+    docs = doc_rollup(result["segments"], result["mentions"])
+    catalog.write(docs, f"{prefix}.documents",
+                  sort_within_by=("repo", "path"))
 
 
 def sink_layout(triples: DataFrame) -> DataFrame:

@@ -566,10 +566,7 @@ def q_kg_segments(spark, sf_dir):
 # segments — the import_block arm uses the single-line equivalence
 # (first word import/from) because RE2 lacks the kernel's negative
 # lookahead; the synthetic docs are single-line so the two agree.
-SQL_KG_SEGMENTS = r"""
-SELECT source AS repo, CAST(doc_id AS VARCHAR) AS path,
-       substr(sha256(source || '|' || CAST(doc_id AS VARCHAR) || '|1|1|' || text), 1, 16) AS seg_id,
-       CASE
+_SQL_KIND_CASE = r"""CASE
          WHEN regexp_matches(text, '^[ \t]*(\$\$|\\begin\{(equation|align))')
            THEN 'equation'
          WHEN regexp_matches(text, '^[ \t]*def[ \t]+\w+')
@@ -580,7 +577,20 @@ SELECT source AS repo, CAST(doc_id AS VARCHAR) AS path,
          WHEN regexp_matches(text, '^[ \t]*(import|from)\b') THEN 'import_block'
          WHEN NOT regexp_matches(text, '(?m)^[ \t]*[^#/\-\s]') THEN 'comment'
          ELSE 'other'
-       END AS kind,
+       END"""
+
+# kernels.KIND_SCORES, keyed by the CASE above (cast: DuckDB decimal
+# literals would otherwise surface as DECIMAL, not DOUBLE)
+_SQL_SCORE_CASE = (
+    "CAST(CASE (" + _SQL_KIND_CASE + ") WHEN 'equation' THEN 0.97 "
+    "WHEN 'function' THEN 0.99 WHEN 'class' THEN 0.98 "
+    "WHEN 'import_block' THEN 0.95 WHEN 'comment' THEN 0.90 "
+    "ELSE 0.50 END AS DOUBLE)")
+
+SQL_KG_SEGMENTS = rf"""
+SELECT source AS repo, CAST(doc_id AS VARCHAR) AS path,
+       substr(sha256(source || '|' || CAST(doc_id AS VARCHAR) || '|1|1|' || text), 1, 16) AS seg_id,
+       {_SQL_KIND_CASE} AS kind,
        1 AS line_start, 1 AS line_end,
        sha256(text) AS content_sha256
 FROM documents WHERE regexp_matches(text, '\S')
@@ -2044,6 +2054,74 @@ QUERIES.update({
 
 
 # ---------------------------------------------------------------------------
+# round 3: whole-doc rollup (G4 materialized) + doc-filtered search
+# ---------------------------------------------------------------------------
+
+def q_doc_rollup(spark, sf_dir):
+    """G4 whole-document rollup (`pipeline.doc_rollup`, the `fulldocument`
+    index analog, `elastic_retriever.py:262-277`): per (repo, path) the
+    reassembled content, segment count, kind set, best score. n_mentions
+    is rollup-internal (its per-kind regex set is not RE2-replicable) and
+    not projected here."""
+    from . import pipeline as P
+    src = _docs_as_source(spark, sf_dir)
+    segs = P.segments_of(src)
+    docs = P.doc_rollup(segs, P.mentions_of(segs))
+    return docs.select(
+        "repo", "path", "n_segments", "content",
+        F.array_join("kinds", ",").alias("kinds_str"), "max_score")
+
+
+SQL_DOC_ROLLUP = rf"""
+SELECT source AS repo, CAST(doc_id AS VARCHAR) AS path,
+       1 AS n_segments, text AS content,
+       {_SQL_KIND_CASE} AS kinds_str,
+       {_SQL_SCORE_CASE} AS max_score
+FROM documents WHERE regexp_matches(text, '\S')
+"""
+
+
+def q_search_docfilter(spark, sf_dir):
+    """§3.3 doc-filtered search: resolve a doc-level term against the
+    whole-doc rollup (the `fulldocument` semi-join,
+    `elastic_retriever.py:262-277`), broadcast the matching (repo, path)
+    keys into a left-semi join on segments, then term-search + paginate
+    (TakeOrderedAndProject — the segment side never globally sorts)."""
+    from . import pipeline as P
+    from . import retrieval
+    src = _docs_as_source(spark, sf_dir)
+    segs = P.segments_of(src)
+    docs = P.doc_rollup(segs, P.mentions_of(segs))
+    keys = retrieval.docs_matching(docs, ["data"])
+    page = retrieval.search_segments(segs, terms=["value"], page=0,
+                                     per_page=25, doc_filter=keys)
+    return page.select("seg_id", "kind", "line_start", "score")
+
+
+SQL_SEARCH_DOCFILTER = rf"""
+WITH segs AS (
+  SELECT substr(sha256(source || '|' || CAST(doc_id AS VARCHAR)
+                || '|1|1|' || text), 1, 16) AS seg_id,
+         {_SQL_KIND_CASE} AS kind, 1 AS line_start,
+         {_SQL_SCORE_CASE} AS score
+  FROM documents
+  WHERE regexp_matches(text, '\S')
+        AND contains(text, 'data')   -- doc-level filter (single-line docs)
+        AND contains(text, 'value')  -- segment term
+)
+SELECT seg_id, kind, line_start, score FROM (
+  SELECT *, row_number() OVER (ORDER BY score DESC, seg_id) AS rn FROM segs)
+WHERE rn <= 25
+"""
+
+
+QUERIES.update({
+    "q_doc_rollup": (q_doc_rollup, SQL_DOC_ROLLUP),
+    "q_search_docfilter": (q_search_docfilter, SQL_SEARCH_DOCFILTER),
+})
+
+
+# ---------------------------------------------------------------------------
 # driver-visibility ordering
 # ---------------------------------------------------------------------------
 # The per-round driver correctness file caps at 50 entries while the registry
@@ -2051,6 +2129,8 @@ QUERIES.update({
 # registry so the driver verifies them this round (the round-2 file covered
 # the other 50 — the two rounds' union covers every query).
 PRIORITY_QUERIES: list[str] = [
+    "q_doc_rollup",
+    "q_search_docfilter",
     "q_entity_objects",
     "q_near_dedup",
     "q_ngram_jaccard_pairs",

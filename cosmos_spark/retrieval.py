@@ -25,6 +25,20 @@ from pyspark.sql import DataFrame, Window
 from .operators import ranks
 
 
+def docs_matching(documents: DataFrame, terms: list[str],
+                  inclusive: bool = False) -> DataFrame:
+    """Doc-level term filter over the materialized whole-doc rollup
+    (``pipeline.doc_rollup`` / the ``graph.documents`` table) -> a
+    (repo, path) key relation — the Spark analog of the reference
+    resolving its doc filter against the separate `fulldocument` index
+    (`elastic_retriever.py:262-277`)."""
+    preds = [F.col("content").contains(t) for t in terms]
+    cond = preds[0]
+    for p in preds[1:]:
+        cond = (cond & p) if inclusive else (cond | p)
+    return documents.filter(cond).select("repo", "path")
+
+
 def search_segments(
     segments: DataFrame,
     terms: list[str],
@@ -33,12 +47,21 @@ def search_segments(
     min_score: float | None = None,
     page: int = 0,
     per_page: int = 30,
+    doc_filter: DataFrame | None = None,
 ) -> DataFrame:
     """Term search over segment text with class/score filters + pagination.
 
     ``inclusive=True`` = all terms must match (the reference's AND mode,
     `elastic_retriever.py:279-289`); else any. Ordering: score desc then
-    seg_id for a stable page (the reference pages an ES score sort)."""
+    seg_id for a stable page (the reference pages an ES score sort).
+    ``doc_filter`` — a (repo, path) key relation (typically
+    :func:`docs_matching` over the ``graph.documents`` rollup) semi-joined
+    before ranking: the doc key set is query-bounded and broadcasts, so
+    the big segment side never shuffles (`elastic_retriever.py:262-277`'s
+    doc-filter clause)."""
+    if doc_filter is not None:
+        segments = segments.join(F.broadcast(doc_filter), ["repo", "path"],
+                                 "left_semi")
     if terms:
         preds = [F.col("text").contains(t) for t in terms]
         cond = preds[0]

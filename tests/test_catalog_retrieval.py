@@ -42,6 +42,12 @@ def test_write_graph_roundtrip_query(spark, graph, tmp_path_factory):
     nodes_rt = cat.read("graph.nodes")
     assert triples_rt.count() == graph["triples"].count()
     assert nodes_rt.count() == graph["entities"].count()
+    # the whole-doc rollup (fulldocument analog): one row per source file
+    docs_rt = cat.read("graph.documents")
+    n_files = graph["segments"].select("repo", "path").distinct().count()
+    assert docs_rt.count() == n_files
+    assert {"repo", "path", "n_segments", "content", "kinds",
+            "max_score", "n_mentions"} <= set(docs_rt.columns)
 
     ents = graph["entities"].toPandas()
     merged = ents[ents["entity_id"] != ents["canonical_id"]]
@@ -96,6 +102,29 @@ def test_search_segments_terms_and_pagination(graph):
     either = retrieval.search_segments(segs, ["def ", "return"],
                                        inclusive=False, per_page=1000)
     assert both.count() <= either.count()
+
+
+def test_search_segments_doc_filter(spark, graph):
+    """The doc-level filter routes through the whole-doc rollup: results
+    equal unfiltered search intersected with matching docs, and the semi
+    join broadcasts the (small) key side."""
+    from cosmos_spark.pipeline import doc_rollup
+    segs = graph["segments"]
+    docs = doc_rollup(segs, graph["mentions"])
+    keys = retrieval.docs_matching(docs, ["class "])
+    hits = retrieval.search_segments(segs, ["def "], per_page=10_000,
+                                     doc_filter=keys)
+    plan = hits._sc._jvm.PythonSQLUtils.explainString(
+        hits._jdf.queryExecution(), "formatted")
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    got = hits.toPandas()
+    allowed = set(map(tuple, keys.toPandas().to_numpy()))
+    base = retrieval.search_segments(segs, ["def "],
+                                     per_page=10_000).toPandas()
+    expected = {s for s, r, p in zip(base["seg_id"], base["repo"],
+                                     base["path"]) if (r, p) in allowed}
+    assert set(got["seg_id"]) == expected
+    assert 0 < len(got) < len(base)
 
 
 def test_entity_objects_same_as_aware(graph):
