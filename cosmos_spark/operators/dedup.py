@@ -192,7 +192,8 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
 
 def near_dedup(df: DataFrame, id_col: str, text_col: str,
                num_hashes: int = 16, bands: int = 4, shingle_k: int = 3,
-               threshold: float = 0.8, max_bucket: int = 50) -> DataFrame:
+               threshold: float = 0.8, max_bucket: int = 50,
+               verified_pairs: DataFrame | None = None) -> DataFrame:
     """End-to-end near-duplicate removal — the composed training-data
     pipeline: MinHash-LSH candidates -> exact n-gram-Jaccard verify ->
     connected components (large/small-star) over the verified similarity
@@ -204,13 +205,20 @@ def near_dedup(df: DataFrame, id_col: str, text_col: str,
     the final attach is a plain equi-join (not a forced broadcast): on a
     heavily duplicated corpus the mapping can approach the corpus size,
     and AQE picks the strategy at runtime.
+
+    ``verified_pairs`` — optionally supply an already-verified
+    (id_a, id_b, ...) edge relation (e.g. one shared/materialized across
+    several consumers); the LSH + verify stages are then skipped.
     """
     from .graph import adaptive_component_mapping
 
-    cands = minhash_lsh_pairs(df, id_col, text_col, num_hashes, bands,
-                              shingle_k, max_bucket)
-    verified = ngram_jaccard_pairs(df, id_col, text_col, cands, shingle_k,
-                                   threshold)
+    if verified_pairs is not None:
+        verified = verified_pairs
+    else:
+        cands = minhash_lsh_pairs(df, id_col, text_col, num_hashes, bands,
+                                  shingle_k, max_bucket)
+        verified = ngram_jaccard_pairs(df, id_col, text_col, cands,
+                                       shingle_k, threshold)
     edges = verified.select(F.col("id_a").alias("src"),
                             F.col("id_b").alias("dst"))
     cc = adaptive_component_mapping(edges)

@@ -146,12 +146,17 @@ def cosine_topk_lsh(emb: DataFrame, queries: DataFrame, k: int = 10,
 def ivf_centroids(emb: DataFrame, n_centroids: int = 8,
                   id_col: str = "vec_id",
                   vec_col: str = "embedding") -> DataFrame:
-    """Deterministic coarse quantizer for the IVF index: the n_centroids
-    lowest-id vectors serve as centroids. (A k-means refinement pass would
-    drop recall variance at real scale; determinism + cross-engine
-    replicability is what the correctness gate needs, and the index
-    *structure* — coarse lists + probe-limited search — is identical.)"""
-    return (emb.orderBy(id_col).limit(n_centroids)
+    """Deterministic coarse quantizer seeds for the IVF index: the
+    n_centroids vectors ranked first by ``md5('ivf-seed|' || id)`` — a
+    derandomized uniform sample of the corpus (the k-means init step with
+    the RNG replaced by a hash, so it is reproducible AND cross-engine
+    replicable), unlike lowest-id seeding, which inherits whatever
+    correlation ids carry (insertion order, shard, time). Plans as
+    TakeOrderedAndProject — no single-reducer sort. Compose with
+    :func:`ivf_refine` + :func:`ivf_assign` for Lloyd iterations on top
+    of the seeds."""
+    seed = F.md5(F.concat(F.lit("ivf-seed|"), F.col(id_col).cast("string")))
+    return (emb.orderBy(seed, F.col(id_col)).limit(n_centroids)
             .select(F.col(id_col).alias("centroid_id"),
                     F.col(vec_col).alias("c_vec")))
 

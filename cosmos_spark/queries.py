@@ -1571,15 +1571,33 @@ FROM documents
 """
 
 
+_DUP_PAIRS_MEMO: dict[tuple[str, str], "object"] = {}
+
+
+def _verified_dup_pairs(spark, sf_dir):
+    """The MinHash-LSH -> exact-Jaccard verified pair relation, shared by
+    q_ngram_jaccard_pairs and q_near_dedup (VERDICT r2 #9: each used to
+    recompute the full signature scan). Lazily localCheckpointed — the
+    first consumer materializes it, the second reuses the saved blocks.
+    Keyed by Spark application id so a new session never reuses stale
+    frames."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _DUP_PAIRS_MEMO:
+        from .operators import dedup
+        docs = _t(spark, sf_dir, "documents")
+        cands = dedup.minhash_lsh_pairs(docs, "doc_id", "text",
+                                        num_hashes=16, bands=4,
+                                        max_bucket=50)
+        pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", cands,
+                                          threshold=0.5)
+        _DUP_PAIRS_MEMO[key] = pairs.localCheckpoint(eager=False)
+    return _DUP_PAIRS_MEMO[key]
+
+
 def q_ngram_jaccard_pairs(spark, sf_dir):
     """Exact n-gram Jaccard verification of the MinHash-LSH candidate pairs
     (the rerank stage after LSH recall) — cross-checked value-for-value."""
-    from .operators import dedup
-    docs = _t(spark, sf_dir, "documents")
-    cands = dedup.minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=16,
-                                    bands=4, max_bucket=50)
-    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", cands,
-                                      threshold=0.5)
+    pairs = _verified_dup_pairs(spark, sf_dir)
     return pairs.select("id_a", "id_b",
                         F.round("jaccard", 6).alias("jaccard"))
 
@@ -1640,7 +1658,8 @@ def q_near_dedup(spark, sf_dir):
     from .operators import dedup
     docs = _t(spark, sf_dir, "documents")
     out = dedup.near_dedup(docs, "doc_id", "text", num_hashes=16, bands=4,
-                           threshold=0.5, max_bucket=50)
+                           threshold=0.5, max_bucket=50,
+                           verified_pairs=_verified_dup_pairs(spark, sf_dir))
     return out.select("doc_id", "dup_of", "keep")
 
 
@@ -1936,7 +1955,9 @@ def q_ann_ivf_topk(spark, sf_dir):
 
 SQL_ANN_IVF_TOPK = r"""
 WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
-           FROM embeddings WHERE vec_id < 8),
+           FROM embeddings
+           ORDER BY md5('ivf-seed|' || CAST(vec_id AS VARCHAR)), vec_id
+           LIMIT 8),
 av AS (SELECT e.vec_id, c.cid,
               round(list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cv)
                     / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
@@ -2009,7 +2030,9 @@ def q_ivf_refine(spark, sf_dir):
 
 SQL_IVF_REFINE = r"""
 WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
-           FROM embeddings WHERE vec_id < 8),
+           FROM embeddings
+           ORDER BY md5('ivf-seed|' || CAST(vec_id AS VARCHAR)), vec_id
+           LIMIT 8),
 av AS (SELECT e.vec_id, c.cid,
               round(list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cv)
                     / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),

@@ -159,6 +159,30 @@ def test_cosine_topk_ivf_finds_colinear(emb):
     assert len(out) <= 3
 
 
+def test_ivf_recall_at_k_vs_brute_force(spark):
+    """recall@10 of the IVF path against exact brute force on the real
+    embeddings table (VERDICT r2 #10): beats the random-pruning baseline
+    (n_probe/n_centroids), is monotone in n_probe, and reaches exactly
+    1.0 at full probe (IVF with every list probed IS brute force)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    exact = set(map(tuple, similarity.cosine_topk(emb, q, k=10)
+                    .select("q_id", "vec_id").toPandas().to_numpy()))
+
+    def recall(n_probe, round_to=4):
+        a = set(map(tuple, similarity.cosine_topk_ivf(
+            emb, q, k=10, n_centroids=8, n_probe=n_probe,
+            round_to=round_to).select("q_id", "vec_id")
+            .toPandas().to_numpy()))
+        return len(exact & a) / len(exact)
+
+    r1, r2, r3 = recall(1), recall(2), recall(3)
+    assert r1 > 1 / 8 and r2 > 2 / 8 and r3 > 3 / 8  # beat random pruning
+    assert r1 <= r2 <= r3                            # monotone in n_probe
+    assert recall(8, round_to=6) == 1.0              # full probe == exact
+
+
 def test_embedding_cosine_dup_pairs(emb):
     out = similarity.embedding_cosine_dup_pairs(
         emb, threshold=0.95, n_planes=4, dim=8).toPandas()
