@@ -117,7 +117,9 @@ def _md_file(rng: random.Random, repo: str, fidx: int) -> str:
         f"This doc mentions {stem} and the ﬁle format.\n\n"
         f"- item one\n- item two\n"
     )
-    if fidx % 3 == 0:  # M2 fixture: display-math block -> equation kind
+    # M2 fixture: display-math block -> equation kind (md files land on
+    # fidx % 3 == 2, so key the condition on fidx % 2 to hit half of them)
+    if fidx % 2 == 0:
         body += f"\n$$\nE_{{{fidx}}} = m \\cdot c^2 + {fidx}\n$$\n"
     return body
 

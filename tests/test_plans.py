@@ -130,6 +130,19 @@ def test_export_rank_no_full_table_single_partition(spark):
                for ln in plan.splitlines()), plan
 
 
+def test_canonicalize_fast_path_mapping_is_broadcast(spark, source_df):
+    """The driver-side canonicalization fast path must attach its mapping
+    as a broadcast join — zero shuffles added downstream of the dim."""
+    from cosmos_spark import pipeline as P
+    mentions = P.mentions_of(P.segments_of(source_df))
+    entities = P.entities_of(mentions).cache()
+    out = P.canonicalize(entities)
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    entities.unpersist()
+
+
 def test_partial_aggregation_single_shuffle(spark):
     """groupBy plans as partial (map-side) + final hash aggregate around
     exactly one Exchange — the shape that holds at any scale."""
