@@ -435,8 +435,10 @@ def _driver_canonical_mapping(
     cand: set[tuple[int, int]] = set()
     n = len(ids)
     for b in range(num_hashes):
-        # splitmix64 finalizer over (crc32(trigram), band)
-        h = base + np.uint64(b) * np.uint64(0x9E3779B97F4A7C15)
+        # splitmix64 finalizer over (crc32(trigram), band); band offset
+        # reduced mod 2^64 in Python first (numpy warns on scalar uint64
+        # wraparound even though wraparound is the intent)
+        h = base + np.uint64((b * 0x9E3779B97F4A7C15) % (1 << 64))
         h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
         h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
         h = h ^ (h >> np.uint64(31))
