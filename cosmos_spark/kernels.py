@@ -418,13 +418,14 @@ def mention_kernel(seg_pdf: pd.DataFrame) -> pd.DataFrame:
     # link candidate set (it is a function of alias_key), so only the
     # representative feeds triple emission. Marking it here, inside the
     # kernel, makes the downstream `mentions` triple family dedup-free:
-    # no (subj, obj) aggregation shuffle ever forms. (A duplicate can
-    # still arise from two *distinct* alias_keys resolving to one entity;
-    # that needs the alias table itself to alias-collide and both scores
-    # to clear the 0.8 threshold — rare enough to live under the P/R
-    # tolerance. The hash-agg fallback that collapses such duplicates at
-    # max score is the `link_rep`-less branch of pipeline.triples_of:
-    # supply links without the link_rep column to trigger it.)
+    # no (subj, obj) aggregation shuffle ever forms for them. (A
+    # duplicate can still arise from two *distinct* alias_keys resolving
+    # to one entity; pipeline.link_mentions flags exactly those entities
+    # (`multi_key`, computed on the broadcast-sized alias dim) and
+    # pipeline.triples_of routes only that links subset through a
+    # keep-max hash-agg — making the family exactly (subj, pred, obj)-
+    # unique, matching the oracle's global dedup, with the shuffle
+    # bounded by the actual ambiguity.)
     linkable = out["mention_kind"].isin(["call", "import", "ref"])
     key = alias_norm(basename(out["mention_text"]))
     first = ~pd.DataFrame({"seg": out["seg_id"], "key": key})[linkable] \

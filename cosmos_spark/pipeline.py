@@ -269,12 +269,22 @@ def link_mentions(mentions: DataFrame, aliases: DataFrame) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("alias_key", "entity_id", "link_score")
     )
+    # multi_key: does this entity win MORE THAN ONE alias_key? Only then
+    # can two mentions in one segment (distinct keys, same resolved
+    # entity) produce a duplicate `mentions` triple — so only that links
+    # subset ever needs a dedup agg downstream (triples_of). Computed
+    # here because `best` is the per-key top-1 dim (broadcast-sized by
+    # construction); the extra window shuffles the dim, never the
+    # mentions relation.
+    wk = Window.partitionBy("entity_id")
+    best = best.withColumn("multi_key", F.count(F.lit(1)).over(wk) > 1)
     base = (
         mentions.filter(F.col("mention_kind").isin("call", "import", "ref"))
         .withColumn("alias_key",
                     _alias_norm_col(F.substring_index(F.col("mention_text"), ".", -1)))
     )
-    cols = ["repo", "path", "seg_id", "mention_id", "entity_id"]
+    cols = ["repo", "path", "seg_id", "mention_id", "entity_id",
+            "multi_key"]
     if "link_rep" in base.columns:
         cols.append("link_rep")
     return (
@@ -611,9 +621,10 @@ def triples_of(
     # name) can emit the same (subj, mentions, entity) triple. The kernel
     # pre-marks one representative per (segment, alias_key) — link
     # candidates are a function of alias_key, so representatives cover all
-    # linked entities with identical scores — making this branch a pure
-    # filter, no aggregation shuffle. Fallback for links without the flag:
-    # hash-agg dedup (map-side partial combine) over the linked subset.
+    # linked entities with identical scores — making the bulk a pure
+    # filter; only links to entities that win >1 alias_key (`multi_key`)
+    # need a keep-max hash-agg for exact uniqueness. Fallback for links
+    # without the flags: hash-agg dedup over the whole linked subset.
     if "seg_id" in links.columns:  # links carries provenance columns
         lm = links.filter(F.col("linked")).withColumn(
             "subj", F.concat_ws("", F.col("repo"), F.lit("/"), F.col("path"),
@@ -621,7 +632,28 @@ def triples_of(
     else:  # externally supplied links (checkpoint of an older layout)
         lm = (links.filter(F.col("linked"))
               .join(m.select("mention_id", "subj", "repo"), "mention_id"))
-    if "link_rep" in lm.columns:
+    if "link_rep" in lm.columns and "multi_key" in lm.columns:
+        # Exact, shuffle-bounded dedup: link_rep makes (subj, entity)
+        # unique per alias_key; a duplicate needs two DISTINCT keys
+        # resolving to one entity, i.e. multi_key (flagged on the tiny
+        # alias dim in link_mentions). Only that subset — empty to tiny
+        # on real corpora — pays a hash-agg (max score, matching the
+        # oracle's keep-max global dedup); the bulk stays a pure filter.
+        rep = lm.filter(F.col("link_rep"))
+        safe = (
+            rep.filter(~F.col("multi_key"))
+            .select("subj", F.lit("mentions").alias("pred"),
+                    F.col("entity_id").alias("obj"), "repo", "score")
+        )
+        amb = (
+            rep.filter(F.col("multi_key"))
+            .groupBy("subj", F.col("entity_id").alias("obj"))
+            .agg(F.max("score").alias("score"), F.min("repo").alias("repo"))
+            .select("subj", F.lit("mentions").alias("pred"), "obj", "repo",
+                    "score")
+        )
+        ment = safe.unionByName(amb)
+    elif "link_rep" in lm.columns:  # older checkpoint layout: filter-only
         ment = (
             lm.filter(F.col("link_rep"))
             .select("subj", F.lit("mentions").alias("pred"),
@@ -726,6 +758,10 @@ def run_pipeline(spark: SparkSession, source: DataFrame,
             else:
                 d = tempfile.mkdtemp(prefix="cosmos_fused_")
                 _TEMP_DIRS.append(d)  # reclaimed at process exit
+            # Codec: session default (snappy). Measured (interleaved
+            # warm A/B, 8 pinned CPUs, min of 4): lz4 7.99 s vs snappy
+            # 7.85 s whole-pipeline — the scratch write is not
+            # compression-bound, so no scratch-tier codec override.
             fusedf.write.mode("overwrite").parquet(d)
             fusedf = spark.read.parquet(d)
         mentions = fusedf.filter(F.col("mention_kind") != SEG_MARKER)
@@ -744,7 +780,11 @@ def run_pipeline(spark: SparkSession, source: DataFrame,
         # the post-agg dim is tiny at any corpus scale (one row per
         # distinct normalized def name) but feeds 3 consumers (alias
         # broadcast, canonicalize, same_as) — persisting caps the mentions
-        # relation at one dim-building scan.
+        # relation at one dim-building scan. (Measured alternative, worth
+        # recording: collecting the dim once and rebuilding it as a
+        # LocalRelation for all consumers is ~0.8 s SLOWER at sf0.1 —
+        # the driver->JVM re-serialization of the dim into every
+        # consumer's job costs more than the one MemoryStore write.)
         from pyspark import StorageLevel
         entities = entities.persist(StorageLevel.MEMORY_AND_DISK)
     aliases = aliases_of(entities)

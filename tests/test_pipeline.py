@@ -188,3 +188,51 @@ def test_fused_equals_staged(spark, source_df):
     f = fused.set_index(["subj", "pred", "obj"])["score"].sort_index()
     s = staged.set_index(["subj", "pred", "obj"])["score"].sort_index()
     assert (f - s).abs().max() < 1e-12
+
+
+def test_multi_key_entity_emits_one_mentions_triple(spark):
+    """Two DISTINCT alias_keys resolving to one entity inside one segment
+    (exact `alpha_beta_gamma_v2` + fuzzy `alpha_beta_gamma`, trigram
+    J = 14/17 > 0.8) used to emit a duplicate `mentions` triple under the
+    link_rep fast path; the `multi_key` routing in triples_of must
+    collapse it to one row at the max score — exactly the single-node
+    oracle's keep-max dedup."""
+    import hashlib
+
+    import pandas as pd
+
+    from cosmos_spark.corpus import corpus_to_spark
+    from cosmos_spark.oracle import run_oracle
+
+    content = (
+        "def alpha_beta_gamma_v2(x):\n"
+        "    return x\n"
+        "\n"
+        "def runner(y):\n"
+        "    alpha_beta_gamma_v2(y)\n"
+        "    alpha_beta_gamma(y)\n"
+    )
+    pdf = pd.DataFrame([{
+        "repo": "orgm/multikey", "path": "m.py", "commit": "c0",
+        "lang": "py", "content": content,
+        "content_sha256": hashlib.sha256(content.encode()).hexdigest(),
+    }])
+    src = corpus_to_spark(spark, pdf, partitions=1)
+    res = run_pipeline(spark, src)
+    links = res["links"].toPandas()
+    # fixture guard: both keys linked, flagged multi_key, same entity
+    hot = links[links["linked"] & links["multi_key"]]
+    assert len(hot) == 2 and hot["entity_id"].nunique() == 1
+
+    t = res["triples"].toPandas()
+    assert not t.duplicated(["subj", "pred", "obj"]).any()
+    ent = "ent_" + hashlib.sha256(b"ent|alpha_beta_gamma_v2").hexdigest()[:16]
+    ment = t[(t["pred"] == "mentions") & (t["obj"] == ent)]
+    assert (ment.groupby("subj").size() == 1).all()
+    assert ment["score"].max() == 1.0
+
+    exp = run_oracle(pdf)["triples"]
+    assert _triple_keys(t) == _triple_keys(exp)
+    g = t.set_index(["subj", "pred", "obj"])["score"].sort_index()
+    e = exp.set_index(["subj", "pred", "obj"])["score"].sort_index()
+    assert (g - e).abs().max() < 1e-9
