@@ -83,7 +83,21 @@ def stream_triples(spark: SparkSession, source_dir: str,
     join (`link_mentions` unchanged: its window runs on the static alias
     side, the stream side only ever map-side-joins). Canonicalization
     (same_as) stays batch — it is a global fixpoint over the entity dim,
-    recomputed per snapshot, not a row-incremental operator."""
+    recomputed per snapshot, not a row-incremental operator.
+
+    Mentions-family exactness: an entity that wins >1 alias_key would
+    emit a duplicate mentions triple under plain `link_rep` filtering.
+    Append mode cannot run the batch path's keep-max agg
+    (pipeline.triples_of `multi_key` routing — a stateful aggregation
+    here), but no state is needed: a duplicate is always *intra-segment*
+    (two link_rep mentions of one segment resolving to one entity), the
+    kernel emits each segment's mentions as one contiguous run (sorted
+    by (repo, path, seg_id, ...) within its Arrow batch), and the
+    stream-static broadcast join is narrow, so the run survives to the
+    sink untouched. :func:`_keepmax_rowlocal` dedups those contiguous
+    runs per partition with an O(segment)-memory carry across Arrow
+    batch boundaries — zero streaming state, zero shuffle, and the
+    output matches the batch family exactly (parity pytest)."""
     import pyspark.sql.functions as F  # noqa: F811 (local alias clarity)
 
     from .. import pipeline as P
@@ -123,8 +137,49 @@ def stream_triples(spark: SparkSession, source_dir: str,
                     F.lit("mentions").alias("pred"),
                     F.col("entity_id").alias("obj"), "repo", "score")
         )
-        out = out.unionByName(ment)
+        out = out.unionByName(_keepmax_rowlocal(ment))
     return out
+
+
+def _keepmax_rowlocal(ment: DataFrame) -> DataFrame:
+    """(subj, obj) keep-max dedup without shuffle or state.
+
+    Correctness rests on a kernel invariant: all mentions of one segment
+    are emitted as a contiguous run (mention_kernel sorts by
+    (repo, path, seg_id, kind, text) inside each Arrow batch, and one
+    source row = one file never splits across batches), and every
+    narrow op downstream preserves within-partition order. Duplicate
+    (subj, obj) pairs are always intra-segment, hence intra-run. The
+    carry holds only the current trailing subj run, so memory is
+    O(max mentions per segment) regardless of partition size — the
+    at-scale property that makes this safe on an unbounded stream."""
+    import pandas as pd
+
+    def _collapse(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        return (
+            pdf.sort_values(["subj", "obj", "score"],
+                            ascending=[True, True, False], kind="stable")
+            .drop_duplicates(["subj", "obj"], keep="first")
+        )
+
+    def fn(it):
+        carry = None
+        for pdf in it:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if len(pdf) == 0:
+                continue
+            last = pdf["subj"].iloc[-1]
+            mask = pdf["subj"] == last
+            carry = pdf[mask]
+            head = pdf[~mask]
+            if len(head):
+                yield _collapse(head)
+        if carry is not None and len(carry):
+            yield _collapse(carry)
+
+    return ment.mapInPandas(fn, schema=ment.schema)
 
 
 FIRST_SEEN_OUTPUT = T.StructType([

@@ -63,12 +63,32 @@ def test_stream_first_seen_state_across_batches(spark, tmp_path):
 def test_stream_triples_match_batch(spark, tmp_path, corpus_pdf):
     """Continuous KG construction: streaming triples (availableNow drain)
     must equal the batch pipeline's stateless families on the same
-    corpus, including the mentions family via the static alias dim."""
+    corpus, including the mentions family via the static alias dim.
+    The corpus includes the multi-key collision fixture (exact
+    `alpha_beta_gamma_v2` + fuzzy `alpha_beta_gamma` in one segment):
+    both paths must collapse it to ONE mentions triple — batch via the
+    `multi_key` agg routing, stream via the zero-state row-local
+    keep-max (`_keepmax_rowlocal`)."""
+    import hashlib
+
     from cosmos_spark import pipeline as P
     from cosmos_spark.corpus import corpus_to_spark
 
     src_dir = str(tmp_path / "kg_src")
-    pdf = corpus_pdf.head(40).copy()
+    mk_content = (
+        "def alpha_beta_gamma_v2(x):\n"
+        "    return x\n"
+        "\n"
+        "def runner(y):\n"
+        "    alpha_beta_gamma_v2(y)\n"
+        "    alpha_beta_gamma(y)\n"
+    )
+    mk_row = pd.DataFrame([{
+        "repo": "orgm/multikey", "path": "m.py", "commit": "c0",
+        "lang": "py", "content": mk_content,
+        "content_sha256": hashlib.sha256(mk_content.encode()).hexdigest(),
+    }])
+    pdf = pd.concat([corpus_pdf.head(40), mk_row], ignore_index=True)
     pdf["ingested_at"] = pd.Timestamp("2026-01-01")
     (spark.createDataFrame(pdf[["repo", "path", "commit", "lang",
                                 "content", "ingested_at"]])
@@ -92,6 +112,10 @@ def test_stream_triples_match_batch(spark, tmp_path, corpus_pdf):
     key = lambda df: set(zip(df["subj"], df["pred"], df["obj"]))  # noqa: E731
     assert key(got) == key(exp)
     assert len(got) == len(key(got))
+    ent = "ent_" + hashlib.sha256(b"ent|alpha_beta_gamma_v2").hexdigest()[:16]
+    hit = got[(got["pred"] == "mentions") & (got["obj"] == ent)
+              & got["subj"].str.startswith("orgm/multikey/")]
+    assert len(hit) == 1 and hit["score"].iloc[0] == 1.0
 
 
 def test_stream_first_seen_bloom_state_bounded(spark, tmp_path):
