@@ -1066,6 +1066,37 @@ def q_stream_first_seen(spark, sf_dir):
     return spark.table(name)
 
 
+def q_stream_triples(spark, sf_dir):
+    """Continuous KG construction end-to-end, VALUE-exact: the linking
+    corpus streamed through `streaming.ingest.stream_triples` (fused
+    kernel -> stateless triple families + stream-static broadcast
+    linking + zero-state keep-max mentions dedup), drained with
+    availableNow into a parquet sink and read back. Unlike the other two
+    streaming queries (rows-only by protocol), every emitted family here
+    is SQL-decidable on the constructed corpus, so the oracle checks the
+    full (subj, pred, obj, repo, score) relation."""
+    from .streaming.ingest import stream_triples
+
+    src_dir = _tmpdir("stream_kg_src_")
+    (_linking_source(spark, sf_dir)
+     .withColumn("ingested_at",
+                 F.to_timestamp(F.lit("2026-01-01 00:00:00")))
+     .write.mode("overwrite").parquet(src_dir))
+    aliases = _linking_pipeline(spark, sf_dir)["aliases"]
+    out_dir = _tmpdir("stream_kg_out_")
+    q = (
+        stream_triples(spark, src_dir, aliases=aliases)
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", _tmpdir("ck_kg_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).select(
+        "subj", "pred", "obj", "repo", "score")
+
+
 def q_search_bool(spark, sf_dir):
     """§3.3 boolean search tree (`elastic_retriever.py:279-310`): one
     compiled predicate — (value OR data) AND NOT slow AND kind filter —
@@ -1342,10 +1373,45 @@ FROM documents
 """
 
 
+SQL_STREAM_TRIPLES = f"""
+SELECT source || '/d' || doc_id || '.py#' || {_SQL_FSEG} AS subj,
+       'defines' AS pred, 'f' || doc_id AS obj, source AS repo,
+       CAST(0.99 AS DOUBLE) AS score
+FROM documents
+UNION ALL
+SELECT source || '/d' || doc_id || '.py#' || {_SQL_GSEG} AS subj,
+       'defines' AS pred, 'g' || doc_id AS obj, source AS repo,
+       CAST(0.99 AS DOUBLE) AS score
+FROM documents
+UNION ALL
+SELECT source || '/d' || doc_id || '.py#' || {_SQL_GSEG} AS subj,
+       'calls' AS pred, 'f' || doc_id AS obj, source AS repo,
+       CAST(0.85 AS DOUBLE) AS score
+FROM documents
+UNION ALL
+SELECT source || '/d' || doc_id || '.py#' || {_SQL_GSEG} AS subj,
+       'mentions' AS pred,
+       'ent_' || substr(sha256('ent|f' || doc_id), 1, 16) AS obj,
+       source AS repo, CAST(1.0 AS DOUBLE) AS score
+FROM documents
+UNION ALL
+SELECT source || '/d' || doc_id || '.py#' || {_SQL_FSEG} AS subj,
+       'member_of' AS pred, source || '/d' || doc_id || '.py' AS obj,
+       source AS repo, CAST(1.0 AS DOUBLE) AS score
+FROM documents
+UNION ALL
+SELECT source || '/d' || doc_id || '.py#' || {_SQL_GSEG} AS subj,
+       'member_of' AS pred, source || '/d' || doc_id || '.py' AS obj,
+       source AS repo, CAST(1.0 AS DOUBLE) AS score
+FROM documents
+"""
+
+
 QUERIES.update({
     "q_kg_defines": (q_kg_defines, SQL_KG_DEFINES),
     "q_kg_entities": (q_kg_entities, SQL_KG_ENTITIES),
     "q_kg_mention_links": (q_kg_mention_links, SQL_KG_MENTION_LINKS),
+    "q_stream_triples": (q_stream_triples, SQL_STREAM_TRIPLES),
 })
 
 
@@ -2152,6 +2218,7 @@ QUERIES.update({
 # registry so the driver verifies them this round (the round-2 file covered
 # the other 50 — the two rounds' union covers every query).
 PRIORITY_QUERIES: list[str] = [
+    "q_stream_triples",
     "q_doc_rollup",
     "q_search_docfilter",
     "q_entity_objects",
