@@ -233,3 +233,42 @@ def test_stream_mention_counts_watermarked(spark, tmp_path, corpus_pdf):
     # one window, so rows may be zero — the lifecycle (plan validity,
     # state store, trigger) is what this asserts
     assert set(out.columns) == {"start", "end", "mention_kind", "n_mentions"}
+
+
+def test_keepmax_rowlocal_carry_across_arrow_batches(spark):
+    """_keepmax_rowlocal must stay exact when a subj run straddles Arrow
+    batch boundaries: force 2-row batches so every contiguous run is
+    split, and verify keep-max dedup against a pandas oracle. Also checks
+    the no-duplicate case passes through untouched."""
+    rows = []
+    # three contiguous subj runs in one partition, each with an
+    # intra-run duplicate at differing scores + distinct objs
+    for s in ("s1", "s2", "s3"):
+        rows += [
+            {"subj": s, "pred": "mentions", "obj": "eA", "repo": "r",
+             "score": 0.85},
+            {"subj": s, "pred": "mentions", "obj": "eA", "repo": "r",
+             "score": 1.0},
+            {"subj": s, "pred": "mentions", "obj": "eB", "repo": "r",
+             "score": 0.9},
+        ]
+    pdf = pd.DataFrame(rows)
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch",
+                         None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        df = spark.createDataFrame(pdf).coalesce(1)
+        got = (ingest._keepmax_rowlocal(df).toPandas()
+               .sort_values(["subj", "obj"]).reset_index(drop=True))
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set(
+                "spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    exp = (pdf.sort_values("score", ascending=False)
+           .drop_duplicates(["subj", "obj"])
+           .sort_values(["subj", "obj"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp[got.columns.tolist()])
+    assert len(got) == 6 and (got.groupby("subj").size() == 2).all()
+    assert (got[got["obj"] == "eA"]["score"] == 1.0).all()
