@@ -417,6 +417,36 @@ FROM documents
 """
 
 
+def q_train_split(spark, sf_dir):
+    """Deterministic content-hash train/valid/test assignment — the
+    training-data-curation split every LLM pipeline needs. Bucketing on
+    the first hex nibble of sha256(source|doc_id) gives a stable,
+    engine-portable 12/2/2 (75%/12.5%/12.5%) split: no RNG, no state,
+    reproducible under any re-partitioning or re-run, and a pure
+    projection at any corpus scale (no shuffle at all — the split
+    column is row-local)."""
+    docs = _t(spark, sf_dir, "documents")
+    nib = F.substring(
+        F.sha2(F.concat_ws("|", F.col("source"),
+                           F.col("doc_id").cast("string")), 256), 1, 1)
+    return docs.select(
+        "doc_id", "source",
+        F.when(nib < "c", "train").when(nib < "e", "valid")
+        .otherwise("test").alias("split"),
+    )
+
+
+SQL_TRAIN_SPLIT = """
+SELECT doc_id, source,
+       CASE WHEN substr(sha256(source || '|' || doc_id), 1, 1) < 'c'
+              THEN 'train'
+            WHEN substr(sha256(source || '|' || doc_id), 1, 1) < 'e'
+              THEN 'valid'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
 def q_ngram_fingerprint(spark, sf_dir):
     """Document fingerprint: min over word 3-gram shingles of md5(shingle)
     (portable hash), the MinHash building block — batched Arrow UDF
@@ -642,6 +672,7 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "q_token_count": (q_token_count, SQL_TOKEN_COUNT),
     "q_quality_score": (q_quality_score, SQL_QUALITY_SCORE),
     "q_ngram_fingerprint": (q_ngram_fingerprint, SQL_NGRAM_FINGERPRINT),
+    "q_train_split": (q_train_split, SQL_TRAIN_SPLIT),
     "q_lang_stopword_id": (q_lang_stopword_id, SQL_LANG_STOPWORD_ID),
     "q_ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
     "q_embedding_norms": (q_embedding_norms, SQL_EMBEDDING_NORMS),
@@ -2219,6 +2250,7 @@ QUERIES.update({
 # the other 50 — the two rounds' union covers every query).
 PRIORITY_QUERIES: list[str] = [
     "q_stream_triples",
+    "q_train_split",
     "q_doc_rollup",
     "q_search_docfilter",
     "q_entity_objects",

@@ -149,3 +149,14 @@ def test_partial_aggregation_single_shuffle(spark):
     plan = _plan(Q.q_groupby_agg(spark, SF_DIR))
     assert "partial_sum" in plan
     assert plan.count("Exchange") <= 2  # one Exchange node + its mention
+
+
+def test_train_split_is_pure_projection(spark):
+    """q_train_split must plan as scan -> project only: no Exchange, no
+    aggregate — the split column is row-local, so the operator costs one
+    pass at any corpus scale."""
+    plan = _plan(Q.q_train_split(spark, SF_DIR))
+    assert "Exchange" not in plan
+    assert "Aggregate" not in plan
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "text" not in read_schema  # column pruning: content never read
