@@ -1887,22 +1887,23 @@ FROM documents WHERE doc_id = 1
 """
 
 
-def q_word_vectors(spark, sf_dir):
+def word_vectors(spark, sf_dir, num_partitions: int):
     """A7 (`representation_learning/compute_word_vecs.py:4-11`): corpus
     word-vector training via pyspark.ml Word2Vec (skipgram analog) over
-    the token stream. Model training is not SQL-expressible -> rows-only
-    driver check; vocabulary completeness is pytest-asserted.
-    numPartitions=1 pins bit-determinism for the test harness; at corpus
-    scale raise it (Word2Vec shards skip-gram batches per partition) and
-    accept run-to-run jitter, as the reference's fastText training
-    would."""
+    the token stream. ``num_partitions`` is the at-scale knob: Word2Vec
+    shards skip-gram batches per partition and merges hogwild-style, so
+    >1 trades bit-determinism for linear training parallelism (the same
+    trade the reference's fastText training makes). The invariants that
+    survive any partitioning — full vocabulary coverage, vector arity,
+    positive norms — are pytest-asserted at numPartitions=4."""
     from pyspark.ml.feature import Word2Vec
     from pyspark.ml.functions import vector_to_array
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select(
         F.expr(r"regexp_extract_all(lower(text), '\\S+', 0)").alias("words"))
     w2v = Word2Vec(vectorSize=16, minCount=1, seed=42, maxIter=1,
-                   numPartitions=1, inputCol="words", outputCol="vec")
+                   numPartitions=num_partitions,
+                   inputCol="words", outputCol="vec")
     model = w2v.fit(toks)
     vecs = model.getVectors().withColumn("varr",
                                          vector_to_array(F.col("vector")))
@@ -1910,6 +1911,13 @@ def q_word_vectors(spark, sf_dir):
         "word",
         F.expr("round(aggregate(varr, 0.0D, (a, v) -> a + v * v), 6)")
         .alias("sq_norm"))
+
+
+def q_word_vectors(spark, sf_dir):
+    """Registry wrapper: numPartitions=1 pins bit-determinism for the
+    rows-only driver check; see :func:`word_vectors` for the at-scale
+    setting and the partition-independent invariants."""
+    return word_vectors(spark, sf_dir, num_partitions=1)
 
 
 def q_rerank_top1(spark, sf_dir):
