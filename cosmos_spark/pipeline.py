@@ -247,17 +247,15 @@ def entities_and_aliases(mentions: DataFrame) -> tuple[DataFrame, DataFrame]:
     return entities, aliases_of(entities)
 
 
-def link_mentions(mentions: DataFrame, aliases: DataFrame) -> DataFrame:
-    """Candidate generation + scoring + top-1 acceptance (`link.py:26-33`).
-
-    Key scale property: a mention's entire candidate set is determined by
-    its single ``alias_key`` (candidates = alias rows sharing that key), so
-    top-1-per-mention == top-1-per-alias_key — computable on the *tiny*
-    alias table before the join. The big mentions table then takes exactly
-    one broadcast equi-join (J4) and never shuffles: no per-mention
-    aggregation, no sort. Scoring (trigram Jaccard vs the canonical name,
-    exact aliases = 1.0 by construction) runs on alias rows, not candidate
-    rows — O(|aliases|) UDF work instead of O(|mentions|)."""
+def best_aliases(aliases: DataFrame) -> DataFrame:
+    """Per-alias_key top-1 scored candidate — the broadcast-sized link
+    dim (alias_key, entity_id, link_score, multi_key). Scoring (trigram
+    Jaccard vs the canonical name; exact aliases = 1.0 by construction)
+    runs on alias rows, never candidate rows. ``multi_key`` flags
+    entities that win MORE THAN ONE alias_key: only links to those can
+    duplicate a mentions triple, so only that subset ever needs a dedup
+    agg downstream (:func:`triples_of`). Both windows shuffle the dim
+    only, never a mentions relation."""
     scored = aliases.withColumn(
         "link_score",
         F.when(F.col("alias_kind") == "exact", F.lit(1.0)).otherwise(
@@ -269,15 +267,22 @@ def link_mentions(mentions: DataFrame, aliases: DataFrame) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("alias_key", "entity_id", "link_score")
     )
-    # multi_key: does this entity win MORE THAN ONE alias_key? Only then
-    # can two mentions in one segment (distinct keys, same resolved
-    # entity) produce a duplicate `mentions` triple — so only that links
-    # subset ever needs a dedup agg downstream (triples_of). Computed
-    # here because `best` is the per-key top-1 dim (broadcast-sized by
-    # construction); the extra window shuffles the dim, never the
-    # mentions relation.
     wk = Window.partitionBy("entity_id")
-    best = best.withColumn("multi_key", F.count(F.lit(1)).over(wk) > 1)
+    return best.withColumn("multi_key", F.count(F.lit(1)).over(wk) > 1)
+
+
+def link_mentions(mentions: DataFrame, aliases: DataFrame) -> DataFrame:
+    """Candidate generation + scoring + top-1 acceptance (`link.py:26-33`).
+
+    Key scale property: a mention's entire candidate set is determined by
+    its single ``alias_key`` (candidates = alias rows sharing that key), so
+    top-1-per-mention == top-1-per-alias_key — computable on the *tiny*
+    alias table before the join. The big mentions table then takes exactly
+    one broadcast equi-join (J4) and never shuffles: no per-mention
+    aggregation, no sort. Scoring (trigram Jaccard vs the canonical name,
+    exact aliases = 1.0 by construction) runs on alias rows, not candidate
+    rows — O(|aliases|) UDF work instead of O(|mentions|)."""
+    best = best_aliases(aliases)
     base = (
         mentions.filter(F.col("mention_kind").isin("call", "import", "ref"))
         .withColumn("alias_key",
