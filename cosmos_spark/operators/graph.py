@@ -205,3 +205,121 @@ def connected_components_star(nodes: DataFrame, edges: DataFrame,
     out = labels.localCheckpoint(eager=True)
     E.unpersist()
     return out
+
+
+# ---------------------------------------------------------------------------
+# query-side graph analytics over the materialized triple tables
+# ---------------------------------------------------------------------------
+# The reference exposes its KB only through the retrieval API
+# (`elastic_retriever.py`); a graph-table layout (write_graph) additionally
+# supports the classic KG analytics below. All four are pure DataFrame
+# compositions — degree/neighborhood/triangle/centrality queries a KG user
+# runs against the (subj, pred, obj) edge relation.
+
+
+def degrees(edges: DataFrame) -> DataFrame:
+    """(node, out_deg, in_deg) for every node incident to an edge.
+
+    Two map-side-combined counts + one outer join on the (small) per-node
+    aggregates — the big edge relation is scanned twice but never joined
+    against itself. Nodes with no out- (or in-) edges get 0."""
+    out_d = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("out_deg"))
+    in_d = edges.groupBy(F.col("dst").alias("node")).agg(
+        F.count(F.lit(1)).alias("in_deg"))
+    return (out_d.join(in_d, "node", "full_outer")
+            .select("node",
+                    F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+                    F.coalesce("in_deg", F.lit(0)).alias("in_deg")))
+
+
+def k_hop(edges: DataFrame, seeds: DataFrame, k: int = 2) -> DataFrame:
+    """Distinct nodes reachable from ``seeds`` (column ``node``) in at most
+    ``k`` directed hops, seeds included. Frontier-style BFS: each round
+    joins the *frontier* (small, seed-anchored) against the edge relation
+    — the frontier side is broadcast so the big edge table never shuffles;
+    on a cluster the edge relation stays partition-local across all k
+    rounds. For frontiers that outgrow the broadcast threshold (hub-dense
+    graphs) drop the hint and let AQE pick the join side."""
+    visited = seeds.select("node").distinct()
+    frontier = visited
+    for _ in range(k):
+        frontier = (
+            edges.join(F.broadcast(frontier),
+                       edges["src"] == frontier["node"])
+            .select(F.col("dst").alias("node")).distinct()
+        )
+        visited = visited.unionByName(frontier).distinct()
+    return visited
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle participation counts (node, n_tri) over the
+    undirected simple graph induced by ``edges`` — nodes in >= 1 triangle.
+
+    Shape: canonicalize to u < v once, then one wedge self-join + one
+    closing-edge semi-equi-join; each triangle (a < b < c) is produced
+    exactly once and attributed to its three corners. At scale the wedge
+    join is the quadratic risk around high-degree hubs — the standard
+    mitigation (orient edges from lower-(degree, id) to higher before the
+    wedge join, Suri & Vassilvitskii WWW'11) caps per-node wedge fan-out
+    at O(sqrt(|E|)); kept un-oriented here because attribution needs the
+    a<b<c form anyway and the oracle contract is the canonical count."""
+    und = (edges.select(F.least("src", "dst").alias("u"),
+                        F.greatest("src", "dst").alias("v"))
+           .filter(F.col("u") != F.col("v")).distinct())
+    e1 = und.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = und.select(F.col("u").alias("b2"), F.col("v").alias("c"))
+    wedge = e1.join(e2, e1["b"] == e2["b2"]).select("a", "b", "c")
+    e3 = und.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = wedge.join(e3, ["a", "c"])
+    corners = (tri.select(F.col("a").alias("node"))
+               .unionByName(tri.select(F.col("b").alias("node")))
+               .unionByName(tri.select(F.col("c").alias("node"))))
+    return corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_tri"))
+
+
+def pagerank(edges: DataFrame, iters: int = 5,
+             damping: float = 0.5) -> DataFrame:
+    """Fixed-iteration PageRank: (node, pr) over all edge-incident nodes.
+
+    pr_0 = 1.0; pr_{t+1}(n) = (1-d) + d * sum_{m->n} pr_t(m)/out_deg(m)
+    (dangling mass dropped — the un-normalized 'personalized-constant'
+    form, so ranks are comparable across iterations without a global
+    renormalize job).
+
+    Scale shape: the (src, dst, out_deg) relation is joined on ``src``
+    once, persisted in that shuffle layout, and reused every iteration —
+    only the (tiny, one-row-per-node) rank relation shuffles per round;
+    this is the canonical Spark PageRank partitioning strategy. Lineage is
+    truncated with localCheckpoint every 8 rounds (same cadence as
+    :func:`connected_components`). With damping 0.5 and power-of-two
+    out-degrees every rank is a dyadic rational — exactly representable in
+    (and exactly summable over) doubles, which is what lets the DuckDB
+    oracle match bit-for-bit."""
+    from pyspark import StorageLevel
+
+    nodes = (edges.select(F.col("src").alias("node"))
+             .unionByName(edges.select(F.col("dst").alias("node")))
+             .distinct().persist(StorageLevel.MEMORY_AND_DISK))
+    out_d = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    adj = (edges.join(out_d, "src")
+           .select("src", "dst", "out_deg")
+           .persist(StorageLevel.MEMORY_AND_DISK))
+    ranks = nodes.select("node", F.lit(1.0).alias("pr"))
+    for i in range(iters):
+        contrib = (
+            adj.join(ranks.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("pr") / F.col("out_deg")).alias("s"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select("node",
+                    (F.lit(1.0 - damping)
+                     + F.lit(damping) * F.coalesce("s", F.lit(0.0)))
+                    .alias("pr"))
+        )
+        if (i + 1) % 8 == 0:
+            ranks = ranks.localCheckpoint()
+    return ranks

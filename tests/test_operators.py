@@ -232,6 +232,43 @@ def test_star_cc_chain_converges_in_log_rounds(spark):
     assert len(out) == 64
 
 
+def test_degrees_small(spark):
+    edges = spark.createDataFrame(pd.DataFrame(
+        [(1, 2), (1, 3), (2, 3), (4, 1)], columns=["src", "dst"]))
+    got = {r.node: (r.out_deg, r.in_deg)
+           for r in graph.degrees(edges).collect()}
+    assert got == {1: (2, 1), 2: (1, 1), 3: (0, 2), 4: (1, 0)}
+
+
+def test_k_hop_chain(spark):
+    edges = spark.createDataFrame(pd.DataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], columns=["src", "dst"]))
+    seeds = spark.createDataFrame(pd.DataFrame({"node": [1]}))
+    got = {r.node for r in graph.k_hop(edges, seeds, k=2).collect()}
+    assert got == {1, 2, 3}
+    got3 = {r.node for r in graph.k_hop(edges, seeds, k=3).collect()}
+    assert got3 == {1, 2, 3, 4}
+
+
+def test_triangle_counts_k4(spark):
+    """K4 (with one duplicate + one reversed edge to exercise the
+    canonicalization): every node sits in C(3,2)=3 triangles."""
+    es = [(1, 2), (2, 1), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (3, 4)]
+    edges = spark.createDataFrame(pd.DataFrame(es, columns=["src", "dst"]))
+    got = {r.node: r.n_tri for r in graph.triangle_counts(edges).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_pagerank_hand_computed(spark):
+    """1->{2,3}, 2->3, 3 dangling; damping 0.5. Exact dyadic values:
+    after 2 iterations pr = (0.5, 0.625, 1.0)."""
+    edges = spark.createDataFrame(pd.DataFrame(
+        [(1, 2), (1, 3), (2, 3)], columns=["src", "dst"]))
+    got = {r.node: r.pr
+           for r in graph.pagerank(edges, iters=2, damping=0.5).collect()}
+    assert got == {1: 0.5, 2: 0.625, 3: 1.0}
+
+
 def test_greedy_association_semantics(spark):
     """Two comments nearest the same function: the first (in line order)
     takes it, the second gets the next-nearest — pool-pop semantics a

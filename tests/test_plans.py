@@ -160,3 +160,20 @@ def test_train_split_is_pure_projection(spark):
     assert "Aggregate" not in plan
     read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
     assert "text" not in read_schema  # column pruning: content never read
+
+
+def test_k_hop_frontier_is_broadcast(spark):
+    """q_graph_2hop: both BFS rounds must join broadcast-frontier-into-
+    edges — no SortMergeJoin anywhere, so the edge relation never
+    shuffles for the traversal (only the distinct aggregations do)."""
+    plan = _plan(Q.q_graph_2hop(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pagerank_reuses_persisted_adjacency(spark):
+    """pagerank's (src, dst, out_deg) relation is persisted and reused by
+    every iteration: the final plan must reference an InMemoryRelation
+    instead of recomputing the adjacency join per round."""
+    plan = _plan(Q.q_graph_pagerank(spark, SF_DIR))
+    assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
