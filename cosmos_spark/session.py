@@ -17,6 +17,20 @@ import os
 
 from pyspark.sql import SparkSession
 
+# The portable engine conf — everything that is NOT process topology.
+# Shared by the local factory below and the spark-submit entrypoint
+# (scripts/submit_kg.py), where master/executors/driver-memory come from
+# spark-submit flags instead.
+ENGINE_CONF: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.session.timeZone": "UTC",
+}
+
 
 def get_spark(
     app_name: str = "cosmos_spark",
@@ -34,12 +48,6 @@ def get_spark(
         SparkSession.builder.appName(app_name)
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", driver_mem)
         # Pin Xms=Xmx + pre-touch: a lazily grown multi-GB heap page-faults
         # on every young-gen allocation wave (kernel page zeroing showed up
@@ -47,9 +55,10 @@ def get_spark(
         # this host — measured 18.1s -> 1.4s on a 32-thread sha2 burn).
         .config("spark.driver.extraJavaOptions",
                 f"-Xms{driver_mem} -XX:+AlwaysPreTouch")
-        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
     )
+    for k, v in ENGINE_CONF.items():
+        builder = builder.config(k, v)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

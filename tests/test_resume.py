@@ -96,3 +96,32 @@ def test_lineage_rows_shape(spark, source_df, tmp_path):
                                 "row_count", "wall_ms", "run_id"}
     assert (lin["stage"] == "segments").any()
     assert lin["row_count"].sum() == out["segments"].count()
+
+
+def test_submit_entrypoint_in_process(spark, tmp_path, capsys):
+    """scripts/submit_kg.py end-to-end in-process: the spark-submit job
+    script builds its session via getOrCreate (reusing the test session),
+    runs the synthetic pipeline in both plain and resumable+graph modes,
+    and prints the one-line JSON metrics record. The real spark-submit
+    --py-files launch is exercised out-of-band (see NOTES_r3.md)."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__),
+                                    "..", "scripts"))
+    import submit_kg
+
+    out1 = str(tmp_path / "triples")
+    submit_kg.main(["--synthetic-files-per-repo", "4",
+                    "--output", out1, "--no-stop"])
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["n_triples"] > 0 and not rec["resumable"]
+    assert spark.read.parquet(out1).count() == rec["n_triples"]
+
+    out2 = str(tmp_path / "cat")
+    ck = str(tmp_path / "ck")
+    submit_kg.main(["--synthetic-files-per-repo", "4", "--output", out2,
+                    "--workdir", ck, "--graph", "--no-stop"])
+    rec2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec2["resumable"] and rec2["n_triples"] == rec["n_triples"]
+    # catalog holds the three-table graph layout
+    for sub in ("triples", "nodes", "documents"):
+        assert os.path.isdir(os.path.join(out2, "graph", sub))
