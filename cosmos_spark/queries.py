@@ -472,6 +472,33 @@ FROM sh WHERE len(hashes) > 0
 """
 
 
+def q_winnow_fingerprints(spark, sf_dir):
+    """Winnowing (MOSS) local fingerprints: char-5-gram md5s, window-4
+    min selection — guarantees any shared substring of length >= 8 chars
+    between two docs shares a fingerprint, at ~2/(w+1) selection density.
+    Complements whole-doc MinHash for local-overlap detection."""
+    from .operators import dedup
+    docs = _t(spark, sf_dir, "documents")
+    return (dedup.winnow_fingerprints(docs, "doc_id", "text")
+            .select(F.col("id").alias("doc_id"), "fp"))
+
+
+SQL_WINNOW_FP = """
+WITH hs AS (
+  SELECT doc_id,
+         list_transform(range(1, len(text) - 5 + 2),
+                        i -> md5(substr(text, i, 5))) AS h
+  FROM documents WHERE len(text) >= 5),
+w AS (
+  SELECT doc_id,
+         CASE WHEN len(h) <= 4 THEN [list_min(h)]
+              ELSE list_transform(range(1, len(h) - 2),
+                                  j -> list_min(list_slice(h, j, j + 3)))
+         END AS mins FROM hs)
+SELECT DISTINCT doc_id, unnest(mins) AS fp FROM w
+"""
+
+
 def q_lang_stopword_id(spark, sf_dir):
     """Language-ID heuristic: stopword-hit scoring with deterministic
     fallback (n-gram-heuristic analog). The synthetic docs share one
@@ -672,6 +699,7 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "q_token_count": (q_token_count, SQL_TOKEN_COUNT),
     "q_quality_score": (q_quality_score, SQL_QUALITY_SCORE),
     "q_ngram_fingerprint": (q_ngram_fingerprint, SQL_NGRAM_FINGERPRINT),
+    "q_winnow_fingerprints": (q_winnow_fingerprints, SQL_WINNOW_FP),
     "q_train_split": (q_train_split, SQL_TRAIN_SPLIT),
     "q_lang_stopword_id": (q_lang_stopword_id, SQL_LANG_STOPWORD_ID),
     "q_ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
@@ -2400,6 +2428,7 @@ PRIORITY_QUERIES: list[str] = [
     "q_graph_triangles",
     "q_graph_pagerank",
     "q_stream_triples",
+    "q_winnow_fingerprints",
     "q_train_split",
     "q_doc_rollup",
     "q_search_docfilter",

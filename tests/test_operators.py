@@ -109,6 +109,33 @@ def test_simhash_signatures_and_candidates(docs):
     assert (0, 2) in got
 
 
+def test_winnow_fingerprints(spark, docs):
+    """Pins the winnowing guarantee and the edge cases: any shared
+    substring of length >= window + k - 1 (= 8 here) yields a shared
+    fingerprint; density stays under the 2/(w+1) bound; short docs use
+    the whole-doc window; sub-k docs emit nothing."""
+    out = dedup.winnow_fingerprints(docs, "doc_id", "text").toPandas()
+    by_id = {i: set(g["fp"]) for i, g in out.groupby("id")}
+    # identical docs -> identical selections
+    assert by_id[0] == by_id[2]
+    # BASE and NEAR share "he quick brown " etc. (>= 8 chars) -> overlap
+    assert by_id[0] & by_id[1]
+    # guarantee is one-directional: overlap with OTHER is possible but the
+    # Jaccard must be far below the near-dup pair's
+    j = lambda a, b: len(a & b) / len(a | b)
+    assert j(by_id[0], by_id[1]) > 3 * j(by_id[0], by_id[3])
+    # density: distinct selection of n-w+1 window mins over n k-grams
+    n0 = len(BASE) - 5 + 1
+    assert len(by_id[0]) <= 2 / (4 + 1) * n0 * 1.5
+    # short docs: exactly-k chars -> one fingerprint; < k chars -> none
+    edge = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [10, 11, 12],
+                      "text": ["abcde", "abc", "abcdefg"]}))
+    eo = dedup.winnow_fingerprints(edge, "doc_id", "text").toPandas()
+    cnt = eo.groupby("id").size().to_dict()
+    assert cnt.get(10) == 1 and 11 not in cnt and cnt.get(12) == 1
+
+
 def test_hamming64(spark):
     df = spark.range(1).select(
         dedup.hamming64(F.lit(0b1011).cast("long"),
