@@ -383,6 +383,48 @@ SELECT doc_id, CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
 FROM documents
 """
 
+# GPT-2-style pretokenizer, minus the trailing-space lookahead (`\s+(?!\S)`)
+# that RE2 cannot express — contractions, space-prefixed letter/digit runs,
+# space-prefixed punctuation runs, whitespace runs. Alternation is
+# leftmost-first in Java regex AND RE2, so Spark and DuckDB tokenize
+# identically (verified on contraction/punct/whitespace edge cases).
+_BPE_PAT = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+
+
+def q_bpe_token_count(spark, sf_dir):
+    """BPE-ish token counting: a byte-pair-encoding pretokenizer regex
+    (the training-cost estimator real pipelines run before the actual
+    BPE merge table) — total tokens, distinct tokens, and the
+    whitespace-token ratio per document. Pure JVM regex, no UDF."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all("text", F.lit(_BPE_PAT), 0)
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct"),
+        F.round(
+            F.size(toks).cast("double") /
+            F.greatest(F.expr(r"size(regexp_extract_all(text, '\\S+', 0))"),
+                       F.lit(1)).cast("double"), 6).alias("bpe_per_word"),
+    )
+
+
+SQL_BPE_TOKEN_COUNT = """
+WITH t AS (
+  SELECT doc_id,
+         regexp_extract_all(text,
+           '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+|\\s+')
+           AS toks,
+         len(regexp_extract_all(text, '\\S+')) AS n_words
+  FROM documents)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_bpe_tokens,
+       CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+       round(CAST(len(toks) AS DOUBLE) / greatest(n_words, 1), 6)
+         AS bpe_per_word
+FROM t
+"""
+
 
 _STOPWORDS = ("the", "a", "of", "to", "and")
 
@@ -697,6 +739,7 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "q_json_extract": (q_json_extract, SQL_JSON_EXTRACT),
     "q_dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "q_token_count": (q_token_count, SQL_TOKEN_COUNT),
+    "q_bpe_token_count": (q_bpe_token_count, SQL_BPE_TOKEN_COUNT),
     "q_quality_score": (q_quality_score, SQL_QUALITY_SCORE),
     "q_ngram_fingerprint": (q_ngram_fingerprint, SQL_NGRAM_FINGERPRINT),
     "q_winnow_fingerprints": (q_winnow_fingerprints, SQL_WINNOW_FP),
@@ -2429,6 +2472,7 @@ PRIORITY_QUERIES: list[str] = [
     "q_graph_pagerank",
     "q_stream_triples",
     "q_winnow_fingerprints",
+    "q_bpe_token_count",
     "q_train_split",
     "q_doc_rollup",
     "q_search_docfilter",
