@@ -57,6 +57,16 @@ class Catalog:
                 w = w.partitionedBy(*[col(c) for c in partition_by])
             w.createOrReplace()
             return
+        self._write_dir(df, self._path(table), partition_by,
+                        sort_within_by, mode)
+        with open(self._path(table) + ".meta.json", "w") as f:
+            json.dump({"table": table, "partition_by": list(partition_by),
+                       "sort_within_by": list(sort_within_by),
+                       "format": "parquet"}, f)
+
+    def _write_dir(self, df: DataFrame, path: str,
+                   partition_by: tuple[str, ...],
+                   sort_within_by: tuple[str, ...], mode: str) -> None:
         out = df
         if partition_by:
             # shuffle on partition keys PLUS cluster keys: hashing on the
@@ -71,11 +81,7 @@ class Catalog:
         writer = out.write.mode(mode)
         if partition_by:
             writer = writer.partitionBy(*partition_by)
-        writer.parquet(self._path(table))
-        with open(self._path(table) + ".meta.json", "w") as f:
-            json.dump({"table": table, "partition_by": list(partition_by),
-                       "sort_within_by": list(sort_within_by),
-                       "format": "parquet"}, f)
+        writer.parquet(path)
 
     def write_bucketed(self, df: DataFrame, table: str,
                        bucket_by: tuple[str, ...], n_buckets: int,
@@ -111,7 +117,204 @@ class Catalog:
             if any(f.endswith(".parquet") or f == "_SUCCESS" for f in files):
                 rel = os.path.relpath(root, self.warehouse)
                 parts = rel.split(os.sep)
-                # stop at the table dir (strip partition subdirs like pred=x)
+                # stop at the table dir: strip partition subdirs (pred=x)
+                # and the versioned-table commit log (_v/snap-*)
+                if "_v" in parts:
+                    parts = parts[:parts.index("_v")]
                 tbl = [p for p in parts if "=" not in p]
                 out.append(".".join(tbl))
         return sorted(set(out))
+
+    # ------------------------------------------------------------------
+    # versioned tables — the Iceberg snapshot/commit-log analog
+    # ------------------------------------------------------------------
+    # Layout: <table_path>/_v/meta.json is the commit log (an ordered list
+    # of snapshots, each an immutable data directory <table_path>/_v/
+    # snap-NNNNN written exactly once); readers resolve the log, never
+    # list directories. This mirrors Iceberg's metadata tree one level
+    # shallower (no manifest files — each snapshot dir IS its manifest),
+    # which preserves the properties that matter for the engine:
+    # appends never rewrite existing data, reads are reproducible at any
+    # historical snapshot id, rollback is a log truncation, and
+    # compaction/expiry bound the small-file and union-width growth.
+    # Under a real Iceberg catalog every method below maps onto native
+    # calls (append -> writeTo().append(), read_at -> VERSION AS OF,
+    # compact -> rewrite_data_files, expire -> expire_snapshots).
+
+    def _vdir(self, table: str) -> str:
+        return os.path.join(self._path(table), "_v")
+
+    def _vmeta_path(self, table: str) -> str:
+        return os.path.join(self._vdir(table), "meta.json")
+
+    def _vmeta(self, table: str) -> dict:
+        p = self._vmeta_path(table)
+        if not os.path.exists(p):
+            return {"table": table, "snapshots": []}
+        with open(p) as f:
+            return json.load(f)
+
+    def _vmeta_commit(self, table: str, meta: dict) -> None:
+        """Atomic commit: write-new + rename, so a killed writer never
+        leaves a torn log (the parquet-dir stand-in for an Iceberg
+        catalog's atomic metadata swap)."""
+        os.makedirs(self._vdir(table), exist_ok=True)
+        tmp = self._vmeta_path(table) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f, indent=1)
+        os.replace(tmp, self._vmeta_path(table))
+
+    def snapshots(self, table: str) -> list[dict]:
+        """The commit log, oldest first: [{id, op, partition_by, ...}]."""
+        return self._vmeta(table)["snapshots"]
+
+    def current_snapshot(self, table: str) -> int | None:
+        snaps = self.snapshots(table)
+        return snaps[-1]["id"] if snaps else None
+
+    def _commit_data(self, df: DataFrame, table: str, op: str,
+                     partition_by: tuple[str, ...],
+                     sort_within_by: tuple[str, ...]) -> int:
+        meta = self._vmeta(table)
+        # next id clears both the log AND any orphaned dirs a rollback
+        # left on disk (rollback truncates the log but keeps data)
+        disk_ids = [int(n.split("-")[1]) for n in
+                    (os.listdir(self._vdir(table))
+                     if os.path.isdir(self._vdir(table)) else [])
+                    if n.startswith("snap-")]
+        log_ids = [s["id"] for s in meta["snapshots"]]
+        sid = max(disk_ids + log_ids, default=0) + 1
+        d = os.path.join(self._vdir(table), f"snap-{sid:05d}")
+        self._write_dir(df, d, partition_by, sort_within_by,
+                        mode="errorifexists")
+        meta["snapshots"].append({
+            "id": sid, "op": op, "dir": f"snap-{sid:05d}",
+            "partition_by": list(partition_by),
+            "sort_within_by": list(sort_within_by)})
+        self._vmeta_commit(table, meta)
+        return sid
+
+    def append(self, df: DataFrame, table: str,
+               partition_by: tuple[str, ...] = (),
+               sort_within_by: tuple[str, ...] = ()) -> int:
+        """Append a new immutable snapshot; returns its id. Existing data
+        is never rewritten — the incremental-ingest primitive."""
+        return self._commit_data(df, table, "append",
+                                 partition_by, sort_within_by)
+
+    def replace(self, df: DataFrame, table: str,
+                partition_by: tuple[str, ...] = (),
+                sort_within_by: tuple[str, ...] = ()) -> int:
+        """Commit a snapshot that REPLACES the current view (op=overwrite).
+        Prior snapshots stay readable via ``read_at(snapshot=...)`` until
+        expired — overwrite-with-history, not delete."""
+        return self._commit_data(df, table, "overwrite",
+                                 partition_by, sort_within_by)
+
+    def _live_snaps(self, table: str, snapshot: int | None) -> list[dict]:
+        snaps = self.snapshots(table)
+        if snapshot is not None:
+            snaps = [s for s in snaps if s["id"] <= snapshot]
+            if not snaps or snaps[-1]["id"] != snapshot:
+                known = [s["id"] for s in self.snapshots(table)]
+                raise ValueError(
+                    f"snapshot {snapshot} not in {table}'s log {known}")
+        live: list[dict] = []
+        for s in snaps:
+            if s["op"] == "overwrite":
+                live = [s]
+            else:
+                live.append(s)
+        return live
+
+    def _read_snap(self, table: str, snap: dict,
+                   snapshot_col: str | None = None) -> DataFrame:
+        df = self.spark.read.parquet(
+            os.path.join(self._vdir(table), snap["dir"]))
+        if snapshot_col:
+            from pyspark.sql.functions import lit
+            df = df.withColumn(snapshot_col, lit(snap["id"]))
+        return df
+
+    def read_at(self, table: str, snapshot: int | None = None,
+                snapshot_col: str | None = None) -> DataFrame:
+        """Read the table as of ``snapshot`` (default: latest) — Iceberg
+        ``VERSION AS OF``. The view is the union of append snapshots since
+        the last overwrite; ``compact`` bounds the union width (each arm
+        is its own parquet scan, so a long-uncompacted log costs plan
+        nodes, never correctness). ``snapshot_col`` stamps every row with
+        the id of the snapshot that committed it — the sequence number
+        merge-on-read equality deletes are scoped by."""
+        live = self._live_snaps(table, snapshot)
+        if not live:
+            raise ValueError(f"versioned table {table} is empty")
+        out = self._read_snap(table, live[0], snapshot_col)
+        for s in live[1:]:
+            out = out.unionByName(self._read_snap(table, s, snapshot_col))
+        return out
+
+    def changes(self, table: str, since: int) -> DataFrame:
+        """Rows committed after snapshot ``since`` (exclusive) — the
+        incremental read downstream consumers poll instead of re-scanning
+        the table. Raises if an overwrite intervened (history rewritten;
+        the consumer must re-baseline), matching Iceberg's incremental
+        scan contract."""
+        snaps = [s for s in self.snapshots(table) if s["id"] > since]
+        if any(s["op"] == "overwrite" for s in snaps):
+            raise ValueError(
+                f"{table} was overwritten after snapshot {since}; "
+                "incremental read is invalid — re-baseline from read_at()")
+        if not snaps:
+            return self.read_at(table).limit(0)
+        out = self._read_snap(table, snaps[0])
+        for s in snaps[1:]:
+            out = out.unionByName(self._read_snap(table, s))
+        return out
+
+    def rollback(self, table: str, snapshot: int) -> None:
+        """Truncate the commit log back to ``snapshot``. Data dirs of the
+        dropped snapshots stay on disk until ``expire_snapshots`` (so a
+        rollback is itself reversible by inspection, like Iceberg's)."""
+        meta = self._vmeta(table)
+        ids = [s["id"] for s in meta["snapshots"]]
+        if snapshot not in ids:
+            raise ValueError(f"snapshot {snapshot} not in {table}'s "
+                             f"log {ids}")
+        meta["snapshots"] = [s for s in meta["snapshots"]
+                             if s["id"] <= snapshot]
+        self._vmeta_commit(table, meta)
+
+    def compact(self, table: str,
+                partition_by: tuple[str, ...] = (),
+                sort_within_by: tuple[str, ...] = ()) -> int:
+        """Rewrite the current view as one overwrite snapshot (Iceberg
+        ``rewrite_data_files``): collapses the append chain — the
+        small-file/union-width bound a long-running incremental ingest
+        needs — and re-clusters rows under the given layout."""
+        cur = self.read_at(table)
+        # the source scan and the replace target never overlap (the new
+        # snapshot dir is fresh), so no self-overwrite hazard
+        return self.replace(cur, table, partition_by, sort_within_by)
+
+    def expire_snapshots(self, table: str, keep_last: int = 1) -> list[int]:
+        """Delete data dirs that are (a) no longer referenced by the log
+        (dropped by rollback) or (b) older than the last ``keep_last``
+        log entries AND not part of the current view. Returns expired ids.
+        Never touches the current view's data."""
+        import shutil
+        meta = self._vmeta(table)
+        log = meta["snapshots"]
+        live_ids = {s["id"] for s in self._live_snaps(table, None)}
+        keep_ids = {s["id"] for s in log[-keep_last:]} | live_ids
+        expired: list[int] = []
+        vdir = self._vdir(table)
+        for name in sorted(os.listdir(vdir)):
+            if not name.startswith("snap-"):
+                continue
+            sid = int(name.split("-")[1])
+            if sid not in keep_ids:
+                shutil.rmtree(os.path.join(vdir, name))
+                expired.append(sid)
+        meta["snapshots"] = [s for s in log if s["id"] not in expired]
+        self._vmeta_commit(table, meta)
+        return expired

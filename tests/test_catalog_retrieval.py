@@ -31,6 +31,52 @@ def test_catalog_roundtrip_partitioned(spark, graph, tmp_path_factory):
     assert "graph.triples" in " ".join(cat.tables())
 
 
+def test_versioned_table_snapshots(spark, tmp_path_factory):
+    """The Iceberg commit-log analog end to end: append/append -> time
+    travel -> incremental changes -> replace (with history) -> rollback ->
+    compact -> expire."""
+    wh = str(tmp_path_factory.mktemp("vwh"))
+    cat = Catalog(spark, wh)
+    mk = lambda lo, hi, p: spark.range(lo, hi).select(
+        F.col("id"), F.lit(p).alias("pred"))
+    s1 = cat.append(mk(0, 10, "defines"), "g.t", partition_by=("pred",))
+    s2 = cat.append(mk(10, 15, "mentions"), "g.t", partition_by=("pred",))
+    assert (s1, s2) == (1, 2) and cat.current_snapshot("g.t") == 2
+    assert cat.read_at("g.t").count() == 15
+    # time travel
+    assert cat.read_at("g.t", snapshot=1).count() == 10
+    with pytest.raises(ValueError):
+        cat.read_at("g.t", snapshot=99)
+    # partition dirs survive inside snapshot dirs
+    assert cat.read_at("g.t").filter(F.col("pred") == "defines").count() == 10
+    # incremental read: only rows after snapshot 1
+    ch = cat.changes("g.t", since=1)
+    assert ch.count() == 5 and ch.agg(F.min("id")).collect()[0][0] == 10
+    assert cat.changes("g.t", since=2).count() == 0
+    # replace keeps history readable but invalidates incremental reads
+    s3 = cat.replace(mk(100, 103, "defines"), "g.t")
+    assert cat.read_at("g.t").count() == 3
+    assert cat.read_at("g.t", snapshot=2).count() == 15
+    with pytest.raises(ValueError, match="re-baseline"):
+        cat.changes("g.t", since=1)
+    # rollback: log truncation, data still on disk
+    cat.rollback("g.t", snapshot=2)
+    assert cat.read_at("g.t").count() == 15
+    # compact: one overwrite snapshot, same rows, union width 1
+    s4 = cat.compact("g.t", partition_by=("pred",))
+    assert s4 > s3
+    assert cat.read_at("g.t").count() == 15
+    assert len(cat._live_snaps("g.t", None)) == 1
+    # expire: drops the pre-compaction dirs, current view intact
+    expired = cat.expire_snapshots("g.t", keep_last=1)
+    assert set(expired) == {1, 2, 3}
+    assert cat.read_at("g.t").count() == 15
+    assert [s["id"] for s in cat.snapshots("g.t")] == [s4]
+    # tables() reports the versioned table once, no _v/snap leakage
+    assert "g.t" in cat.tables()
+    assert all("snap" not in t and "_v" not in t for t in cat.tables())
+
+
 def test_write_graph_roundtrip_query(spark, graph, tmp_path_factory):
     """Materialize the full graph through the catalog, then answer the
     entity->objects query from the re-read tables — results identical to

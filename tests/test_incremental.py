@@ -1,0 +1,125 @@
+"""Incremental graph maintenance: every update must reproduce EXACTLY the
+triples a from-scratch run_pipeline over the updated corpus emits
+(subj, pred, obj, repo, score — provenance tags differ by design)."""
+
+import pandas as pd
+import pyspark.sql.functions as F
+import pytest
+
+from cosmos_spark.corpus import _sha, corpus_to_spark, make_corpus
+from cosmos_spark.pipeline import run_pipeline
+from cosmos_spark.plans import incremental as inc
+from cosmos_spark.sources import Catalog
+
+CMP = ["subj", "pred", "obj", "repo", "score"]
+
+
+def _tuples(df) -> set:
+    pdf = df.select(*CMP).toPandas()
+    return set(map(tuple, pdf.itertuples(index=False)))
+
+
+@pytest.fixture(scope="module")
+def v1_pdf():
+    """Final corpus state — the conftest-sized synthetic corpus."""
+    return make_corpus(n_repos=4, files_per_repo=6, skew_factor=3, seed=42)
+
+
+@pytest.fixture(scope="module")
+def v0_pdf(v1_pdf):
+    """Initial state, perturbed so the update exercises every path:
+    - every 5th file (idx%5==1) missing        -> NEW files
+    - every 5th file (idx%5==2) carries an extra def -> CHANGED files,
+      and the update REMOVES those entities (defined nowhere in v1)
+    - two extra files                          -> DELETED files; dead1
+      defines load_config_v7, competing on the fuzzy 'load_config' alias
+      key with entities other files link to -> deletion changes link
+      winners for untouched files (the re-link slice)."""
+    rows = []
+    for i, r in v1_pdf.reset_index(drop=True).iterrows():
+        if i % 5 == 1:
+            continue
+        row = r.to_dict()
+        if i % 5 == 2:
+            row["content"] = (row["content"] +
+                              f"\ndef qq_extra_{i}(a):\n    return a\n")
+            row["content_sha256"] = _sha(row["content"])
+        rows.append(row)
+    rows.append({"repo": "org0/repo_00", "path": "extra/dead1.py",
+                 "commit": "f" * 40, "lang": "python",
+                 "content": "def load_config_v7(p):\n    return p\n"})
+    rows.append({"repo": "org1/repo_01", "path": "extra/dead2.py",
+                 "commit": "f" * 40, "lang": "python",
+                 "content": "import os\n\ndef qq_dead(a):\n"
+                            "    return qq_dead(a)\n"})
+    pdf = pd.DataFrame(rows, columns=v1_pdf.columns)
+    mask = pdf["content_sha256"].isna()
+    pdf.loc[mask, "content_sha256"] = pdf.loc[mask, "content"].map(_sha)
+    return pdf
+
+
+def test_incremental_matches_rebuild(spark, v0_pdf, v1_pdf,
+                                     tmp_path_factory):
+    wh = str(tmp_path_factory.mktemp("incwh"))
+    cat = Catalog(spark, wh)
+    v0 = corpus_to_spark(spark, v0_pdf, partitions=4)
+    v1 = corpus_to_spark(spark, v1_pdf, partitions=4)
+
+    # initial build reproduces a plain pipeline run on v0
+    inc.build_graph(spark, v0, cat)
+    assert _tuples(inc.triples_view(cat)) == _tuples(
+        run_pipeline(spark, v0, workdir=str(
+            tmp_path_factory.mktemp("wd0")))["triples"])
+
+    # the update: feed the WHOLE v1 snapshot (unchanged rows must be
+    # skipped) plus the removals
+    deleted = [("org0/repo_00", "extra/dead1.py"),
+               ("org1/repo_01", "extra/dead2.py")]
+    stats = inc.update_graph(spark, cat, v1, deleted=deleted)
+    n_new = sum(1 for i in range(len(v1_pdf)) if i % 5 == 1)
+    n_changed = sum(1 for i in range(len(v1_pdf)) if i % 5 == 2)
+    assert stats["n_delta_files"] == n_new + n_changed
+    assert stats["n_touched_old"] == n_changed + 2
+    assert stats["n_affected_norms"] > 0 and stats["n_affected_objs"] > 0
+
+    want = _tuples(run_pipeline(spark, v1, workdir=str(
+        tmp_path_factory.mktemp("wd1")))["triples"])
+    assert _tuples(inc.triples_view(cat)) == want
+
+    # idempotence: re-feeding the same snapshot is a no-op
+    stats2 = inc.update_graph(spark, cat, v1)
+    assert stats2 == {"n_delta_files": 0, "n_touched_old": 0,
+                      "n_affected_norms": 0, "n_triples_appended": 0}
+    assert _tuples(inc.triples_view(cat)) == want
+
+    # compaction applies deletes physically; the view is unchanged and
+    # every chain collapses to a single snapshot with an empty delete log
+    inc.compact_graph(spark, cat)
+    assert _tuples(inc.triples_view(cat)) == want
+    assert cat.read_at("inc.deletes").count() == 0
+    for t in ("mentions", "triples", "manifest"):
+        assert len(cat.snapshots(f"inc.{t}")) == 1
+    # manifest now mirrors v1 exactly
+    man = inc.manifest_view(cat).toPandas()
+    assert sorted(zip(man["repo"], man["path"])) == sorted(
+        zip(v1_pdf["repo"], v1_pdf["path"]))
+
+
+def test_update_deletion_only(spark, v1_pdf, tmp_path_factory):
+    """Removing a file that other files' mentions link into must relink /
+    drop those mention triples corpus-wide (the obj-delete path), matching
+    a rebuild without that file."""
+    wh = str(tmp_path_factory.mktemp("incwh2"))
+    cat = Catalog(spark, wh)
+    full = corpus_to_spark(spark, v1_pdf, partitions=4)
+    inc.build_graph(spark, full, cat)
+    victim = v1_pdf.iloc[0]  # a skew-repo file others may link into
+    rest_pdf = v1_pdf.iloc[1:].reset_index(drop=True)
+    stats = inc.update_graph(
+        spark, cat, full.limit(0),
+        deleted=[(victim["repo"], victim["path"])])
+    assert stats["n_delta_files"] == 0 and stats["n_touched_old"] == 1
+    want = _tuples(run_pipeline(
+        spark, corpus_to_spark(spark, rest_pdf, partitions=4),
+        workdir=str(tmp_path_factory.mktemp("wd2")))["triples"])
+    assert _tuples(inc.triples_view(cat)) == want
