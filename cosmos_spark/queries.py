@@ -1475,6 +1475,62 @@ FROM documents
 """
 
 
+def q_incremental_kg(spark, sf_dir):
+    """Incremental KG maintenance, driver-value-checked end to end: build
+    the graph from a perturbed corpus V0 (every 5th file missing, every
+    7th carrying an extra def the final corpus lacks, plus two files that
+    don't belong — one competing on a fuzzy alias key so link winners
+    must be re-derived), then absorb one delta that lands the corpus on
+    exactly the canonical linking source. The merged merge-on-read view's
+    defines family must equal the from-scratch oracle
+    (:data:`SQL_INCREMENTAL_KG`) — i.e. the incremental path is
+    indistinguishable from a rebuild. Runs on the doc_id%4==0 quarter of
+    the corpus: the delta machinery it exercises is density-independent,
+    and the full-corpus extraction kernel is already the kg_pipeline
+    headline — re-paying it here would double-count bench time."""
+    from .plans import incremental as I
+    from .sources import Catalog
+    # try_cast: the predicate constraint-propagates across update_graph's
+    # (repo, path) equi-joins onto manifest rows whose paths don't match
+    # the regex — an ANSI cast of '' would throw there
+    fid = F.regexp_extract("path", r"d(\d+)\.py", 1).try_cast("long")
+    v1 = _linking_source(spark, sf_dir).filter(fid % 4 == 0)
+    v0 = (v1.filter(fid % 5 != 0)
+          .withColumn("content",
+                      F.when(fid % 7 == 0,
+                             F.concat("content",
+                                      F.lit("\ndef qq_extra(z):"
+                                            "\n    return z\n")))
+                      .otherwise(F.col("content"))))
+    extras = spark.createDataFrame(
+        [("xorg/dead", "a.py", "f" * 40, "python",
+          "def f0_v9(x):\n    return x\n"),
+         ("xorg/dead", "b.py", "f" * 40, "python",
+          "def qq_dead(a):\n    return qq_dead(a)\n")],
+        "repo string, path string, commit string, lang string, "
+        "content string")
+    cat = Catalog(spark, _tmpdir("cosmos_incwh_"))
+    I.build_graph(spark, v0.unionByName(extras), cat)
+    I.update_graph(spark, cat, v1,
+                   deleted=[("xorg/dead", "a.py"), ("xorg/dead", "b.py")],
+                   collect_stats=False)
+    return (I.triples_view(cat).filter(F.col("pred") == "defines")
+            .select("subj", "pred", "obj", "repo", "score"))
+
+
+SQL_INCREMENTAL_KG = f"""
+SELECT source || '/d' || doc_id || '.py#' || {_SQL_FSEG} AS subj,
+       'defines' AS pred, 'f' || doc_id AS obj, source AS repo,
+       0.99 AS score
+FROM documents WHERE doc_id % 4 = 0
+UNION ALL
+SELECT source || '/d' || doc_id || '.py#' || {_SQL_GSEG} AS subj,
+       'defines' AS pred, 'g' || doc_id AS obj, source AS repo,
+       0.99 AS score
+FROM documents WHERE doc_id % 4 = 0
+"""
+
+
 SQL_STREAM_TRIPLES = f"""
 SELECT source || '/d' || doc_id || '.py#' || {_SQL_FSEG} AS subj,
        'defines' AS pred, 'f' || doc_id AS obj, source AS repo,
@@ -1513,6 +1569,7 @@ QUERIES.update({
     "q_kg_defines": (q_kg_defines, SQL_KG_DEFINES),
     "q_kg_entities": (q_kg_entities, SQL_KG_ENTITIES),
     "q_kg_mention_links": (q_kg_mention_links, SQL_KG_MENTION_LINKS),
+    "q_incremental_kg": (q_incremental_kg, SQL_INCREMENTAL_KG),
     "q_stream_triples": (q_stream_triples, SQL_STREAM_TRIPLES),
 })
 
@@ -2471,6 +2528,7 @@ PRIORITY_QUERIES: list[str] = [
     "q_graph_triangles",
     "q_graph_pagerank",
     "q_stream_triples",
+    "q_incremental_kg",
     "q_winnow_fingerprints",
     "q_bpe_token_count",
     "q_train_split",
