@@ -1531,6 +1531,51 @@ FROM documents WHERE doc_id % 4 = 0
 """
 
 
+_VERSIONED_MEMO: dict[tuple[str, str], tuple] = {}
+
+
+def _versioned_demo(spark, sf_dir):
+    """One versioned table shared by q_time_travel / q_snapshot_changes:
+    three appends splitting ``documents`` by doc_id%3 (snap ids 1/2/3).
+    Memoized per Spark application so the two queries pay the three tiny
+    commits once per bench/driver pass (the kg-trio pattern)."""
+    from .sources import Catalog
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _VERSIONED_MEMO:
+        cat = Catalog(spark, _tmpdir("cosmos_verwh_"))
+        docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+        snaps = [cat.append(docs.filter(F.col("doc_id") % 3 == r), "v.docs")
+                 for r in (0, 1, 2)]
+        _VERSIONED_MEMO[key] = (cat, snaps)
+    return _VERSIONED_MEMO[key]
+
+
+def q_time_travel(spark, sf_dir):
+    """Snapshot-scoped read (Iceberg ``VERSION AS OF`` analog): reading
+    the versioned table as of its second commit must see exactly the
+    first two appends and nothing from the third."""
+    cat, snaps = _versioned_demo(spark, sf_dir)
+    return cat.read_at("v.docs", snapshot=snaps[1])
+
+
+SQL_TIME_TRAVEL = """
+SELECT doc_id, source FROM documents WHERE doc_id % 3 IN (0, 1)
+"""
+
+
+def q_snapshot_changes(spark, sf_dir):
+    """Incremental (CDC) read: ``changes(since=first commit)`` must
+    return exactly the rows the later two appends committed — the poll
+    primitive downstream consumers use instead of rescanning the table."""
+    cat, snaps = _versioned_demo(spark, sf_dir)
+    return cat.changes("v.docs", since=snaps[0])
+
+
+SQL_SNAPSHOT_CHANGES = """
+SELECT doc_id, source FROM documents WHERE doc_id % 3 IN (1, 2)
+"""
+
+
 SQL_STREAM_TRIPLES = f"""
 SELECT source || '/d' || doc_id || '.py#' || {_SQL_FSEG} AS subj,
        'defines' AS pred, 'f' || doc_id AS obj, source AS repo,
@@ -1570,6 +1615,8 @@ QUERIES.update({
     "q_kg_entities": (q_kg_entities, SQL_KG_ENTITIES),
     "q_kg_mention_links": (q_kg_mention_links, SQL_KG_MENTION_LINKS),
     "q_incremental_kg": (q_incremental_kg, SQL_INCREMENTAL_KG),
+    "q_time_travel": (q_time_travel, SQL_TIME_TRAVEL),
+    "q_snapshot_changes": (q_snapshot_changes, SQL_SNAPSHOT_CHANGES),
     "q_stream_triples": (q_stream_triples, SQL_STREAM_TRIPLES),
 })
 
@@ -2529,6 +2576,8 @@ PRIORITY_QUERIES: list[str] = [
     "q_graph_pagerank",
     "q_stream_triples",
     "q_incremental_kg",
+    "q_time_travel",
+    "q_snapshot_changes",
     "q_winnow_fingerprints",
     "q_bpe_token_count",
     "q_train_split",
