@@ -717,6 +717,71 @@ FROM documents WHERE regexp_matches(text, '\S')
 """
 
 
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization (the classic clickstream rollup): per
+    user, a >30-minute silence starts a new session; emit one row per
+    session with its bounds and event count. Both windows partition by
+    user_id — work distributes across users, no global ordering ever
+    forms (scale-safe by construction; per-user event counts are
+    bounded by retention, and AQE absorbs residual hot users)."""
+    from pyspark.sql import Window
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    # interval arithmetic: ts is TIMESTAMP_NTZ (unix_micros rejects it)
+    # and intervals are timezone-proof in both engines
+    gap = F.col("ts") - F.lag("ts").over(w)
+    new_sess = F.when(gap.isNull() |
+                      (gap > F.expr("INTERVAL '30' MINUTE")), 1) \
+        .otherwise(0)
+    sess = (ev.withColumn("session_idx",
+                          F.sum(new_sess).over(
+                              w.rowsBetween(Window.unboundedPreceding, 0))))
+    return (sess.groupBy("user_id", "session_idx")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.min("ts").alias("session_start"),
+                 F.max("ts").alias("session_end")))
+
+
+SQL_SESSIONIZE = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE
+                OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+), numbered AS (
+  SELECT user_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM marked
+)
+SELECT user_id, session_idx, count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end
+FROM numbered GROUP BY user_id, session_idx
+"""
+
+
+def q_rollup_agg(spark, sf_dir):
+    """Hierarchical GROUPING SETS (ROLLUP) — per (status, priority),
+    per status, and grand total in one pass; Spark plans a single
+    Expand + hash aggregate, the multi-level rollup shape warehouse
+    reporting uses instead of N separate scans."""
+    orders = _t(spark, sf_dir, "orders")
+    return (orders.rollup("o_orderstatus", "o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                 .cast("double").alias("total_price")))
+
+
+SQL_ROLLUP_AGG = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS total_price
+FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -734,6 +799,8 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "q_set_except": (q_set_except, SQL_SET_EXCEPT),
     "q_pagination": (q_pagination, SQL_PAGINATION),
     "q_asof_join": (q_asof_join, SQL_ASOF_JOIN),
+    "q_sessionize": (q_sessionize, SQL_SESSIONIZE),
+    "q_rollup_agg": (q_rollup_agg, SQL_ROLLUP_AGG),
     "q_regex_extract": (q_regex_extract, SQL_REGEX_EXTRACT),
     "q_sha256_hash": (q_sha256_hash, SQL_SHA256_HASH),
     "q_json_extract": (q_json_extract, SQL_JSON_EXTRACT),
@@ -2578,6 +2645,8 @@ PRIORITY_QUERIES: list[str] = [
     "q_incremental_kg",
     "q_time_travel",
     "q_snapshot_changes",
+    "q_sessionize",
+    "q_rollup_agg",
     "q_winnow_fingerprints",
     "q_bpe_token_count",
     "q_train_split",

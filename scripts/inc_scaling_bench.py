@@ -1,0 +1,151 @@
+#!/usr/bin/env python
+"""Two-parallelism scaling evidence for INCREMENTAL graph maintenance
+(supplementary to scripts/scaling_bench.py, which covers the full
+pipeline — the north rule's primary criterion).
+
+Job: build the versioned graph from corpus V0 (untimed), then time
+``plans.incremental.update_graph`` absorbing a re-fed whole snapshot V1
+in which a deterministic fraction of files changed (each gains one new
+unique def, so dim maintenance + re-linking are exercised, not just
+file-local recompute). Same job, same input, taskset-pinned to N and 4N
+CPUs (see scaling_bench.py for why pinning is the sandbox proxy for
+N-core executor hosts); min of interleaved repeats per level.
+
+Because an update is delta-sized, its fixed coordination cost S (delta
+classification joins, snapshot commits, the canonicalize probe,
+materialization-barrier counts) is proportionally larger than in the
+full-build job; alongside raw efficiency the script reports the
+T(c) = P/c + S decomposition and the efficiency that P and S predict at
+10x the delta — the regime the 10^12-file north rule describes, where a
+daily delta is orders of magnitude larger than S.
+
+Usage: python scripts/inc_scaling_bench.py [--n 2] [--files-per-repo 40000]
+       [--mod-every 2] [--repeats 2]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+RUNNER = r"""
+import json, shutil, sys, tempfile, time
+sys.path.insert(0, {repo!r})
+import pyspark.sql.functions as F
+from pyspark import StorageLevel
+from cosmos_spark.session import get_spark
+from cosmos_spark.corpus import make_corpus_spark
+from cosmos_spark.plans import incremental as I
+from cosmos_spark.sources import Catalog
+
+cpus = {cpus}
+spark = get_spark(app_name="inc_scaling_c%d" % cpus,
+                  master="local[%d]" % cpus,
+                  shuffle_partitions=max(cpus, 8))
+spark.sparkContext.setLogLevel("ERROR")
+
+v0 = make_corpus_spark(spark, n_repos=10, files_per_repo={files_per_repo},
+                       skew_factor=20, seed=42,
+                       partitions=max(cpus * 4, 32))
+v0 = v0.persist(StorageLevel.MEMORY_AND_DISK)
+n_files = v0.count()
+
+# V1: every mod_every-th file (by path hash) gains one unique def; sha is
+# dropped so update_graph recomputes it (the per-row invariant is part of
+# the timed job, as in production re-feeds of a crawl snapshot)
+changed = F.pmod(F.crc32(F.col("path")), F.lit({mod_every})) == 0
+v1 = (v0.withColumn(
+          "content",
+          F.when(changed, F.concat(
+              "content", F.lit("\ndef upd_"),
+              F.pmod(F.crc32(F.col("path")), F.lit(999983)).cast("string"),
+              F.lit("(x):\n    return x\n")))
+          .otherwise(F.col("content")))
+      .drop("content_sha256")
+      .persist(StorageLevel.MEMORY_AND_DISK))
+n_v1 = v1.count()
+
+wh = tempfile.mkdtemp(prefix="inc_scale_wh_")
+cat = Catalog(spark, wh)
+I.build_graph(spark, v0, cat)  # untimed: the baseline graph
+
+t0 = time.monotonic()
+stats = I.update_graph(spark, cat, v1, collect_stats=False)
+sec = time.monotonic() - t0
+shutil.rmtree(wh, ignore_errors=True)
+print("RESULT " + json.dumps({{
+    "cpus": cpus, "sec": sec, "n_files": n_files,
+    "n_delta_files": stats["n_delta_files"],
+    "n_affected_norms": stats["n_affected_norms"],
+    "n_affected_objs": stats["n_affected_objs"]}}))
+spark.stop()
+"""
+
+
+def _run_pinned(code: str, ncpus: int, timeout: int = 3600) -> dict:
+    cmd = ["taskset", "-c", f"0-{ncpus - 1}", sys.executable, "-c", code]
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=timeout)
+    for line in out.stdout.replace("\r", "\n").splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(f"no RESULT at {ncpus} cpus:\n{out.stdout[-2000:]}"
+                       f"\n{out.stderr[-2000:]}")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=2)
+    ap.add_argument("--files-per-repo", type=int, default=40000)
+    ap.add_argument("--mod-every", type=int, default=2)
+    ap.add_argument("--repeats", type=int, default=2)
+    args = ap.parse_args()
+
+    t_start = time.monotonic()
+    lo = hi = None  # interleaved so host drift hits both levels equally
+    for _ in range(args.repeats):
+        for cpus in (args.n, args.n * 4):
+            code = RUNNER.format(repo=REPO, cpus=cpus,
+                                 files_per_repo=args.files_per_repo,
+                                 mod_every=args.mod_every)
+            r = _run_pinned(code, cpus)
+            if cpus == args.n:
+                lo = r if lo is None or r["sec"] < lo["sec"] else lo
+            else:
+                hi = r if hi is None or r["sec"] < hi["sec"] else hi
+
+    thr_lo = lo["n_delta_files"] / lo["sec"]
+    thr_hi = hi["n_delta_files"] / hi["sec"]
+    eff = (thr_hi / thr_lo) / 4
+    # T(c) = P/c + S from the two points (P in core-seconds)
+    t2, t8 = lo["sec"], hi["sec"]
+    n_lo, n_hi = args.n, args.n * 4
+    s_fixed = (n_hi * t8 - n_lo * t2) / (n_hi - n_lo)
+    p_core = n_lo * (t2 - s_fixed)
+    # efficiency the same P, S predict at 10x the delta (P scales, S not)
+    t2_10x = 10 * p_core / n_lo + s_fixed
+    t8_10x = 10 * p_core / n_hi + s_fixed
+    eff_10x = t2_10x / (4 * t8_10x)
+
+    result = {
+        "lo": lo, "hi": hi,
+        "delta_files_per_sec": {str(n_lo): round(thr_lo, 1),
+                                str(n_hi): round(thr_hi, 1)},
+        "efficiency": round(eff, 3),
+        "fit": {"S_sec": round(s_fixed, 2), "P_core_sec": round(p_core, 1),
+                "predicted_efficiency_at_10x_delta": round(eff_10x, 3)},
+        "wall_total_sec": round(time.monotonic() - t_start, 1),
+    }
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "inc_scaling_r3.json"), "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
