@@ -1578,9 +1578,12 @@ def q_incremental_kg(spark, sf_dir):
         "content string")
     cat = Catalog(spark, _tmpdir("cosmos_incwh_"))
     I.build_graph(spark, v0.unionByName(extras), cat)
+    # canon_mode="incremental" forces the delta-surgery canonicalization
+    # (bucket recompute + affected-component CC) so the driver's oracle
+    # gate covers the at-scale path, not just the small-dim wholesale one
     I.update_graph(spark, cat, v1,
                    deleted=[("xorg/dead", "a.py"), ("xorg/dead", "b.py")],
-                   collect_stats=False)
+                   collect_stats=False, canon_mode="incremental")
     return (I.triples_view(cat).filter(F.col("pred") == "defines")
             .select("subj", "pred", "obj", "repo", "score"))
 

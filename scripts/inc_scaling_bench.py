@@ -76,11 +76,13 @@ cat = Catalog(spark, wh)
 I.build_graph(spark, v0, cat)  # untimed: the baseline graph
 
 t0 = time.monotonic()
-stats = I.update_graph(spark, cat, v1, collect_stats=False)
+stats = I.update_graph(spark, cat, v1, collect_stats=False,
+                       canon_mode={canon_mode!r})
 sec = time.monotonic() - t0
 shutil.rmtree(wh, ignore_errors=True)
 print("RESULT " + json.dumps({{
     "cpus": cpus, "sec": sec, "n_files": n_files,
+    "canon_mode": stats["canon_mode"],
     "n_delta_files": stats["n_delta_files"],
     "n_affected_norms": stats["n_affected_norms"],
     "n_affected_objs": stats["n_affected_objs"]}}))
@@ -104,6 +106,9 @@ def main() -> None:
     ap.add_argument("--files-per-repo", type=int, default=40000)
     ap.add_argument("--mod-every", type=int, default=2)
     ap.add_argument("--repeats", type=int, default=2)
+    ap.add_argument("--canon-mode", default="auto",
+                    choices=("auto", "full", "incremental"))
+    ap.add_argument("--out", default="inc_scaling_r3.json")
     args = ap.parse_args()
 
     t_start = time.monotonic()
@@ -112,7 +117,8 @@ def main() -> None:
         for cpus in (args.n, args.n * 4):
             code = RUNNER.format(repo=REPO, cpus=cpus,
                                  files_per_repo=args.files_per_repo,
-                                 mod_every=args.mod_every)
+                                 mod_every=args.mod_every,
+                                 canon_mode=args.canon_mode)
             r = _run_pinned(code, cpus)
             if cpus == args.n:
                 lo = r if lo is None or r["sec"] < lo["sec"] else lo
@@ -133,6 +139,7 @@ def main() -> None:
     eff_10x = t2_10x / (4 * t8_10x)
 
     result = {
+        "canon_mode": args.canon_mode,
         "lo": lo, "hi": hi,
         "delta_files_per_sec": {str(n_lo): round(thr_lo, 1),
                                 str(n_hi): round(thr_hi, 1)},
@@ -142,7 +149,7 @@ def main() -> None:
         "wall_total_sec": round(time.monotonic() - t_start, 1),
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "inc_scaling_r3.json"), "w") as f:
+    with open(os.path.join(REPO, "BENCH", args.out), "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps(result))
 

@@ -105,6 +105,51 @@ def test_incremental_matches_rebuild(spark, v0_pdf, v1_pdf,
         zip(v1_pdf["repo"], v1_pdf["path"]))
 
 
+def test_incremental_canon_mode_matches_full(spark, v0_pdf, v1_pdf,
+                                             tmp_path_factory):
+    """canon_mode='incremental' (bucket surgery on the stored blocking
+    index + affected-component-only CC) must be indistinguishable from
+    the wholesale recanonicalization: identical triples view, identical
+    nodes view (canonical assignment included), and the bands/edges
+    tables must equal a from-scratch build's — after compaction too."""
+    wh_i = str(tmp_path_factory.mktemp("incwh_i"))
+    cat_i = Catalog(spark, wh_i)
+    v0 = corpus_to_spark(spark, v0_pdf, partitions=4)
+    v1 = corpus_to_spark(spark, v1_pdf, partitions=4)
+    inc.build_graph(spark, v0, cat_i)
+    deleted = [("org0/repo_00", "extra/dead1.py"),
+               ("org1/repo_01", "extra/dead2.py")]
+    stats = inc.update_graph(spark, cat_i, v1, deleted=deleted,
+                             canon_mode="incremental")
+    assert stats["canon_mode"] == "incremental"
+
+    # reference: a fresh build directly on v1 (same storage layout)
+    wh_f = str(tmp_path_factory.mktemp("incwh_f"))
+    cat_f = Catalog(spark, wh_f)
+    inc.build_graph(spark, v1, cat_f)
+
+    assert _tuples(inc.triples_view(cat_i)) == _tuples(
+        inc.triples_view(cat_f))
+
+    def _rows(df):
+        return set(map(tuple, df.toPandas().itertuples(index=False)))
+
+    nodes_cols = ["entity_id", "canonical_name", "canonical_id"]
+    assert _rows(inc.nodes_view(cat_i).select(*nodes_cols)) == _rows(
+        inc.nodes_view(cat_f).select(*nodes_cols))
+    assert _rows(inc.bands_view(cat_i)) == _rows(inc.bands_view(cat_f))
+    assert _rows(inc.edges_view(cat_i)) == _rows(inc.edges_view(cat_f))
+
+    # compaction applies the entity/bucket deletes physically
+    inc.compact_graph(spark, cat_i)
+    assert _rows(inc.nodes_view(cat_i).select(*nodes_cols)) == _rows(
+        inc.nodes_view(cat_f).select(*nodes_cols))
+    assert _tuples(inc.triples_view(cat_i)) == _tuples(
+        inc.triples_view(cat_f))
+    for t in ("nodes", "same_as", "bands", "edges"):
+        assert len(cat_i.snapshots(f"inc.{t}")) == 1
+
+
 def test_update_deletion_only(spark, v1_pdf, tmp_path_factory):
     """Removing a file that other files' mentions link into must relink /
     drop those mention triples corpus-wide (the obj-delete path), matching
