@@ -782,6 +782,59 @@ FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
 """
 
 
+def q_pivot_agg(spark, sf_dir):
+    """PIVOT (long -> wide conditional aggregation): order counts and
+    revenue per status, one column pair per priority class. Explicit
+    pivot values keep the plan a single pass (no extra distinct-values
+    job) — the shape to insist on at scale."""
+    orders = _t(spark, sf_dir, "orders")
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    pivoted = (orders.groupBy("o_orderstatus")
+               .pivot("o_orderpriority", prios)
+               .agg(F.count(F.lit(1))))
+    cols = [F.col("o_orderstatus")] + [
+        F.coalesce(F.col(f"`{p}`"), F.lit(0)).alias(f"n_p{i + 1}")
+        for i, p in enumerate(prios)]
+    return pivoted.select(*cols)
+
+
+SQL_PIVOT_AGG = """
+SELECT o_orderstatus,
+       count(*) FILTER (o_orderpriority = '1-URGENT')        AS n_p1,
+       count(*) FILTER (o_orderpriority = '2-HIGH')          AS n_p2,
+       count(*) FILTER (o_orderpriority = '3-MEDIUM')        AS n_p3,
+       count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS n_p4,
+       count(*) FILTER (o_orderpriority = '5-LOW')           AS n_p5
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+def q_percentiles(spark, sf_dir):
+    """Exact percentiles (linear interpolation) of order totals per
+    status. `percentile` is the exact aggregate — at true scale swap in
+    `approx_percentile` (t-digest) for one-pass bounded memory; the
+    driver gate needs the exact one because approximation is
+    engine-specific."""
+    orders = _t(spark, sf_dir, "orders")
+    pr = F.col("o_totalprice").cast("double")
+    return (orders.groupBy("o_orderstatus")
+            .agg(F.expr("percentile(CAST(o_totalprice AS DOUBLE), 0.5)")
+                 .alias("p50"),
+                 F.expr("percentile(CAST(o_totalprice AS DOUBLE), 0.9)")
+                 .alias("p90"),
+                 F.min(pr).alias("lo"), F.max(pr).alias("hi")))
+
+
+SQL_PERCENTILES = """
+SELECT o_orderstatus,
+       quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5) AS p50,
+       quantile_cont(CAST(o_totalprice AS DOUBLE), 0.9) AS p90,
+       min(CAST(o_totalprice AS DOUBLE)) AS lo,
+       max(CAST(o_totalprice AS DOUBLE)) AS hi
+FROM orders GROUP BY o_orderstatus
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -801,6 +854,8 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "q_asof_join": (q_asof_join, SQL_ASOF_JOIN),
     "q_sessionize": (q_sessionize, SQL_SESSIONIZE),
     "q_rollup_agg": (q_rollup_agg, SQL_ROLLUP_AGG),
+    "q_pivot_agg": (q_pivot_agg, SQL_PIVOT_AGG),
+    "q_percentiles": (q_percentiles, SQL_PERCENTILES),
     "q_regex_extract": (q_regex_extract, SQL_REGEX_EXTRACT),
     "q_sha256_hash": (q_sha256_hash, SQL_SHA256_HASH),
     "q_json_extract": (q_json_extract, SQL_JSON_EXTRACT),
@@ -2650,6 +2705,8 @@ PRIORITY_QUERIES: list[str] = [
     "q_snapshot_changes",
     "q_sessionize",
     "q_rollup_agg",
+    "q_pivot_agg",
+    "q_percentiles",
     "q_winnow_fingerprints",
     "q_bpe_token_count",
     "q_train_split",
