@@ -35,9 +35,13 @@ def _iceberg_available(spark: SparkSession) -> bool:
 class Catalog:
     def __init__(self, spark: SparkSession, warehouse: str,
                  prefer_iceberg: bool = True):
+        import threading
         self.spark = spark
         self.warehouse = warehouse
         self.iceberg = prefer_iceberg and _iceberg_available(spark)
+        # serializes commit-log read-modify-writes: data writes of
+        # different tables run concurrently, metadata flips do not
+        self._meta_lock = threading.Lock()
         os.makedirs(warehouse, exist_ok=True)
 
     def _path(self, table: str) -> str:
@@ -128,13 +132,16 @@ class Catalog:
     # ------------------------------------------------------------------
     # versioned tables — the Iceberg snapshot/commit-log analog
     # ------------------------------------------------------------------
-    # Layout: <table_path>/_v/meta.json is the commit log (an ordered list
-    # of snapshots, each an immutable data directory <table_path>/_v/
-    # snap-NNNNN written exactly once); readers resolve the log, never
-    # list directories. This mirrors Iceberg's metadata tree one level
-    # shallower (no manifest files — each snapshot dir IS its manifest),
-    # which preserves the properties that matter for the engine:
-    # appends never rewrite existing data, reads are reproducible at any
+    # Layout: ONE warehouse-level ``_catalog.json`` holds every table's
+    # commit log (ordered snapshot lists; each snapshot an immutable data
+    # directory <table_path>/_v/snap-NNNNN written exactly once); readers
+    # resolve the log, never list directories. This mirrors Iceberg's
+    # metadata tree one level shallower (no manifest files — each
+    # snapshot dir IS its manifest) with the catalog pointer swap made
+    # explicit: every commit — including a MULTI-TABLE ``commit_group``
+    # — is one atomic ``os.replace`` of the catalog file, so readers see
+    # a transaction's tables all-new or all-old, never torn. Appends
+    # never rewrite existing data, reads are reproducible at any
     # historical snapshot id, rollback is a log truncation, and
     # compaction/expiry bound the small-file and union-width growth.
     # Under a real Iceberg catalog every method below maps onto native
@@ -144,25 +151,39 @@ class Catalog:
     def _vdir(self, table: str) -> str:
         return os.path.join(self._path(table), "_v")
 
-    def _vmeta_path(self, table: str) -> str:
-        return os.path.join(self._vdir(table), "meta.json")
+    def _catalog_meta_path(self) -> str:
+        return os.path.join(self.warehouse, "_catalog.json")
 
-    def _vmeta(self, table: str) -> dict:
-        p = self._vmeta_path(table)
+    def _read_catalog_meta(self) -> dict:
+        p = self._catalog_meta_path()
         if not os.path.exists(p):
-            return {"table": table, "snapshots": []}
+            return {"tables": {}}
         with open(p) as f:
             return json.load(f)
 
-    def _vmeta_commit(self, table: str, meta: dict) -> None:
-        """Atomic commit: write-new + rename, so a killed writer never
-        leaves a torn log (the parquet-dir stand-in for an Iceberg
-        catalog's atomic metadata swap)."""
-        os.makedirs(self._vdir(table), exist_ok=True)
-        tmp = self._vmeta_path(table) + ".tmp"
+    def _write_catalog_meta(self, meta: dict) -> None:
+        tmp = self._catalog_meta_path() + ".tmp"
         with open(tmp, "w") as f:
             json.dump(meta, f, indent=1)
-        os.replace(tmp, self._vmeta_path(table))
+        os.replace(tmp, self._catalog_meta_path())
+
+    def _vmeta(self, table: str) -> dict:
+        entry = self._read_catalog_meta()["tables"].get(table)
+        return entry if entry is not None else {"table": table,
+                                                "snapshots": []}
+
+    def _mutate_meta(self, table: str, fn) -> None:
+        """Apply ``fn(table_entry)`` under the catalog lock — one
+        read-modify-write, one atomic file swap. ALL commit logs live in
+        one warehouse-level ``_catalog.json`` (the Iceberg-catalog
+        pointer-swap analog), which is what makes multi-table commits
+        atomic in :meth:`commit_group`."""
+        with self._meta_lock:
+            meta = self._read_catalog_meta()
+            entry = meta["tables"].setdefault(
+                table, {"table": table, "snapshots": []})
+            fn(entry)
+            self._write_catalog_meta(meta)
 
     def snapshots(self, table: str) -> list[dict]:
         """The commit log, oldest first: [{id, op, partition_by, ...}]."""
@@ -172,35 +193,67 @@ class Catalog:
         snaps = self.snapshots(table)
         return snaps[-1]["id"] if snaps else None
 
-    def _commit_data(self, df: DataFrame, table: str, op: str,
-                     partition_by: tuple[str, ...],
-                     sort_within_by: tuple[str, ...]) -> int:
-        meta = self._vmeta(table)
-        # next id clears both the log AND any orphaned dirs a rollback
-        # left on disk (rollback truncates the log but keeps data)
-        disk_ids = [int(n.split("-")[1]) for n in
-                    (os.listdir(self._vdir(table))
-                     if os.path.isdir(self._vdir(table)) else [])
-                    if n.startswith("snap-")]
-        log_ids = [s["id"] for s in meta["snapshots"]]
-        sid = max(disk_ids + log_ids, default=0) + 1
-        d = os.path.join(self._vdir(table), f"snap-{sid:05d}")
+    def stage(self, df: DataFrame, table: str, op: str = "append",
+              partition_by: tuple[str, ...] = (),
+              sort_within_by: tuple[str, ...] = ()) -> dict:
+        """Write a snapshot's data directory WITHOUT touching the commit
+        log; returns the pending log entry for :meth:`commit_group`. The
+        expensive parallel work (the Spark write) happens here —
+        uncommitted dirs are invisible to readers and reclaimed by
+        ``expire_snapshots`` if the writer dies (Iceberg's orphan-file
+        semantics). Concurrent stages on DIFFERENT tables are safe; two
+        concurrent stages of one table are not a supported pattern."""
+        with self._meta_lock:
+            # next id clears both the log AND any orphaned dirs a
+            # rollback or killed stage left on disk
+            disk_ids = [int(n.split("-")[1]) for n in
+                        (os.listdir(self._vdir(table))
+                         if os.path.isdir(self._vdir(table)) else [])
+                        if n.startswith("snap-")]
+            log_ids = [s["id"] for s in self._vmeta(table)["snapshots"]]
+            sid = max(disk_ids + log_ids, default=0) + 1
+            d = os.path.join(self._vdir(table), f"snap-{sid:05d}")
+            os.makedirs(d)  # reserves the id before releasing the lock
         self._write_dir(df, d, partition_by, sort_within_by,
-                        mode="errorifexists")
-        meta["snapshots"].append({
+                        mode="overwrite")
+        return {"table": table, "entry": {
             "id": sid, "op": op, "dir": f"snap-{sid:05d}",
             "partition_by": list(partition_by),
-            "sort_within_by": list(sort_within_by)})
-        self._vmeta_commit(table, meta)
-        return sid
+            "sort_within_by": list(sort_within_by)}}
+
+    def read_staged(self, staged: dict) -> DataFrame:
+        """Read a staged-but-uncommitted snapshot's data — lets a job
+        build downstream plans on data that will only become visible with
+        the transaction's ``commit_group``."""
+        return self.spark.read.parquet(
+            os.path.join(self._vdir(staged["table"]),
+                         staged["entry"]["dir"]))
+
+    def commit_group(self, staged: list[dict]) -> dict[str, int]:
+        """ATOMICALLY commit any number of staged snapshots across any
+        number of tables: one read-modify-write of the single catalog
+        file, one ``os.replace``. Readers see all of the group or none of
+        it — the multi-table transaction a consistent incremental graph
+        update needs (data + delete-log + manifest move together). Under
+        a real Iceberg REST/Nessie catalog this maps to a multi-table
+        transaction commit."""
+        with self._meta_lock:
+            meta = self._read_catalog_meta()
+            for s in staged:
+                entry = meta["tables"].setdefault(
+                    s["table"], {"table": s["table"], "snapshots": []})
+                entry["snapshots"].append(s["entry"])
+            self._write_catalog_meta(meta)
+        return {s["table"]: s["entry"]["id"] for s in staged}
 
     def append(self, df: DataFrame, table: str,
                partition_by: tuple[str, ...] = (),
                sort_within_by: tuple[str, ...] = ()) -> int:
         """Append a new immutable snapshot; returns its id. Existing data
         is never rewritten — the incremental-ingest primitive."""
-        return self._commit_data(df, table, "append",
-                                 partition_by, sort_within_by)
+        staged = self.stage(df, table, "append", partition_by,
+                            sort_within_by)
+        return self.commit_group([staged])[table]
 
     def replace(self, df: DataFrame, table: str,
                 partition_by: tuple[str, ...] = (),
@@ -208,8 +261,9 @@ class Catalog:
         """Commit a snapshot that REPLACES the current view (op=overwrite).
         Prior snapshots stay readable via ``read_at(snapshot=...)`` until
         expired — overwrite-with-history, not delete."""
-        return self._commit_data(df, table, "overwrite",
-                                 partition_by, sort_within_by)
+        staged = self.stage(df, table, "overwrite", partition_by,
+                            sort_within_by)
+        return self.commit_group([staged])[table]
 
     def _live_snaps(self, table: str, snapshot: int | None) -> list[dict]:
         snaps = self.snapshots(table)
@@ -275,14 +329,15 @@ class Catalog:
         """Truncate the commit log back to ``snapshot``. Data dirs of the
         dropped snapshots stay on disk until ``expire_snapshots`` (so a
         rollback is itself reversible by inspection, like Iceberg's)."""
-        meta = self._vmeta(table)
-        ids = [s["id"] for s in meta["snapshots"]]
+        ids = [s["id"] for s in self._vmeta(table)["snapshots"]]
         if snapshot not in ids:
             raise ValueError(f"snapshot {snapshot} not in {table}'s "
                              f"log {ids}")
-        meta["snapshots"] = [s for s in meta["snapshots"]
-                             if s["id"] <= snapshot]
-        self._vmeta_commit(table, meta)
+
+        def _truncate(entry: dict) -> None:
+            entry["snapshots"] = [s for s in entry["snapshots"]
+                                  if s["id"] <= snapshot]
+        self._mutate_meta(table, _truncate)
 
     def compact(self, table: str,
                 partition_by: tuple[str, ...] = (),
@@ -302,8 +357,7 @@ class Catalog:
         log entries AND not part of the current view. Returns expired ids.
         Never touches the current view's data."""
         import shutil
-        meta = self._vmeta(table)
-        log = meta["snapshots"]
+        log = self._vmeta(table)["snapshots"]
         live_ids = {s["id"] for s in self._live_snaps(table, None)}
         keep_ids = {s["id"] for s in log[-keep_last:]} | live_ids
         expired: list[int] = []
@@ -315,6 +369,9 @@ class Catalog:
             if sid not in keep_ids:
                 shutil.rmtree(os.path.join(vdir, name))
                 expired.append(sid)
-        meta["snapshots"] = [s for s in log if s["id"] not in expired]
-        self._vmeta_commit(table, meta)
+
+        def _drop(entry: dict) -> None:
+            entry["snapshots"] = [s for s in entry["snapshots"]
+                                  if s["id"] not in expired]
+        self._mutate_meta(table, _drop)
         return expired

@@ -150,6 +150,43 @@ def test_incremental_canon_mode_matches_full(spark, v0_pdf, v1_pdf,
         assert len(cat_i.snapshots(f"inc.{t}")) == 1
 
 
+def test_update_crash_before_commit_is_invisible(spark, v0_pdf, v1_pdf,
+                                                 tmp_path_factory):
+    """The whole multi-table update lands as ONE atomic catalog-file
+    swap: a crash anywhere before it (here: the commit itself raising)
+    must leave every table at its pre-update snapshot, and re-running
+    the same update must land exactly."""
+    wh = str(tmp_path_factory.mktemp("incwh_crash"))
+    cat = Catalog(spark, wh)
+    v0 = corpus_to_spark(spark, v0_pdf, partitions=4)
+    v1 = corpus_to_spark(spark, v1_pdf, partitions=4)
+    inc.build_graph(spark, v0, cat)
+    before = _tuples(inc.triples_view(cat))
+    logs_before = {t: [s["id"] for s in cat.snapshots(f"inc.{t}")]
+                   for t in ("mentions", "triples", "manifest", "nodes",
+                             "same_as", "bands", "edges")}
+
+    deleted = [("org0/repo_00", "extra/dead1.py"),
+               ("org1/repo_01", "extra/dead2.py")]
+    orig_commit = cat.commit_group
+    cat.commit_group = lambda staged: (_ for _ in ()).throw(
+        RuntimeError("simulated crash before catalog swap"))
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        inc.update_graph(spark, cat, v1, deleted=deleted)
+    cat.commit_group = orig_commit
+
+    # nothing happened: same commit logs, same merged view
+    assert {t: [s["id"] for s in cat.snapshots(f"inc.{t}")]
+            for t in logs_before} == logs_before
+    assert _tuples(inc.triples_view(cat)) == before
+
+    # re-running the identical update lands exactly
+    inc.update_graph(spark, cat, v1, deleted=deleted)
+    want = _tuples(run_pipeline(spark, v1, workdir=str(
+        tmp_path_factory.mktemp("wd_crash")))["triples"])
+    assert _tuples(inc.triples_view(cat)) == want
+
+
 def test_update_deletion_only(spark, v1_pdf, tmp_path_factory):
     """Removing a file that other files' mentions link into must relink /
     drop those mention triples corpus-wide (the obj-delete path), matching
