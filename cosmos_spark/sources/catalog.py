@@ -23,6 +23,11 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 
+class CommitConflict(RuntimeError):
+    """Optimistic-concurrency failure: a table the transaction validated
+    against moved between plan time and commit time."""
+
+
 def _iceberg_available(spark: SparkSession) -> bool:
     try:
         spark._jvm.java.lang.Class.forName(
@@ -229,16 +234,35 @@ class Catalog:
             os.path.join(self._vdir(staged["table"]),
                          staged["entry"]["dir"]))
 
-    def commit_group(self, staged: list[dict]) -> dict[str, int]:
+    def commit_group(self, staged: list[dict],
+                     expect: dict[str, int | None] | None = None
+                     ) -> dict[str, int]:
         """ATOMICALLY commit any number of staged snapshots across any
         number of tables: one read-modify-write of the single catalog
         file, one ``os.replace``. Readers see all of the group or none of
         it — the multi-table transaction a consistent incremental graph
         update needs (data + delete-log + manifest move together). Under
         a real Iceberg REST/Nessie catalog this maps to a multi-table
-        transaction commit."""
+        transaction commit.
+
+        ``expect`` adds optimistic concurrency (Iceberg's commit
+        validation): a map of table -> the snapshot id the transaction
+        was computed against (None = table expected absent). If any
+        listed table has moved, NOTHING commits and :class:`CommitConflict`
+        is raised — the caller recomputes against the new state and
+        retries; staged dirs of the failed attempt are reclaimed as
+        orphans."""
         with self._meta_lock:
             meta = self._read_catalog_meta()
+            if expect:
+                for table, want in expect.items():
+                    snaps = meta["tables"].get(
+                        table, {"snapshots": []})["snapshots"]
+                    cur = snaps[-1]["id"] if snaps else None
+                    if cur != want:
+                        raise CommitConflict(
+                            f"{table} moved: expected snapshot {want}, "
+                            f"found {cur} — recompute and retry")
             for s in staged:
                 entry = meta["tables"].setdefault(
                     s["table"], {"table": s["table"], "snapshots": []})

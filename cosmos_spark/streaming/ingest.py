@@ -288,6 +288,51 @@ def stream_first_seen(spark: SparkSession, source_dir: str,
     )
 
 
+def _last_epoch(catalog, table: str) -> int:
+    """Highest streaming epoch committed into ``table`` (-1 if none)."""
+    return max((s.get("epoch", -1) for s in catalog.snapshots(table)),
+               default=-1)
+
+
+def _commit_epoch(catalog, table: str, batch_df: DataFrame,
+                  epoch: int) -> bool:
+    """Append one micro-batch into the versioned catalog EXACTLY ONCE:
+    the snapshot entry carries the batch's epoch id, and an epoch at or
+    below the table's last committed one is skipped — so when Structured
+    Streaming replays a batch whose sink ran but whose checkpoint commit
+    didn't land (the crash window foreachBatch leaves open), the replay
+    is a no-op instead of a duplicate append. This is the Iceberg
+    streaming-sink recipe (commit metadata keyed by epoch) on the
+    catalog's atomic swap. Returns True if the batch committed.
+
+    The guard is scoped to one checkpoint lineage: epoch ids restart at 0
+    with a fresh checkpoint, which also re-reads the whole source —
+    checkpoint deletion means reprocessing by definition, for any sink."""
+    if epoch <= _last_epoch(catalog, table):
+        return False
+    staged = catalog.stage(batch_df, table, "append",
+                           partition_by=("pred",),
+                           sort_within_by=("repo", "subj"))
+    staged["entry"]["epoch"] = epoch
+    catalog.commit_group([staged])
+    return True
+
+
+def stream_triples_to_catalog(stream_df: DataFrame, checkpoint_dir: str,
+                              catalog, table: str) -> None:
+    """Drain a (streaming) triples relation into a versioned catalog
+    table via foreachBatch + :func:`_commit_epoch` — the exactly-once
+    graph sink: each micro-batch is one atomic epoch-tagged snapshot,
+    idempotent under batch replay."""
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        _commit_epoch(catalog, table, batch_df, batch_id)
+
+    q = (stream_df.writeStream.foreachBatch(_sink)
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+
 def run_stream_once(stream_df: DataFrame, checkpoint_dir: str,
                     out_dir: str | None = None) -> None:
     """Drain all available input with availableNow (the test/catch-up

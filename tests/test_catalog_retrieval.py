@@ -193,6 +193,36 @@ def test_entity_objects_same_as_aware(graph):
     assert set(objs["object_ref"]) == expected
 
 
+def test_commit_group_atomic_and_optimistic(spark, tmp_path_factory):
+    """stage/commit_group: a multi-table group is invisible until the one
+    catalog swap, and commit validation (expect=) rejects the whole group
+    when any validated table moved — nothing half-commits."""
+    from cosmos_spark.sources.catalog import CommitConflict
+    wh = str(tmp_path_factory.mktemp("txnwh"))
+    cat = Catalog(spark, wh)
+    mk = lambda lo, hi: spark.range(lo, hi).toDF("id")
+    base = cat.append(mk(0, 5), "g.a")
+
+    # staged data is invisible pre-commit
+    sa = cat.stage(mk(5, 8), "g.a", "append")
+    sb = cat.stage(mk(0, 3), "g.b", "append")
+    assert cat.read_at("g.a").count() == 5
+    assert not cat.snapshots("g.b")
+
+    # conflict: g.a moves under the transaction -> whole group rejected
+    cat.append(mk(100, 101), "g.a")
+    with pytest.raises(CommitConflict, match="g.a moved"):
+        cat.commit_group([sa, sb], expect={"g.a": base, "g.b": None})
+    assert not cat.snapshots("g.b")  # nothing half-committed
+
+    # retry against the new state commits both atomically
+    cur = cat.current_snapshot("g.a")
+    ids = cat.commit_group([sa, sb], expect={"g.a": cur, "g.b": None})
+    assert set(ids) == {"g.a", "g.b"}
+    assert cat.read_at("g.a").count() == 9
+    assert cat.read_at("g.b").count() == 3
+
+
 def test_top1_per_doc(graph, spark):
     import pandas as pd
     df = spark.createDataFrame(pd.DataFrame({

@@ -169,7 +169,7 @@ def test_update_crash_before_commit_is_invisible(spark, v0_pdf, v1_pdf,
     deleted = [("org0/repo_00", "extra/dead1.py"),
                ("org1/repo_01", "extra/dead2.py")]
     orig_commit = cat.commit_group
-    cat.commit_group = lambda staged: (_ for _ in ()).throw(
+    cat.commit_group = lambda staged, expect=None: (_ for _ in ()).throw(
         RuntimeError("simulated crash before catalog swap"))
     with pytest.raises(RuntimeError, match="simulated crash"):
         inc.update_graph(spark, cat, v1, deleted=deleted)

@@ -272,3 +272,56 @@ def test_keepmax_rowlocal_carry_across_arrow_batches(spark):
     pd.testing.assert_frame_equal(got, exp[got.columns.tolist()])
     assert len(got) == 6 and (got.groupby("subj").size() == 2).all()
     assert (got[got["obj"] == "eA"]["score"] == 1.0).all()
+
+
+def test_stream_triples_catalog_sink_exactly_once(spark, tmp_path,
+                                                  corpus_pdf):
+    """foreachBatch + epoch-tagged atomic snapshots = exactly-once graph
+    ingestion: batches commit once, a replayed epoch is a no-op, and new
+    source files land as exactly one new snapshot per batch."""
+    from cosmos_spark.sources import Catalog
+    from cosmos_spark.streaming.ingest import (_commit_epoch, _last_epoch,
+                                               stream_triples_to_catalog)
+
+    src = str(tmp_path / "src")
+    ck = str(tmp_path / "ck")
+    cat = Catalog(spark, str(tmp_path / "wh"))
+
+    pdf = corpus_pdf.head(20).copy()
+    pdf["ingested_at"] = pd.Timestamp("2026-01-01")
+    cols = ["repo", "path", "commit", "lang", "content", "ingested_at"]
+    (spark.createDataFrame(pdf[cols]).write.mode("append").parquet(src))
+
+    stream_triples_to_catalog(ingest.stream_triples(spark, src), ck,
+                              cat, "g.triples")
+    n1 = cat.read_at("g.triples").count()
+    snaps1 = [s["id"] for s in cat.snapshots("g.triples")]
+    assert n1 > 0 and len(snaps1) >= 1
+    assert _last_epoch(cat, "g.triples") >= 0
+
+    # a replayed epoch (crash between sink and checkpoint commit) is a
+    # no-op: same count, no new snapshot
+    some_rows = cat.read_at("g.triples").limit(3)
+    assert _commit_epoch(cat, "g.triples", some_rows,
+                         _last_epoch(cat, "g.triples")) is False
+    assert cat.read_at("g.triples").count() == n1
+    assert [s["id"] for s in cat.snapshots("g.triples")] == snaps1
+
+    # draining again with no new input adds nothing
+    stream_triples_to_catalog(ingest.stream_triples(spark, src), ck,
+                              cat, "g.triples")
+    assert cat.read_at("g.triples").count() == n1
+
+    # new files -> exactly one more epoch-tagged snapshot, only new rows
+    pdf2 = corpus_pdf.iloc[20:30].copy()
+    pdf2["ingested_at"] = pd.Timestamp("2026-01-02")
+    (spark.createDataFrame(pdf2[cols]).write.mode("append").parquet(src))
+    stream_triples_to_catalog(ingest.stream_triples(spark, src), ck,
+                              cat, "g.triples")
+    snaps2 = cat.snapshots("g.triples")
+    assert len(snaps2) == len(snaps1) + 1
+    assert snaps2[-1]["epoch"] > snaps2[-2]["epoch"]
+    assert cat.read_at("g.triples").count() > n1
+    # incremental consumers see exactly the new batch
+    assert (cat.changes("g.triples", since=snaps1[-1]).count()
+            == cat.read_at("g.triples").count() - n1)
