@@ -28,6 +28,20 @@ class CommitConflict(RuntimeError):
     against moved between plan time and commit time."""
 
 
+_BUCKET_COL = "_bucket"
+
+
+def _bucket_of(key_col, n_buckets: int):
+    """The storage bucket of a key — Iceberg's ``bucket(N, col)`` hidden
+    partition transform: ``pmod(xxhash64(col), N)``. Deterministic and
+    computable plan-side, so readers can turn a delta-sized key set into
+    a static list of bucket ids and prune the scan to matching partition
+    directories."""
+    from pyspark.sql.functions import col, lit, pmod, xxhash64
+    key = col(key_col) if isinstance(key_col, str) else key_col
+    return pmod(xxhash64(key), lit(n_buckets)).cast("int")
+
+
 def _iceberg_available(spark: SparkSession) -> bool:
     try:
         spark._jvm.java.lang.Class.forName(
@@ -200,14 +214,25 @@ class Catalog:
 
     def stage(self, df: DataFrame, table: str, op: str = "append",
               partition_by: tuple[str, ...] = (),
-              sort_within_by: tuple[str, ...] = ()) -> dict:
+              sort_within_by: tuple[str, ...] = (),
+              cluster_by: tuple[str, int] | None = None) -> dict:
         """Write a snapshot's data directory WITHOUT touching the commit
         log; returns the pending log entry for :meth:`commit_group`. The
         expensive parallel work (the Spark write) happens here —
         uncommitted dirs are invisible to readers and reclaimed by
         ``expire_snapshots`` if the writer dies (Iceberg's orphan-file
         semantics). Concurrent stages on DIFFERENT tables are safe; two
-        concurrent stages of one table are not a supported pattern."""
+        concurrent stages of one table are not a supported pattern.
+
+        ``cluster_by=(key_col, n_buckets)`` is the Iceberg
+        ``bucket(N, col)`` hidden-partition transform: rows land in
+        ``_bucket=<pmod(xxhash64(key), N)>`` partition directories so
+        key-driven reads prune to matching buckets
+        (``read_at(prune_buckets=...)``). The spec is a TABLE property —
+        declared on the table's first clustered stage, inherited by every
+        later stage (appends, surgery, compaction stay clustered without
+        each call site restating it); restating a different spec is an
+        error."""
         with self._meta_lock:
             # next id clears both the log AND any orphaned dirs a
             # rollback or killed stage left on disk
@@ -219,20 +244,36 @@ class Catalog:
             sid = max(disk_ids + log_ids, default=0) + 1
             d = os.path.join(self._vdir(table), f"snap-{sid:05d}")
             os.makedirs(d)  # reserves the id before releasing the lock
+            table_spec = self._vmeta(table).get("cluster_by")
+        if cluster_by is not None and table_spec is not None \
+                and list(cluster_by) != list(table_spec):
+            raise ValueError(
+                f"{table} is clustered by {table_spec}; restating "
+                f"{list(cluster_by)} would mix layouts")
+        spec = cluster_by if cluster_by is not None else table_spec
+        if spec is not None:
+            key, n = spec
+            df = df.withColumn(_BUCKET_COL, _bucket_of(key, int(n)))
+            partition_by = (_BUCKET_COL,) + tuple(partition_by)
         self._write_dir(df, d, partition_by, sort_within_by,
                         mode="overwrite")
-        return {"table": table, "entry": {
-            "id": sid, "op": op, "dir": f"snap-{sid:05d}",
-            "partition_by": list(partition_by),
-            "sort_within_by": list(sort_within_by)}}
+        entry = {"id": sid, "op": op, "dir": f"snap-{sid:05d}",
+                 "partition_by": list(partition_by),
+                 "sort_within_by": list(sort_within_by)}
+        if spec is not None:
+            entry["cluster_by"] = [spec[0], int(spec[1])]
+        return {"table": table, "entry": entry}
 
     def read_staged(self, staged: dict) -> DataFrame:
         """Read a staged-but-uncommitted snapshot's data — lets a job
         build downstream plans on data that will only become visible with
         the transaction's ``commit_group``."""
-        return self.spark.read.parquet(
+        df = self.spark.read.parquet(
             os.path.join(self._vdir(staged["table"]),
                          staged["entry"]["dir"]))
+        if staged["entry"].get("cluster_by"):
+            df = df.drop(_BUCKET_COL)
+        return df
 
     def commit_group(self, staged: list[dict],
                      expect: dict[str, int | None] | None = None
@@ -266,9 +307,31 @@ class Catalog:
             for s in staged:
                 entry = meta["tables"].setdefault(
                     s["table"], {"table": s["table"], "snapshots": []})
+                spec = s["entry"].get("cluster_by")
+                if spec is not None:
+                    # first clustered commit declares the table property
+                    entry.setdefault("cluster_by", spec)
                 entry["snapshots"].append(s["entry"])
             self._write_catalog_meta(meta)
         return {s["table"]: s["entry"]["id"] for s in staged}
+
+    def cluster_spec(self, table: str) -> tuple[str, int] | None:
+        """The table's ``(key_col, n_buckets)`` clustering, if declared."""
+        spec = self._vmeta(table).get("cluster_by")
+        return (spec[0], int(spec[1])) if spec else None
+
+    def bucket_ids(self, table: str, keys: DataFrame,
+                   key_col) -> list[int]:
+        """Resolve a (delta-sized) key frame to the static bucket-id list
+        that covers it under ``table``'s clustering — one tiny distinct
+        job (the result is at most n_buckets ints), the scan-pruning
+        handshake: ``read_at(table, prune_buckets=bucket_ids(...))``."""
+        spec = self.cluster_spec(table)
+        if spec is None:
+            raise ValueError(f"{table} is not clustered")
+        rows = (keys.select(_bucket_of(key_col, spec[1]).alias("b"))
+                .distinct().collect())
+        return sorted(r["b"] for r in rows if r["b"] is not None)
 
     def append(self, df: DataFrame, table: str,
                partition_by: tuple[str, ...] = (),
@@ -306,29 +369,59 @@ class Catalog:
         return live
 
     def _read_snap(self, table: str, snap: dict,
-                   snapshot_col: str | None = None) -> DataFrame:
+                   snapshot_col: str | None = None,
+                   prune_buckets: list[int] | None = None,
+                   spec: tuple[str, int] | None = None) -> DataFrame:
+        from pyspark.sql.functions import col
         df = self.spark.read.parquet(
             os.path.join(self._vdir(table), snap["dir"]))
+        if prune_buckets is not None:
+            if snap.get("cluster_by"):
+                # partition-directory pruning: _bucket is a partition
+                # column, so the filter lands in PartitionFilters and
+                # unlisted bucket dirs are never read
+                df = df.filter(col(_BUCKET_COL).isin(prune_buckets))
+            else:
+                # snapshot predates the clustering declaration: same
+                # rows via a row-level filter (correct, just unpruned)
+                df = df.filter(
+                    _bucket_of(spec[0], spec[1]).isin(prune_buckets))
+        if snap.get("cluster_by"):
+            df = df.drop(_BUCKET_COL)
         if snapshot_col:
             from pyspark.sql.functions import lit
             df = df.withColumn(snapshot_col, lit(snap["id"]))
         return df
 
     def read_at(self, table: str, snapshot: int | None = None,
-                snapshot_col: str | None = None) -> DataFrame:
+                snapshot_col: str | None = None,
+                prune_buckets: list[int] | None = None) -> DataFrame:
         """Read the table as of ``snapshot`` (default: latest) — Iceberg
         ``VERSION AS OF``. The view is the union of append snapshots since
         the last overwrite; ``compact`` bounds the union width (each arm
         is its own parquet scan, so a long-uncompacted log costs plan
         nodes, never correctness). ``snapshot_col`` stamps every row with
         the id of the snapshot that committed it — the sequence number
-        merge-on-read equality deletes are scoped by."""
+        merge-on-read equality deletes are scoped by.
+
+        ``prune_buckets`` (a clustered table only) restricts the read to
+        the listed storage buckets: each clustered snapshot arm scans only
+        matching ``_bucket=`` partition directories — the key-driven scan
+        pruning that keeps delta-sized maintenance reads delta-sized at
+        10^12-row dims."""
+        spec = self.cluster_spec(table)
+        if prune_buckets is not None and spec is None:
+            raise ValueError(f"{table} is not clustered; cannot prune")
+        if prune_buckets is not None and not prune_buckets:
+            prune_buckets = [-1]  # empty key set: match nothing (pmod >= 0)
         live = self._live_snaps(table, snapshot)
         if not live:
             raise ValueError(f"versioned table {table} is empty")
-        out = self._read_snap(table, live[0], snapshot_col)
-        for s in live[1:]:
-            out = out.unionByName(self._read_snap(table, s, snapshot_col))
+        arms = [self._read_snap(table, s, snapshot_col,
+                                prune_buckets, spec) for s in live]
+        out = arms[0]
+        for a in arms[1:]:
+            out = out.unionByName(a)
         return out
 
     def changes(self, table: str, since: int) -> DataFrame:
@@ -348,6 +441,17 @@ class Catalog:
         for s in snaps[1:]:
             out = out.unionByName(self._read_snap(table, s))
         return out
+
+    @staticmethod
+    def partition_filters(df: DataFrame) -> list[str]:
+        """The ``PartitionFilters`` entries of every file scan in the
+        physical plan — evidence that a ``prune_buckets`` read plans as
+        partition-directory pruning (``_bucket IN (...)``), not a full
+        scan followed by a row filter."""
+        import re
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return [m for m in re.findall(r"PartitionFilters: \[([^\]]*)\]",
+                                      plan) if m.strip()]
 
     def rollback(self, table: str, snapshot: int) -> None:
         """Truncate the commit log back to ``snapshot``. Data dirs of the

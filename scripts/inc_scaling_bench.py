@@ -73,7 +73,9 @@ n_v1 = v1.count()
 
 wh = tempfile.mkdtemp(prefix="inc_scale_wh_")
 cat = Catalog(spark, wh)
-I.build_graph(spark, v0, cat)  # untimed: the baseline graph
+# untimed: the baseline graph (cluster_buckets declares the bucket(N, key)
+# layout surgery reads prune against; 0/None = flat layout)
+I.build_graph(spark, v0, cat, cluster_buckets={cluster_buckets} or None)
 
 t0 = time.monotonic()
 stats = I.update_graph(spark, cat, v1, collect_stats=False,
@@ -108,6 +110,9 @@ def main() -> None:
     ap.add_argument("--repeats", type=int, default=2)
     ap.add_argument("--canon-mode", default="auto",
                     choices=("auto", "full", "incremental"))
+    ap.add_argument("--cluster-buckets", type=int, default=0,
+                    help="bucket-cluster the maintenance tables at build "
+                         "so incremental surgery reads prune (0 = flat)")
     ap.add_argument("--out", default="inc_scaling_r3.json")
     args = ap.parse_args()
 
@@ -118,7 +123,8 @@ def main() -> None:
             code = RUNNER.format(repo=REPO, cpus=cpus,
                                  files_per_repo=args.files_per_repo,
                                  mod_every=args.mod_every,
-                                 canon_mode=args.canon_mode)
+                                 canon_mode=args.canon_mode,
+                                 cluster_buckets=args.cluster_buckets)
             r = _run_pinned(code, cpus)
             if cpus == args.n:
                 lo = r if lo is None or r["sec"] < lo["sec"] else lo
@@ -140,6 +146,7 @@ def main() -> None:
 
     result = {
         "canon_mode": args.canon_mode,
+        "cluster_buckets": args.cluster_buckets,
         "lo": lo, "hi": hi,
         "delta_files_per_sec": {str(n_lo): round(thr_lo, 1),
                                 str(n_hi): round(thr_hi, 1)},

@@ -252,3 +252,44 @@ def test_streaming_smoke(spark, corpus_pdf, tmp_path):
     out = spark.sql("select * from mention_counts").toPandas()
     assert out["n_mentions"].sum() > 0
     assert set(out["mention_kind"]) <= {"def", "import", "call", "ref"}
+
+
+def test_bucket_clustering_catalog_semantics(spark, tmp_path_factory):
+    """cluster_by storage buckets: declared once, inherited by later
+    stages, readable pruned (partition filter) with snapshots that
+    PREDATE the declaration still filtered correctly (row-level
+    fallback), spec conflicts rejected, empty key set -> empty read."""
+    from cosmos_spark.sources.catalog import Catalog
+    cat = Catalog(spark, str(tmp_path_factory.mktemp("clwh")))
+    mk = lambda lo, hi: spark.range(lo, hi).selectExpr(
+        "concat('e', id) AS k", "id AS v")
+    # snapshot 1 BEFORE clustering is declared
+    cat.append(mk(0, 50), "c.t")
+    cat.commit_group([cat.stage(mk(50, 100), "c.t", "append",
+                                cluster_by=("k", 4))])
+    cat.commit_group([cat.stage(mk(100, 150), "c.t", "append")])  # inherits
+    assert cat.cluster_spec("c.t") == ("k", 4)
+    assert cat.snapshots("c.t")[-1]["cluster_by"] == ["k", 4]
+
+    assert cat.read_at("c.t").count() == 150
+    assert "_bucket" not in cat.read_at("c.t").columns
+
+    keys = spark.createDataFrame([("e10",), ("e60",), ("e110",)], "k string")
+    ids = cat.bucket_ids("c.t", keys, "k")
+    pruned = cat.read_at("c.t", prune_buckets=ids)
+    got = {r["k"] for r in pruned.collect()}
+    # rows from ALL THREE snapshots (incl. the pre-clustering one)
+    assert {"e10", "e60", "e110"} <= got
+    assert len(got) < 150
+    # clustered arms prune by partition; at least one filter present
+    assert Catalog.partition_filters(pruned)
+
+    with pytest.raises(ValueError, match="clustered"):
+        cat.commit_group([cat.stage(mk(0, 1), "c.t", "append",
+                                    cluster_by=("v", 4))])
+    with pytest.raises(ValueError, match="not clustered"):
+        cat.read_at("g.missing" if not cat.snapshots("c.u") else "c.u",
+                    prune_buckets=[1])
+
+    # empty bucket list matches nothing
+    assert cat.read_at("c.t", prune_buckets=[]).count() == 0

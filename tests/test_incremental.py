@@ -205,3 +205,68 @@ def test_update_deletion_only(spark, v1_pdf, tmp_path_factory):
         spark, corpus_to_spark(spark, rest_pdf, partitions=4),
         workdir=str(tmp_path_factory.mktemp("wd2")))["triples"])
     assert _tuples(inc.triples_view(cat)) == want
+
+
+def test_clustered_layout_surgery_matches_unclustered(spark, v0_pdf, v1_pdf,
+                                                      tmp_path_factory):
+    """bucket-clustered storage (build_graph cluster_buckets=N, the
+    Iceberg bucket(N, key) layout): the spec is declared once, inherited
+    by every surgery append and by compaction, the incremental update is
+    bit-identical to the unclustered layout's, and the surgery's
+    stored-table reads plan as _bucket partition pruning."""
+    cat_c = Catalog(spark, str(tmp_path_factory.mktemp("incwh_cl")))
+    v0 = corpus_to_spark(spark, v0_pdf, partitions=4)
+    v1 = corpus_to_spark(spark, v1_pdf, partitions=4)
+    inc.build_graph(spark, v0, cat_c, cluster_buckets=8)
+    assert cat_c.cluster_spec("inc.nodes") == ("entity_id", 8)
+    assert cat_c.cluster_spec("inc.bands") == ("bval", 8)
+    assert cat_c.cluster_spec("inc.edges") == ("bval", 8)
+
+    deleted = [("org0/repo_00", "extra/dead1.py"),
+               ("org1/repo_01", "extra/dead2.py")]
+    stats = inc.update_graph(spark, cat_c, v1, deleted=deleted,
+                             canon_mode="incremental")
+    assert stats["canon_mode"] == "incremental"
+    # surgery appends inherited the clustering (snapshot entries carry it)
+    for t in ("nodes", "bands", "edges"):
+        assert all(s.get("cluster_by") for s in cat_c.snapshots(f"inc.{t}"))
+
+    # parity vs a fresh UNclustered build on v1 — layout never leaks
+    # into semantics
+    cat_f = Catalog(spark, str(tmp_path_factory.mktemp("incwh_ref")))
+    inc.build_graph(spark, v1, cat_f)
+    assert _tuples(inc.triples_view(cat_c)) == _tuples(
+        inc.triples_view(cat_f))
+
+    def _rows(df):
+        return set(map(tuple, df.toPandas().itertuples(index=False)))
+
+    nodes_cols = ["entity_id", "canonical_name", "canonical_id"]
+    assert _rows(inc.nodes_view(cat_c).select(*nodes_cols)) == _rows(
+        inc.nodes_view(cat_f).select(*nodes_cols))
+    assert _rows(inc.bands_view(cat_c)) == _rows(inc.bands_view(cat_f))
+    assert _rows(inc.edges_view(cat_c)) == _rows(inc.edges_view(cat_f))
+
+    # pruned read: exact rows for the pruned keys, and the physical plan
+    # carries the _bucket IN (...) partition filter on every scan arm
+    some = inc.nodes_view(cat_f).select("entity_id").limit(3)
+    ids = cat_c.bucket_ids("inc.nodes", some, "entity_id")
+    pruned = inc.nodes_view(cat_c, prune_buckets=ids)
+    want_keys = {r["entity_id"] for r in some.collect()}
+    got_keys = {r["entity_id"] for r in pruned.collect()}
+    assert want_keys <= got_keys
+    full_rows = _rows(inc.nodes_view(cat_c).select(*nodes_cols))
+    assert _rows(pruned.select(*nodes_cols)) <= full_rows
+    assert len(got_keys) < len(full_rows)  # actually restricted
+    filters = Catalog.partition_filters(pruned.select("entity_id"))
+    assert filters and all("_bucket" in f for f in filters)
+
+    # compaction preserves the layout and the views
+    inc.compact_graph(spark, cat_c)
+    assert cat_c.cluster_spec("inc.nodes") == ("entity_id", 8)
+    assert cat_c.snapshots("inc.nodes")[-1]["cluster_by"] == [
+        "entity_id", 8]
+    assert _rows(inc.nodes_view(cat_c).select(*nodes_cols)) == _rows(
+        inc.nodes_view(cat_f).select(*nodes_cols))
+    assert _tuples(inc.triples_view(cat_c)) == _tuples(
+        inc.triples_view(cat_f))
