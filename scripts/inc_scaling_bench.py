@@ -155,8 +155,10 @@ def main() -> None:
                 "predicted_efficiency_at_10x_delta": round(eff_10x, 3)},
         "wall_total_sec": round(time.monotonic() - t_start, 1),
     }
-    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", args.out), "w") as f:
+    out_path = (args.out if os.sep in args.out
+                else os.path.join(REPO, "BENCH", args.out))
+    os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
+    with open(out_path, "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps(result))
 
