@@ -270,3 +270,69 @@ def test_clustered_layout_surgery_matches_unclustered(spark, v0_pdf, v1_pdf,
         inc.nodes_view(cat_f).select(*nodes_cols))
     assert _tuples(inc.triples_view(cat_c)) == _tuples(
         inc.triples_view(cat_f))
+
+
+def test_update_retry_on_commit_conflict(spark, v0_pdf, v1_pdf,
+                                         tmp_path_factory):
+    """Optimistic concurrency end to end: a writer that lands a commit on
+    a read-set table between update_graph's plan and commit makes the
+    first attempt fail wholesale (nothing half-committed), and
+    update_graph_with_retry replans against the new state and lands an
+    exact update alongside the concurrent writer's rows."""
+    from cosmos_spark.sources.catalog import CommitConflict
+
+    wh = str(tmp_path_factory.mktemp("incwh_retry"))
+    cat = Catalog(spark, wh)
+    v0 = corpus_to_spark(spark, v0_pdf, partitions=4)
+    v1 = corpus_to_spark(spark, v1_pdf, partitions=4)
+    inc.build_graph(spark, v0, cat)
+
+    foreign = spark.createDataFrame(
+        [("x#s", "external", "y", "zorg/z", 1.0, "triples@ext")],
+        "subj string, pred string, obj string, repo string, "
+        "score double, provenance string")
+    orig = cat.commit_group
+    calls = {"n": 0}
+
+    def racy(staged, expect=None):
+        calls["n"] += 1
+        if calls["n"] == 1 and expect:
+            # concurrent writer sneaks in a triples commit first
+            orig([cat.stage(foreign, "inc.triples", "append",
+                            partition_by=("pred",))])
+        return orig(staged, expect=expect)
+
+    cat.commit_group = racy
+    deleted = [("org0/repo_00", "extra/dead1.py"),
+               ("org1/repo_01", "extra/dead2.py")]
+
+    # bare update_graph: the conflict surfaces, nothing else commits
+    with pytest.raises(CommitConflict, match="moved"):
+        inc.update_graph(spark, cat, v1, deleted=deleted)
+    assert _tuples(inc.triples_view(cat)) >= {
+        ("x#s", "external", "y", "zorg/z", 1.0)}
+
+    # retry wrapper: a SECOND concurrent commit conflicts the wrapper's
+    # first attempt; it replans internally and lands on the second
+    foreign2 = foreign.withColumn("subj", F.lit("x2#s"))
+    calls["n"] = 0
+
+    def racy2(staged, expect=None):
+        calls["n"] += 1
+        if calls["n"] == 1 and expect:
+            orig([cat.stage(foreign2, "inc.triples", "append",
+                            partition_by=("pred",))])
+        return orig(staged, expect=expect)
+
+    cat.commit_group = racy2
+    stats = inc.update_graph_with_retry(spark, cat, v1, deleted=deleted)
+    cat.commit_group = orig
+    assert stats["n_delta_files"] > 0
+    assert calls["n"] == 2  # attempt 1 conflicted, attempt 2 landed
+
+    want = _tuples(run_pipeline(
+        spark, v1, workdir=str(tmp_path_factory.mktemp("wd_retry"))
+    )["triples"])
+    got = _tuples(inc.triples_view(cat))
+    assert got == want | {("x#s", "external", "y", "zorg/z", 1.0),
+                          ("x2#s", "external", "y", "zorg/z", 1.0)}
