@@ -459,6 +459,127 @@ FROM documents
 """
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination — the training-data hygiene op every LLM
+    pipeline runs before pretraining: flag every corpus document sharing
+    at least one word 4-gram with the (deterministic) eval set
+    (doc_id % 97 == 0), the n-gram-overlap rule of GPT-3/PaLM-style
+    dataset reports (production uses 8-13-grams; 4 is the demonstrative
+    n at which this synthetic vocabulary produces cross-document
+    overlap, and n is a constant in the gram expression).
+
+    Scale shape: the eval set is SMALL BY DEFINITION, so its distinct
+    8-grams aggregate to one broadcastable row (collect_set) and the
+    corpus side is a single row-local ``arrays_overlap`` projection — no
+    corpus explode, no shuffle, no UDF; 100 TB of training text streams
+    through map-side only. (A giant eval set would swap the collected
+    array for a broadcast bloom filter; the join shape is unchanged.)"""
+    docs = _t(spark, sf_dir, "documents")
+    grams = F.expr(r"""
+        CASE WHEN size(regexp_extract_all(lower(text), '\\S+', 0)) >= 4
+             THEN transform(
+                 sequence(1, size(regexp_extract_all(lower(text),
+                                                     '\\S+', 0)) - 3),
+                 i -> array_join(slice(regexp_extract_all(lower(text),
+                                                          '\\S+', 0),
+                                       i, 4), ' '))
+             ELSE array() END""")
+    bench_set = (docs.filter(F.col("doc_id") % 97 == 0)
+                 .select(F.explode(grams).alias("g"))
+                 .agg(F.collect_set("g").alias("bench_grams")))
+    return (docs.crossJoin(F.broadcast(bench_set))
+            .select("doc_id", "source",
+                    F.arrays_overlap(grams, F.col("bench_grams"))
+                    .cast("int").alias("contaminated")))
+
+
+SQL_DECONTAMINATE = r"""
+WITH g AS (
+  SELECT doc_id, source,
+         list_transform(
+             range(1, greatest(len(regexp_extract_all(lower(text),
+                                                      '\S+')) - 2, 1)),
+             i -> array_to_string(
+                 list_slice(regexp_extract_all(lower(text), '\S+'),
+                            i, i + 3), ' ')) AS grams
+  FROM documents),
+b AS (SELECT flatten(list(grams)) AS bg FROM g WHERE doc_id % 97 = 0)
+SELECT doc_id, source,
+       CAST(len(list_intersect(grams, bg)) > 0 AS INT) AS contaminated
+FROM g, b
+"""
+
+
+def q_bm25(spark, sf_dir):
+    """Corpus-statistics relevance scoring: Okapi BM25 (k1=1.2, b=0.75)
+    of every document for the fixed query {table, scan, join}. The corpus
+    stats (N, avgdl, per-term df) reduce to ONE broadcast row; per-doc tf
+    is a row-local array filter — so the whole scorer is a map-side
+    projection behind one tiny aggregate, the shape that lets BM25 run
+    over 100 TB without a per-term inverted-index shuffle. avgdl is
+    rounded to 6dp in both engines so the norm input is a shared exact
+    rational; the final score rounds the one transcendental (ln)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = r"regexp_extract_all(lower(text), '\\S+', 0)"
+    terms = ("table", "scan", "join")
+    tf = {t: F.expr(f"size(filter({toks}, x -> x = '{t}'))")
+          for t in terms}
+    base = docs.select(
+        "doc_id", F.expr(f"size({toks})").cast("double").alias("dl"),
+        *[tf[t].cast("double").alias(f"tf_{t}") for t in terms])
+    stats = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.round(F.avg("dl"), 6).alias("avgdl"),
+        *[F.sum((F.col(f"tf_{t}") > 0).cast("double"))
+          .alias(f"df_{t}") for t in terms])
+    k1, b = 1.2, 0.75
+    parts = [
+        F.log(F.lit(1.0) + (F.col("n_docs") - F.col(f"df_{t}") + 0.5)
+              / (F.col(f"df_{t}") + 0.5))
+        * (F.col(f"tf_{t}") * (k1 + 1))
+        / (F.col(f"tf_{t}")
+           + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+        for t in terms]
+    score = parts[0]
+    for p in parts[1:]:
+        score = score + p
+    return (base.crossJoin(F.broadcast(stats))
+            .select("doc_id", F.round(score, 6).alias("bm25")))
+
+
+SQL_BM25 = r"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(lower(text), '\S+')) AS DOUBLE)
+           AS dl,
+         CAST(len(list_filter(regexp_extract_all(lower(text), '\S+'),
+                              x -> x = 'table')) AS DOUBLE) AS tf_table,
+         CAST(len(list_filter(regexp_extract_all(lower(text), '\S+'),
+                              x -> x = 'scan')) AS DOUBLE) AS tf_scan,
+         CAST(len(list_filter(regexp_extract_all(lower(text), '\S+'),
+                              x -> x = 'join')) AS DOUBLE) AS tf_join
+  FROM documents),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs, round(avg(dl), 6) AS avgdl,
+         sum(CAST(tf_table > 0 AS DOUBLE)) AS df_table,
+         sum(CAST(tf_scan > 0 AS DOUBLE)) AS df_scan,
+         sum(CAST(tf_join > 0 AS DOUBLE)) AS df_join
+  FROM base)
+SELECT doc_id,
+       round(  ln(1.0 + (n_docs - df_table + 0.5) / (df_table + 0.5))
+                 * (tf_table * 2.2)
+                 / (tf_table + 1.2 * (0.25 + 0.75 * dl / avgdl))
+             + ln(1.0 + (n_docs - df_scan + 0.5) / (df_scan + 0.5))
+                 * (tf_scan * 2.2)
+                 / (tf_scan + 1.2 * (0.25 + 0.75 * dl / avgdl))
+             + ln(1.0 + (n_docs - df_join + 0.5) / (df_join + 0.5))
+                 * (tf_join * 2.2)
+                 / (tf_join + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6)
+         AS bm25
+FROM base, stats
+"""
+
+
 def q_train_split(spark, sf_dir):
     """Deterministic content-hash train/valid/test assignment — the
     training-data-curation split every LLM pipeline needs. Bucketing on
@@ -866,6 +987,8 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "q_ngram_fingerprint": (q_ngram_fingerprint, SQL_NGRAM_FINGERPRINT),
     "q_winnow_fingerprints": (q_winnow_fingerprints, SQL_WINNOW_FP),
     "q_train_split": (q_train_split, SQL_TRAIN_SPLIT),
+    "q_decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
+    "q_bm25": (q_bm25, SQL_BM25),
     "q_lang_stopword_id": (q_lang_stopword_id, SQL_LANG_STOPWORD_ID),
     "q_ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
     "q_embedding_norms": (q_embedding_norms, SQL_EMBEDDING_NORMS),
@@ -2710,6 +2833,8 @@ PRIORITY_QUERIES: list[str] = [
     "q_winnow_fingerprints",
     "q_bpe_token_count",
     "q_train_split",
+    "q_decontaminate",
+    "q_bm25",
     "q_doc_rollup",
     "q_search_docfilter",
     "q_entity_objects",
