@@ -221,6 +221,7 @@ def test_clustered_layout_surgery_matches_unclustered(spark, v0_pdf, v1_pdf,
     assert cat_c.cluster_spec("inc.nodes") == ("entity_id", 8)
     assert cat_c.cluster_spec("inc.bands") == ("bval", 8)
     assert cat_c.cluster_spec("inc.edges") == ("bval", 8)
+    assert cat_c.cluster_spec("inc.mentions") == ("link_key", 8)
 
     deleted = [("org0/repo_00", "extra/dead1.py"),
                ("org1/repo_01", "extra/dead2.py")]
