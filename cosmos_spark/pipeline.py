@@ -227,7 +227,13 @@ def entities_of(mentions: DataFrame) -> DataFrame:
 def aliases_of(entities: DataFrame) -> DataFrame:
     """Alias dict (exact + fuzzy keys) derived from the *entities* frame —
     so when entities is persisted, building aliases touches only the tiny
-    dim, not the mentions relation again."""
+    dim, not the mentions relation again.
+
+    (alias_key, entity_id) is unique by construction — no dedup shuffle:
+    ``entities`` is unique on entity_id (one row per distinct norm, see
+    :func:`entities_of`), each row emits one exact key (its norm) and at
+    most one fuzzy key that the filter guarantees differs from it — so
+    the whole dict is a narrow projection of the dim."""
     base = entities.select(
         F.col("canonical_name").alias("norm"), "entity_id", "canonical_name")
     exact = base.select(
@@ -239,7 +245,7 @@ def aliases_of(entities: DataFrame) -> DataFrame:
         .select("alias_key", "entity_id", "canonical_name",
                 F.lit("fuzzy").alias("alias_kind"))
     )
-    return exact.unionByName(fuzzy).dropDuplicates(["alias_key", "entity_id"])
+    return exact.unionByName(fuzzy)
 
 
 def entities_and_aliases(mentions: DataFrame) -> tuple[DataFrame, DataFrame]:
