@@ -1,0 +1,219 @@
+"""Mergeable cardinality sketches: KMV (k-minimum-values).
+
+At 100 TB you cannot answer "how many distinct tokens / shingles /
+entities per group" by shuffling every distinct value to a reducer —
+the distinct stream per group is corpus-sized. A KMV sketch keeps only
+the k smallest 64-bit hashes of the values seen per group: O(k) state,
+mergeable by union-and-truncate, and the classic (k-1)/F(h_k) estimator
+(Bar-Yossef et al., "Counting distinct elements in a data stream",
+RANDOM 2002) is accurate to ~1/sqrt(k). The reference has no sketch
+layer (its corpus statistics are exact Dask aggregations at document
+scale, e.g. `cosmos/ingestion/ingest/ingest.py` count paths); this is
+one of the operations a training-data pipeline needs beyond it.
+
+Shape (the reason it survives 100 TB) — three levels, each bounded:
+
+1. row-local (JVM): when values arrive as an array column
+   (`kmv_sketch_arrays`, the fast path), each row reduces to its own
+   <= k-hash sketch entirely inside whole-stage codegen
+   (transform/md5/array_sort/slice HOFs) — the value stream never
+   leaves the JVM;
+2. partition-local (Arrow): a mapInPandas pass merges the row sketches
+   per group present in the partition (numpy union-truncate; state =
+   groups-in-partition x k longs, no per-row Python);
+3. global: one groupBy whose rows are k-bounded arrays — only sketches
+   cross the shuffle, never distinct values. Merge = union + sort +
+   truncate, exactly the sketch's mergeability property, so the result
+   is independent of partitioning (pinned by test).
+
+Hashing is md5 prefix -> positive 60-bit long (the engine-portable
+trick of plans/lineage.py:51); DuckDB reproduces every hash, the k-th
+minimum and the fixed IEEE-double estimate bit-for-bit
+(q_kmv_distinct).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+# 15 hex chars = 60 bits: always fits a positive signed long in Spark
+# AND a BIGINT in DuckDB, so unsigned/signed ordering games never arise.
+HASH_BITS = 60
+HASH_SPACE = float(2**HASH_BITS)
+
+_HASH_ONE = "cast(conv(substring(md5({v}), 1, 15), 16, 10) as bigint)"
+
+
+def _merge_kmin(k: int, grp_field: str):
+    """mapInPandas kernel: merge row-level kmv arrays into one
+    <= k-hash sketch per group present in the partition. Accumulates
+    across the partition's Arrow batches in a dict of sorted numpy
+    arrays (bounded: groups-in-partition x k); vectorized
+    np.unique/np.concatenate, no per-row Python in the hash path."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc: dict = {}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            for grp, sub in pdf.groupby(grp_field, sort=False,
+                                        dropna=False):
+                arrs = [np.asarray(a, dtype=np.int64)
+                        for a in sub["kmv"] if len(a)]
+                if not arrs:
+                    continue
+                h = np.unique(np.concatenate(arrs))
+                prev = acc.get(grp)
+                if prev is not None:
+                    h = np.unique(np.concatenate([prev, h]))
+                acc[grp] = h[:k]
+        if acc:
+            yield pd.DataFrame({
+                grp_field: [None if pd.isna(g) else g for g in acc],
+                "kmv": [a.tolist() for a in acc.values()],
+            })
+
+    return fn
+
+
+def _finalize(local: DataFrame, group_col: str, k: int) -> DataFrame:
+    """Global merge + estimator. Merge state is k-bounded arrays."""
+    merged = (local.groupBy(group_col)
+              .agg(F.slice(F.array_sort(F.array_distinct(
+                  F.flatten(F.collect_list("kmv")))), 1, k).alias("kmv")))
+    k_used = F.size("kmv")
+    kth = F.element_at(F.col("kmv"), k_used)
+    est = (F.when(k_used < k, k_used.cast("double"))
+           .otherwise(F.lit(float(k - 1) * HASH_SPACE)
+                      / kth.cast("double")))
+    return merged.select(
+        group_col, "kmv",
+        k_used.cast("int").alias("k_used"),
+        kth.alias("kth_hash"),
+        est.alias("est_distinct"))
+
+
+def _local(pairs: DataFrame, group_col: str, k: int) -> DataFrame:
+    grp_type = pairs.schema[group_col].dataType
+    schema = T.StructType([
+        T.StructField(group_col, grp_type),
+        T.StructField("kmv", T.ArrayType(T.LongType())),
+    ])
+    return pairs.mapInPandas(_merge_kmin(k, group_col), schema)
+
+
+def kmv_sketch_arrays(df: DataFrame, group_col: str, values_col: str,
+                      k: int = 64) -> DataFrame:
+    """Per-group KMV sketch where each row carries an array<string> of
+    values (e.g. a document's tokens). The fast path: each row reduces
+    to its own <= k-hash sketch inside one batched Arrow UDF, so only
+    one small array per input row reaches the partition-merge stage
+    instead of the exploded value stream. Batched Arrow UDF with one
+    md5 per DISTINCT value per row, not SQL higher-order functions —
+    HOF lambdas are interpreted per element (same measured pitfall as
+    dedup.minhash_signatures; the HOF formulation of this kernel
+    benched ~2x slower than even the exploded JVM path).
+
+    Returns (group_col, kmv array<long>, k_used int, kth_hash long,
+    est_distinct double); estimate = exact count while the sketch is
+    not full, else (k-1) * 2^60 / h_k. Null array elements are skipped
+    (SQL COUNT(DISTINCT) semantics)."""
+    import hashlib
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _row_kmv(vals: pd.Series) -> pd.Series:
+        out: list[list[int]] = []
+        for arr in vals:
+            if arr is None or len(arr) == 0:
+                out.append([])
+                continue
+            uniq = {v for v in arr if v is not None}
+            if not uniq:
+                out.append([])
+                continue
+            # first 15 hex chars of md5 = top 60 bits of the digest
+            hs = np.fromiter(
+                (int.from_bytes(hashlib.md5(v.encode()).digest()[:8],
+                                "big") >> 4 for v in uniq),
+                dtype=np.int64, count=len(uniq))
+            # distinct-HASH semantics (two values may collide in 60 bits)
+            hs = np.unique(hs)
+            out.append(hs[:k].tolist())
+        return pd.Series(out, index=vals.index)
+
+    pairs = df.select(F.col(group_col), _row_kmv(values_col).alias("kmv"))
+    return _finalize(_local(pairs, group_col, k), group_col, k)
+
+
+def kmv_sketch_ngrams(df: DataFrame, group_col: str, text_col: str,
+                      ns: dict[str, int] | None = None,
+                      k: int = 64) -> DataFrame:
+    """Word n-gram KMV sketches over raw text, one sketch per
+    (group || '|' || tag) for every requested n-gram order — tokenize,
+    n-gram, hash and partition-k-min FUSED into one mapInPandas pass.
+    One corpus scan total: no explode, no JVM HOF n-gram construction
+    (interpreted per element), no intermediate per-row sketch column;
+    per-partition state stays (groups x tags) x k longs. Groups must be
+    non-null strings. This is the shape to use for corpus vocabulary
+    statistics; `kmv_sketch`/`kmv_sketch_arrays` are the generic
+    building blocks."""
+    import hashlib
+    import re
+
+    tags = {"uni": 1, "bi": 2} if ns is None else ns
+    grp_type = df.schema[group_col].dataType
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc: dict = {}
+        for pdf in batches:
+            for g, t in zip(pdf[group_col], pdf[text_col]):
+                toks = re.findall(r"\S+", (t or "").lower())
+                for tag, n in tags.items():
+                    grams = (toks if n == 1 else
+                             [" ".join(toks[i:i + n])
+                              for i in range(len(toks) - n + 1)])
+                    if not grams:
+                        continue
+                    uniq = set(grams)
+                    hs = np.fromiter(
+                        (int.from_bytes(
+                            hashlib.md5(v.encode()).digest()[:8],
+                            "big") >> 4 for v in uniq),
+                        dtype=np.int64, count=len(uniq))
+                    hs = np.unique(hs)[:k]
+                    key = "%s|%s" % (g, tag)
+                    prev = acc.get(key)
+                    if prev is not None:
+                        hs = np.unique(np.concatenate([prev, hs]))[:k]
+                    acc[key] = hs
+        if acc:
+            yield pd.DataFrame({
+                group_col: list(acc),
+                "kmv": [a.tolist() for a in acc.values()],
+            })
+
+    schema = T.StructType([
+        T.StructField(group_col, grp_type),
+        T.StructField("kmv", T.ArrayType(T.LongType())),
+    ])
+    local = df.select(group_col, text_col).mapInPandas(fn, schema)
+    return _finalize(local, group_col, k)
+
+
+def kmv_sketch(df: DataFrame, group_col: str, value_col: str,
+               k: int = 64) -> DataFrame:
+    """Per-group KMV sketch over a string column (one value per row).
+    Same result as `kmv_sketch_arrays` on the grouped-up values (pinned
+    by test); prefer the array form when values naturally arrive as
+    per-row arrays — it keeps the value stream out of Python."""
+    h = F.expr(_HASH_ONE.format(v=value_col))
+    pairs = (df.select(F.col(group_col),
+                       F.array(h).alias("kmv"))
+             .where(F.element_at("kmv", 1).isNotNull()))
+    return _finalize(_local(pairs, group_col, k), group_col, k)

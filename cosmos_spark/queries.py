@@ -662,6 +662,51 @@ SELECT DISTINCT doc_id, unnest(mins) AS fp FROM w
 """
 
 
+def q_kmv_distinct(spark, sf_dir):
+    """Distinct n-gram cardinality per (language, gram order) via a KMV
+    sketch (operators/sketch.py): one fused mapInPandas scan (tokenize
+    + n-gram + hash + partition k-min) -> one merge groupBy over
+    k-bounded arrays; only sketches cross the shuffle. The hash, the
+    k-th minimum and the IEEE-double estimate are all engine-portable,
+    so the oracle checks the sketch bit-for-bit. Unigram groups (small
+    shared vocabulary, < k distinct) exercise the exact-count branch;
+    bigram groups (~900 distinct) the (k-1)/F(h_k) estimator branch."""
+    from .operators import sketch
+    docs = _t(spark, sf_dir, "documents")
+    sk = sketch.kmv_sketch_ngrams(docs.select("lang", "text"), "lang",
+                                  "text", ns={"uni": 1, "bi": 2}, k=64)
+    return sk.select(F.col("lang").alias("grp"), "k_used", "kth_hash",
+                     "est_distinct")
+
+
+SQL_KMV_DISTINCT = """
+WITH t AS (SELECT lang, regexp_extract_all(lower(text), '\\S+') AS toks
+           FROM documents),
+vals AS (
+  SELECT lang || '|uni' AS grp, unnest(toks) AS tok FROM t
+  UNION ALL
+  SELECT lang || '|bi' AS grp,
+         unnest(list_transform(range(1, greatest(len(toks), 1)),
+                i -> array_to_string(list_slice(toks, i, i + 1), ' ')))
+           AS tok
+  FROM t WHERE len(toks) >= 2),
+h AS (SELECT DISTINCT grp,
+             ('0x' || substr(md5(tok), 1, 15))::UBIGINT::BIGINT AS h
+      FROM vals),
+r AS (SELECT grp, h,
+             row_number() OVER (PARTITION BY grp ORDER BY h) AS rn,
+             count(*) OVER (PARTITION BY grp) AS nd
+      FROM h)
+SELECT grp,
+       CAST(least(nd, 64) AS INT) AS k_used,
+       h AS kth_hash,
+       CASE WHEN nd < 64 THEN CAST(nd AS DOUBLE)
+            ELSE (63.0 * 1152921504606846976.0) / CAST(h AS DOUBLE)
+       END AS est_distinct
+FROM r WHERE rn = least(nd, 64)
+"""
+
+
 def q_lang_stopword_id(spark, sf_dir):
     """Language-ID heuristic: stopword-hit scoring with deterministic
     fallback (n-gram-heuristic analog). The synthetic docs share one
@@ -986,6 +1031,7 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "q_quality_score": (q_quality_score, SQL_QUALITY_SCORE),
     "q_ngram_fingerprint": (q_ngram_fingerprint, SQL_NGRAM_FINGERPRINT),
     "q_winnow_fingerprints": (q_winnow_fingerprints, SQL_WINNOW_FP),
+    "q_kmv_distinct": (q_kmv_distinct, SQL_KMV_DISTINCT),
     "q_train_split": (q_train_split, SQL_TRAIN_SPLIT),
     "q_decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "q_bm25": (q_bm25, SQL_BM25),
@@ -2831,6 +2877,7 @@ PRIORITY_QUERIES: list[str] = [
     "q_pivot_agg",
     "q_percentiles",
     "q_winnow_fingerprints",
+    "q_kmv_distinct",
     "q_bpe_token_count",
     "q_train_split",
     "q_decontaminate",

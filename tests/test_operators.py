@@ -601,3 +601,77 @@ def test_extract_table_rows_numeric_first_line_not_header(spark):
                                      "content").toPandas())
     # first line has a numeric cell -> data, not header
     assert len(out) == 2 and out["header"].isna().all()
+
+
+# ---------------------------------------------------------------------------
+# KMV distinct sketch (operators/sketch.py)
+# ---------------------------------------------------------------------------
+
+def _kmv_corpus(spark, n_rows=400, n_groups=3):
+    rows = pd.DataFrame({
+        "grp": ["g%d" % (i % n_groups) for i in range(n_rows)],
+        # ~n_rows/n_groups/2 distinct values per group (each repeated 2x)
+        "val": ["v-%d" % (i // 2) for i in range(n_rows)],
+    })
+    return spark.createDataFrame(rows)
+
+
+def test_kmv_full_sketch_is_exact(spark):
+    """k >= distinct-count: the sketch degrades to an exact counter."""
+    from cosmos_spark.operators import sketch
+    df = _kmv_corpus(spark)
+    exact = {r["grp"]: r["n"] for r in df.groupBy("grp").agg(
+        F.countDistinct("val").alias("n")).collect()}
+    out = sketch.kmv_sketch(df, "grp", "val", k=10_000).toPandas()
+    got = dict(zip(out["grp"], out["est_distinct"]))
+    assert got == {g: float(n) for g, n in exact.items()}
+    assert (out["k_used"] == out["kmv"].map(len)).all()
+
+
+def test_kmv_partition_invariance(spark):
+    """Mergeability: the sketch is a pure function of the value SET —
+    identical for 1-partition and many-partition layouts (the property
+    that makes per-partition pre-aggregation + merge correct)."""
+    from cosmos_spark.operators import sketch
+    df = _kmv_corpus(spark)
+    a = (sketch.kmv_sketch(df.repartition(1), "grp", "val", k=16)
+         .orderBy("grp").toPandas())
+    b = (sketch.kmv_sketch(df.repartition(7, "val"), "grp", "val", k=16)
+         .orderBy("grp").toPandas())
+    assert list(a["kth_hash"]) == list(b["kth_hash"])
+    assert [list(x) for x in a["kmv"]] == [list(x) for x in b["kmv"]]
+    assert list(a["est_distinct"]) == list(b["est_distinct"])
+
+
+def test_kmv_estimator_accuracy_and_nulls(spark):
+    """Estimator path (k < distinct): within 4/sqrt(k) of truth; null
+    values are skipped like COUNT(DISTINCT)."""
+    from cosmos_spark.operators import sketch
+    n = 3000
+    pdf = pd.DataFrame({"grp": ["g"] * n + ["g"],
+                        "val": ["item-%d" % i for i in range(n)] + [None]})
+    df = spark.createDataFrame(pdf)
+    k = 64
+    out = sketch.kmv_sketch(df, "grp", "val", k=k).toPandas()
+    assert len(out) == 1 and out.iloc[0]["k_used"] == k
+    est = out.iloc[0]["est_distinct"]
+    assert abs(est - n) / n < 4 / (k ** 0.5)
+
+
+def test_kmv_array_form_matches_row_form(spark):
+    """kmv_sketch_arrays (JVM row-local reduce) == kmv_sketch on the
+    exploded rows — the 64x-less-Arrow fast path changes nothing."""
+    from cosmos_spark.operators import sketch
+    pdf = pd.DataFrame({
+        "grp": ["a", "a", "b", "b", "b"],
+        "vals": [["x", "y", "z"], ["y", None, "w"], [], ["q"],
+                 ["q", "r", "q"]],
+    })
+    df = spark.createDataFrame(pdf)
+    a = (sketch.kmv_sketch_arrays(df, "grp", "vals", k=2)
+         .orderBy("grp").toPandas())
+    rows = df.select("grp", F.explode_outer("vals").alias("val"))
+    b = (sketch.kmv_sketch(rows, "grp", "val", k=2)
+         .orderBy("grp").toPandas())
+    assert [list(x) for x in a["kmv"]] == [list(x) for x in b["kmv"]]
+    assert list(a["est_distinct"]) == list(b["est_distinct"])
