@@ -217,3 +217,51 @@ def kmv_sketch(df: DataFrame, group_col: str, value_col: str,
                        F.array(h).alias("kmv"))
              .where(F.element_at("kmv", 1).isNotNull()))
     return _finalize(_local(pairs, group_col, k), group_col, k)
+
+
+def kmv_pair_overlap(sk: DataFrame, group_col: str, k: int) -> DataFrame:
+    """Pairwise set-operation ESTIMATES between finalized KMV sketches
+    (theta-sketch style) — how two corpora overlap without ever
+    comparing the corpora: union the two k-min lists and re-truncate
+    (that IS the union sketch), take theta = its k-th minimum, and
+    count the common hashes below theta; then
+
+        jaccard_est      = n_common / k_union
+        est_union        = (k-1) * 2^60 / theta   (exact when not full)
+        est_intersection = jaccard_est * est_union (ditto)
+
+    All inputs to the double arithmetic are integers + one fixed
+    expression, so the estimates stay engine-portable bit-for-bit.
+    Pairs every (grp_a < grp_b) combination — sketches are k-bounded
+    rows, so the self-join is over group-count-squared tiny arrays,
+    never data. Callers pair like with like (e.g. same n-gram order)."""
+    a = sk.select(F.col(group_col).alias("grp_a"),
+                  F.col("kmv").alias("kmv_a"))
+    b = sk.select(F.col(group_col).alias("grp_b"),
+                  F.col("kmv").alias("kmv_b"))
+    pairs = a.join(b, F.col("grp_a") < F.col("grp_b"))
+    merged = F.slice(F.array_sort(F.array_distinct(
+        F.concat("kmv_a", "kmv_b"))), 1, k)
+    out = (pairs.withColumn("mg", merged)
+           .withColumn("k_union", F.size("mg"))
+           .withColumn("theta", F.element_at("mg", F.col("k_union"))))
+    n_common = F.size(F.filter(
+        F.array_intersect("kmv_a", "kmv_b"),
+        lambda h: h <= F.col("theta")))
+    out = out.withColumn("n_common", n_common)
+    est_union = (F.when(F.col("k_union") < k,
+                        F.col("k_union").cast("double"))
+                 .otherwise(F.lit(float(k - 1) * HASH_SPACE)
+                            / F.col("theta").cast("double")))
+    jac = F.col("n_common").cast("double") / F.col("k_union").cast("double")
+    out = (out.withColumn("est_union", est_union)
+           .withColumn("jaccard_est", jac)
+           .withColumn("est_intersection",
+                       F.when(F.col("k_union") < k,
+                              F.col("n_common").cast("double"))
+                       .otherwise(F.col("jaccard_est")
+                                  * F.col("est_union"))))
+    return out.select(
+        "grp_a", "grp_b", F.col("k_union").cast("int").alias("k_union"),
+        "theta", F.col("n_common").cast("int").alias("n_common"),
+        "est_union", "jaccard_est", "est_intersection")

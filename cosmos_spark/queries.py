@@ -707,6 +707,69 @@ FROM r WHERE rn = least(nd, 64)
 """
 
 
+def q_kmv_set_ops(spark, sf_dir):
+    """Cross-corpus overlap WITHOUT comparing corpora: pairwise
+    union / intersection / Jaccard estimates between per-language
+    n-gram KMV sketches (theta-sketch set operations, the
+    contamination-screening primitive at 100 TB — only k-bounded
+    sketch rows are joined). Same-gram-order pairs only; unigram pairs
+    (not-full sketches) exercise the exact branch, bigram pairs the
+    estimator branch. Bit-exact vs the DuckDB oracle."""
+    from .operators import sketch
+    docs = _t(spark, sf_dir, "documents")
+    sk = sketch.kmv_sketch_ngrams(docs.select("lang", "text"), "lang",
+                                  "text", ns={"uni": 1, "bi": 2}, k=64)
+    out = sketch.kmv_pair_overlap(sk, "lang", k=64)
+    same_tag = (F.substring_index("grp_a", "|", -1)
+                == F.substring_index("grp_b", "|", -1))
+    return out.where(same_tag)
+
+
+SQL_KMV_SET_OPS = """
+WITH t AS (SELECT lang, regexp_extract_all(lower(text), '\\S+') AS toks
+           FROM documents),
+vals AS (
+  SELECT lang || '|uni' AS grp, unnest(toks) AS tok FROM t
+  UNION ALL
+  SELECT lang || '|bi' AS grp,
+         unnest(list_transform(range(1, greatest(len(toks), 1)),
+                i -> array_to_string(list_slice(toks, i, i + 1), ' ')))
+           AS tok
+  FROM t WHERE len(toks) >= 2),
+h AS (SELECT DISTINCT grp,
+             ('0x' || substr(md5(tok), 1, 15))::UBIGINT::BIGINT AS h
+      FROM vals),
+sk AS (SELECT grp, list_slice(list_sort(list(h)), 1, 64) AS kmv
+       FROM h GROUP BY grp),
+p AS (SELECT a.grp AS grp_a, a.kmv AS ka, b.grp AS grp_b, b.kmv AS kb
+      FROM sk a, sk b
+      WHERE a.grp < b.grp
+        AND split_part(a.grp, '|', 2) = split_part(b.grp, '|', 2)),
+m AS (SELECT grp_a, grp_b, ka, kb,
+             list_slice(list_sort(list_distinct(list_concat(ka, kb))),
+                        1, 64) AS mg
+      FROM p),
+s AS (SELECT grp_a, grp_b,
+             len(mg) AS k_union, mg[len(mg)] AS theta,
+             len(list_filter(list_intersect(ka, kb),
+                             x -> x <= mg[len(mg)])) AS n_common
+      FROM m)
+SELECT grp_a, grp_b,
+       CAST(k_union AS INT) AS k_union, theta,
+       CAST(n_common AS INT) AS n_common,
+       CASE WHEN k_union < 64 THEN CAST(k_union AS DOUBLE)
+            ELSE (63.0 * 1152921504606846976.0) / CAST(theta AS DOUBLE)
+       END AS est_union,
+       CAST(n_common AS DOUBLE) / CAST(k_union AS DOUBLE) AS jaccard_est,
+       CASE WHEN k_union < 64 THEN CAST(n_common AS DOUBLE)
+            ELSE (CAST(n_common AS DOUBLE) / CAST(k_union AS DOUBLE))
+                 * ((63.0 * 1152921504606846976.0)
+                    / CAST(theta AS DOUBLE))
+       END AS est_intersection
+FROM s
+"""
+
+
 def q_lang_stopword_id(spark, sf_dir):
     """Language-ID heuristic: stopword-hit scoring with deterministic
     fallback (n-gram-heuristic analog). The synthetic docs share one
@@ -1032,6 +1095,7 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "q_ngram_fingerprint": (q_ngram_fingerprint, SQL_NGRAM_FINGERPRINT),
     "q_winnow_fingerprints": (q_winnow_fingerprints, SQL_WINNOW_FP),
     "q_kmv_distinct": (q_kmv_distinct, SQL_KMV_DISTINCT),
+    "q_kmv_set_ops": (q_kmv_set_ops, SQL_KMV_SET_OPS),
     "q_train_split": (q_train_split, SQL_TRAIN_SPLIT),
     "q_decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "q_bm25": (q_bm25, SQL_BM25),
@@ -2878,6 +2942,7 @@ PRIORITY_QUERIES: list[str] = [
     "q_percentiles",
     "q_winnow_fingerprints",
     "q_kmv_distinct",
+    "q_kmv_set_ops",
     "q_bpe_token_count",
     "q_train_split",
     "q_decontaminate",

@@ -675,3 +675,42 @@ def test_kmv_array_form_matches_row_form(spark):
          .orderBy("grp").toPandas())
     assert [list(x) for x in a["kmv"]] == [list(x) for x in b["kmv"]]
     assert list(a["est_distinct"]) == list(b["est_distinct"])
+
+
+def test_kmv_pair_overlap_exact_and_estimator(spark):
+    """Set-operation estimates: on not-full sketches the union /
+    intersection / Jaccard are EXACT set arithmetic; on full sketches
+    the Jaccard estimate tracks the true overlap."""
+    from cosmos_spark.operators import sketch
+    a = ["a-%d" % i for i in range(30)]
+    shared = ["s-%d" % i for i in range(10)]
+    b = ["b-%d" % i for i in range(20)]
+    pdf = pd.DataFrame({
+        "grp": ["A"] * 40 + ["B"] * 30,
+        "val": a + shared + shared + b,
+    })
+    df = spark.createDataFrame(pdf)
+    # not-full: k far above any distinct count -> exact set arithmetic
+    sk = sketch.kmv_sketch(df, "grp", "val", k=1000)
+    out = sketch.kmv_pair_overlap(sk, "grp", k=1000).toPandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r["grp_a"], r["grp_b"]) == ("A", "B")
+    assert r["est_union"] == 60.0          # 40 + 30 - 10 shared
+    assert r["est_intersection"] == 10.0
+    assert r["jaccard_est"] == 10.0 / 60.0
+    # full sketches: estimator within 4/sqrt(k) relative error
+    n, sh = 4000, 2000
+    pdf2 = pd.DataFrame({
+        "grp": ["A"] * (n + sh) + ["B"] * (n + sh),
+        "val": (["a-%d" % i for i in range(n)]
+                + ["s-%d" % i for i in range(sh)]
+                + ["s-%d" % i for i in range(sh)]
+                + ["b-%d" % i for i in range(n)]),
+    })
+    k = 256
+    sk2 = sketch.kmv_sketch(spark.createDataFrame(pdf2), "grp", "val", k=k)
+    r2 = sketch.kmv_pair_overlap(sk2, "grp", k=k).toPandas().iloc[0]
+    true_j = sh / (2 * n + sh)
+    assert abs(r2["jaccard_est"] - true_j) < 4 / (k ** 0.5)
+    assert abs(r2["est_union"] - (2 * n + sh)) / (2 * n + sh) < 4 / (k ** 0.5)
