@@ -61,4 +61,9 @@ def get_spark(
         builder = builder.config(k, v)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    # make the engine's pluggable source available everywhere
+    # (idempotent; re-registration replaces the same name)
+    from .sources.corpus_source import CorpusDataSource
+    spark.dataSource.register(CorpusDataSource)
+    return spark
