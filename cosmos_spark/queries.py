@@ -1908,6 +1908,34 @@ def _versioned_demo(spark, sf_dir):
     return _VERSIONED_MEMO[key]
 
 
+def q_merge_upsert(spark, sf_dir):
+    """MERGE INTO (copy-on-write upsert, Catalog.merge): target = the
+    o_orderkey%4==0 slice of orders; source doubles the price of the
+    %8==0 rows (matched -> update) and brings the %4==1 rows (not
+    matched -> insert); untouched target rows (%4==0, %8!=0) survive
+    unchanged. One full-outer join + one overwrite snapshot; oracle is
+    the equivalent set arithmetic."""
+    from .sources import Catalog
+    cat = Catalog(spark, _tmpdir("cosmos_mergewh_"))
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+    cat.append(orders.filter(F.col("o_orderkey") % 4 == 0), "m.orders")
+    source = (orders.filter((F.col("o_orderkey") % 8 == 0)
+                            | (F.col("o_orderkey") % 4 == 1))
+              .withColumn("o_totalprice", F.col("o_totalprice") * 2))
+    cat.merge(source, "m.orders", on=("o_orderkey",))
+    return cat.read_at("m.orders")
+
+
+SQL_MERGE_UPSERT = """
+SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice
+FROM orders WHERE o_orderkey % 8 = 0 OR o_orderkey % 4 = 1
+UNION ALL
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders WHERE o_orderkey % 4 = 0 AND o_orderkey % 8 <> 0
+"""
+
+
 def q_time_travel(spark, sf_dir):
     """Snapshot-scoped read (Iceberg ``VERSION AS OF`` analog): reading
     the versioned table as of its second commit must see exactly the
@@ -1973,6 +2001,7 @@ QUERIES.update({
     "q_kg_entities": (q_kg_entities, SQL_KG_ENTITIES),
     "q_kg_mention_links": (q_kg_mention_links, SQL_KG_MENTION_LINKS),
     "q_incremental_kg": (q_incremental_kg, SQL_INCREMENTAL_KG),
+    "q_merge_upsert": (q_merge_upsert, SQL_MERGE_UPSERT),
     "q_time_travel": (q_time_travel, SQL_TIME_TRAVEL),
     "q_snapshot_changes": (q_snapshot_changes, SQL_SNAPSHOT_CHANGES),
     "q_stream_triples": (q_stream_triples, SQL_STREAM_TRIPLES),
@@ -2934,6 +2963,7 @@ PRIORITY_QUERIES: list[str] = [
     "q_graph_pagerank",
     "q_stream_triples",
     "q_incremental_kg",
+    "q_merge_upsert",
     "q_time_travel",
     "q_snapshot_changes",
     "q_sessionize",

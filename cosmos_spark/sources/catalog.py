@@ -503,3 +503,76 @@ class Catalog:
                                   if s["id"] not in expired]
         self._mutate_meta(table, _drop)
         return expired
+
+    def merge(self, source: DataFrame, table: str, on: tuple[str, ...],
+              when_matched: str = "update",
+              when_not_matched: str = "insert",
+              when_not_matched_by_source: str = "keep",
+              validate_unique_source: bool = True) -> int:
+        """MERGE INTO (upsert) — the generic versioned-table mutation:
+
+            merge(updates, "t", on=("id",))                # upsert
+            merge(tombstones, "t", on=("id",),
+                  when_matched="delete", when_not_matched="ignore")
+            merge(full_feed, "t", on=("id",),
+                  when_not_matched_by_source="delete")     # sync-to-feed
+
+        COPY-ON-WRITE semantics (Delta's default MERGE): one full-outer
+        join of target and source on null-safe key equality, per-row
+        resolution, committed as one overwrite snapshot (history stays
+        time-travelable until expired). The join is the standard CoW
+        merge cost — both sides shuffle on the keys once, AQE handles
+        skew, and a clustered table keeps its layout because the table's
+        ``cluster_by`` property is re-applied by ``stage``. For
+        delta-sized maintenance where rewriting the table is the
+        bottleneck, the merge-on-read path (append + equality-delete
+        surgery, ``plans/incremental.py``) is the at-scale alternative.
+
+        Like Delta/Iceberg MERGE, a source with duplicate keys is
+        rejected (ambiguous match) — ``validate_unique_source=False``
+        skips that one extra probe job when the caller guarantees it.
+        ``when_matched``: update | keep | delete; ``when_not_matched``:
+        insert | ignore; ``when_not_matched_by_source``: keep | delete.
+        Returns the committed snapshot id."""
+        from pyspark.sql.functions import col, lit
+        from pyspark.sql.functions import when as f_when
+        if when_matched not in ("update", "keep", "delete"):
+            raise ValueError(f"when_matched={when_matched!r}")
+        if when_not_matched not in ("insert", "ignore"):
+            raise ValueError(f"when_not_matched={when_not_matched!r}")
+        if when_not_matched_by_source not in ("keep", "delete"):
+            raise ValueError(
+                f"when_not_matched_by_source={when_not_matched_by_source!r}")
+        target = self.read_at(table)
+        cols = target.columns
+        missing = [c for c in cols if c not in source.columns]
+        if missing:
+            raise ValueError(f"merge source lacks target columns {missing}")
+        if validate_unique_source:
+            dup = (source.groupBy(*[col(k) for k in on])
+                   .count().where(col("count") > 1).limit(1).collect())
+            if dup:
+                raise ValueError(
+                    "merge source has duplicate keys (ambiguous match), "
+                    f"e.g. {tuple(dup[0][k] for k in on)}")
+        t = (target.select([col(c).alias(f"__t_{c}") for c in cols])
+             .withColumn("__t", lit(1)))
+        s = (source.select([col(c).alias(f"__s_{c}") for c in cols])
+             .withColumn("__s", lit(1)))
+        cond = None
+        for k in on:
+            eq = col(f"__t_{k}").eqNullSafe(col(f"__s_{k}"))
+            cond = eq if cond is None else (cond & eq)
+        j = t.join(s, cond, "full_outer")
+        matched = col("__t").isNotNull() & col("__s").isNotNull()
+        s_only = col("__t").isNull()
+        t_only = col("__s").isNull()
+        keep = ((matched & lit(when_matched != "delete"))
+                | (s_only & lit(when_not_matched == "insert"))
+                | (t_only & lit(when_not_matched_by_source == "keep")))
+        take_source = (matched & lit(when_matched == "update")) | s_only
+        out = j.where(keep).select([
+            f_when(take_source, col(f"__s_{c}"))
+            .otherwise(col(f"__t_{c}")).alias(c)
+            for c in cols])
+        return self.replace(out, table)

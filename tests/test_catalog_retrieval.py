@@ -293,3 +293,53 @@ def test_bucket_clustering_catalog_semantics(spark, tmp_path_factory):
 
     # empty bucket list matches nothing
     assert cat.read_at("c.t", prune_buckets=[]).count() == 0
+
+
+def test_merge_modes_and_validation(spark, tmp_path_factory):
+    """Catalog.merge: every when_* mode, history preserved, clustering
+    inherited by the overwrite snapshot, duplicate-source rejection."""
+    cat = Catalog(spark, str(tmp_path_factory.mktemp("mergewh")))
+    rows = lambda *pairs: spark.createDataFrame(
+        [{"k": k, "v": v} for k, v in pairs], "k long, v string")
+    s0 = cat.append(rows((1, "a"), (2, "b"), (3, "c")), "t")
+
+    # upsert: update matched, insert new, keep unmatched target
+    cat.merge(rows((2, "B"), (4, "d")), "t", on=("k",))
+    got = {(r["k"], r["v"]) for r in cat.read_at("t").collect()}
+    assert got == {(1, "a"), (2, "B"), (3, "c"), (4, "d")}
+    # prior snapshot still time-travelable
+    old = {(r["k"], r["v"]) for r in cat.read_at("t", snapshot=s0).collect()}
+    assert old == {(1, "a"), (2, "b"), (3, "c")}
+
+    # tombstone delete: matched rows vanish, source-only rows ignored
+    cat.merge(rows((1, None), (99, None)), "t", on=("k",),
+              when_matched="delete", when_not_matched="ignore")
+    got = {(r["k"], r["v"]) for r in cat.read_at("t").collect()}
+    assert got == {(2, "B"), (3, "c"), (4, "d")}
+
+    # sync-to-feed: target rows absent from the source are dropped
+    cat.merge(rows((2, "B2"), (5, "e")), "t", on=("k",),
+              when_not_matched_by_source="delete")
+    got = {(r["k"], r["v"]) for r in cat.read_at("t").collect()}
+    assert got == {(2, "B2"), (5, "e")}
+
+    # duplicate source keys are ambiguous -> rejected
+    with pytest.raises(ValueError, match="duplicate keys"):
+        cat.merge(rows((2, "x"), (2, "y")), "t", on=("k",))
+
+    # clustered table: merge's overwrite snapshot inherits the layout
+    cat2 = Catalog(spark, str(tmp_path_factory.mktemp("mergewh2")))
+    cat2.append(rows((1, "a"), (2, "b")), "c.t")
+    # declare clustering via a clustered stage, then merge
+    staged = cat2.stage(rows((3, "c")), "c.t", "append",
+                        cluster_by=("k", 4))
+    cat2.commit_group([staged])
+    cat2.merge(rows((2, "B"), (9, "z")), "c.t", on=("k",))
+    assert cat2.cluster_spec("c.t") == ("k", 4)
+    got = {(r["k"], r["v"]) for r in cat2.read_at("c.t").collect()}
+    assert got == {(1, "a"), (2, "B"), (3, "c"), (9, "z")}
+    # and the clustered read still prunes by bucket
+    pruned = cat2.read_at(
+        "c.t", prune_buckets=cat2.bucket_ids(
+            "c.t", rows((2, "B")), F.col("k")))
+    assert {(r["k"], r["v"]) for r in pruned.collect()} >= {(2, "B")}
