@@ -419,10 +419,7 @@ class Catalog:
             raise ValueError(f"versioned table {table} is empty")
         arms = [self._read_snap(table, s, snapshot_col,
                                 prune_buckets, spec) for s in live]
-        out = arms[0]
-        for a in arms[1:]:
-            out = out.unionByName(a)
-        return out
+        return self._union_evolved(arms)
 
     def changes(self, table: str, since: int) -> DataFrame:
         """Rows committed after snapshot ``since`` (exclusive) — the
@@ -437,10 +434,26 @@ class Catalog:
                 "incremental read is invalid — re-baseline from read_at()")
         if not snaps:
             return self.read_at(table).limit(0)
-        out = self._read_snap(table, snaps[0])
-        for s in snaps[1:]:
-            out = out.unionByName(self._read_snap(table, s))
-        return out
+        return self._union_evolved(
+            [self._read_snap(table, s) for s in snaps])
+
+    @staticmethod
+    def _union_evolved(arms: list[DataFrame]) -> DataFrame:
+        """Union snapshot arms under SCHEMA EVOLUTION (Iceberg
+        add-column semantics): the NEWEST live snapshot's schema governs
+        the read — rows from snapshots that predate a column surface it
+        as null, and columns absent from the newest snapshot (dropped)
+        do not appear. Identical schemas take the plain-union fast
+        path, so evolution costs nothing until used."""
+        out = arms[0]
+        if all(a.columns == out.columns for a in arms[1:]):
+            for a in arms[1:]:
+                out = out.unionByName(a)
+            return out
+        governing = arms[-1].columns
+        for a in arms[1:]:
+            out = out.unionByName(a, allowMissingColumns=True)
+        return out.select(*governing)
 
     @staticmethod
     def partition_filters(df: DataFrame) -> list[str]:

@@ -343,3 +343,37 @@ def test_merge_modes_and_validation(spark, tmp_path_factory):
         "c.t", prune_buckets=cat2.bucket_ids(
             "c.t", rows((2, "B")), F.col("k")))
     assert {(r["k"], r["v"]) for r in pruned.collect()} >= {(2, "B")}
+
+
+def test_schema_evolution_add_and_drop_column(spark, tmp_path_factory):
+    """Iceberg add-column semantics: the newest live snapshot's schema
+    governs reads — older rows surface new columns as null; a column
+    absent from the newest snapshot disappears; time travel re-reads
+    history under the OLD schema; merge works across the evolution."""
+    cat = Catalog(spark, str(tmp_path_factory.mktemp("evowh")))
+    s1 = cat.append(spark.createDataFrame(
+        [{"k": 1, "v": "a"}], "k long, v string"), "t")
+    cat.append(spark.createDataFrame(
+        [{"k": 2, "v": "b", "lang": "py"}],
+        "k long, v string, lang string"), "t")
+    cur = cat.read_at("t")
+    assert cur.columns == ["k", "v", "lang"]
+    got = {(r["k"], r["v"], r["lang"]) for r in cur.collect()}
+    assert got == {(1, "a", None), (2, "b", "py")}
+    # time travel: old schema, no phantom column
+    assert cat.read_at("t", snapshot=s1).columns == ["k", "v"]
+    # CDC read across the evolution
+    ch = cat.changes("t", since=s1)
+    assert {(r["k"], r["lang"]) for r in ch.collect()} == {(2, "py")}
+    # dropped column: newest snapshot without 'v' governs
+    cat.append(spark.createDataFrame(
+        [{"k": 3, "lang": "md"}], "k long, lang string"), "t")
+    cur = cat.read_at("t")
+    assert cur.columns == ["k", "lang"]
+    assert {(r["k"], r["lang"]) for r in cur.collect()} == {
+        (1, None), (2, "py"), (3, "md")}
+    # merge on the evolved schema
+    cat.merge(spark.createDataFrame(
+        [{"k": 3, "lang": "rst"}], "k long, lang string"), "t", on=("k",))
+    assert {(r["k"], r["lang"]) for r in cat.read_at("t").collect()} == {
+        (1, None), (2, "py"), (3, "rst")}
