@@ -1554,6 +1554,54 @@ def q_stream_triples(spark, sf_dir):
         "subj", "pred", "obj", "repo", "score")
 
 
+def q_stream_join(spark, sf_dir):
+    """Watermarked stream-stream inner join, VALUE-exact: the linking
+    corpus is fed as TWO streams with deterministic event times —
+    definitions stamped T + (doc_id % 7) minutes, call sites
+    T + (doc_id % 4) minutes — and `stream_mention_joins` resolves each
+    call to a definition of the same (repo, name) within ±2 minutes.
+    A match exists exactly when |doc_id%7 - doc_id%4| <= 2, so the
+    full (repo, name, def_time, call_time) relation is SQL-decidable."""
+    from .streaming.ingest import stream_mention_joins
+
+    did = r"cast(regexp_extract(path, 'd(\\d+)\\.py', 1) as int)"
+    # half corpus: join-state cost scales with input and the doc_id%7
+    # vs %4 lattice is fully exercised by either parity class
+    base = _linking_source(spark, sf_dir).where(F.expr(f"{did} % 2 = 0"))
+
+    def _stamped(mod: int, out: str) -> str:
+        d = _tmpdir(out)
+        (base.withColumn(
+            "ingested_at",
+            F.expr(f"timestamp'2026-01-01 00:00:00' + "
+                   f"make_interval(0, 0, 0, 0, 0, {did} % {mod}, 0)"))
+         .write.mode("overwrite").parquet(d))
+        return d
+
+    defs_dir = _stamped(7, "stream_join_defs_")
+    calls_dir = _stamped(4, "stream_join_calls_")
+    out_dir = _tmpdir("stream_join_out_")
+    q = (stream_mention_joins(spark, defs_dir, calls_dir,
+                              watermark="10 minutes", lag_minutes=2)
+         .writeStream.outputMode("append").format("parquet")
+         .option("path", out_dir)
+         .option("checkpointLocation", _tmpdir("ck_join_"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)
+
+
+SQL_STREAM_JOIN = """
+SELECT source AS repo, 'f' || doc_id AS name,
+       TIMESTAMP '2026-01-01 00:00:00'
+         + INTERVAL (doc_id % 7) MINUTE AS def_time,
+       TIMESTAMP '2026-01-01 00:00:00'
+         + INTERVAL (doc_id % 4) MINUTE AS call_time
+FROM documents
+WHERE doc_id % 2 = 0 AND abs((doc_id % 7) - (doc_id % 4)) <= 2
+"""
+
+
 def q_search_bool(spark, sf_dir):
     """§3.3 boolean search tree (`elastic_retriever.py:279-310`): one
     compiled predicate — (value OR data) AND NOT slow AND kind filter —
@@ -2002,6 +2050,7 @@ QUERIES.update({
     "q_kg_mention_links": (q_kg_mention_links, SQL_KG_MENTION_LINKS),
     "q_incremental_kg": (q_incremental_kg, SQL_INCREMENTAL_KG),
     "q_merge_upsert": (q_merge_upsert, SQL_MERGE_UPSERT),
+    "q_stream_join": (q_stream_join, SQL_STREAM_JOIN),
     "q_time_travel": (q_time_travel, SQL_TIME_TRAVEL),
     "q_snapshot_changes": (q_snapshot_changes, SQL_SNAPSHOT_CHANGES),
     "q_stream_triples": (q_stream_triples, SQL_STREAM_TRIPLES),
@@ -2964,6 +3013,7 @@ PRIORITY_QUERIES: list[str] = [
     "q_stream_triples",
     "q_incremental_kg",
     "q_merge_upsert",
+    "q_stream_join",
     "q_time_travel",
     "q_snapshot_changes",
     "q_sessionize",

@@ -141,6 +141,50 @@ def stream_triples(spark: SparkSession, source_dir: str,
     return out
 
 
+def stream_mention_joins(spark: SparkSession, defs_dir: str,
+                         calls_dir: str, watermark: str = "10 minutes",
+                         lag_minutes: int = 2) -> DataFrame:
+    """Watermarked STREAM-STREAM inner join — call mentions from one
+    stream match define mentions of the same (repo, name) arriving
+    within ±lag_minutes event time on the other stream (continuous
+    call-site resolution against a moving window of fresh definitions).
+
+    Both sides carry event-time watermarks AND the join condition
+    bounds def_time to a range around call_time, which is what lets
+    Spark EXPIRE buffered state: a def row is dropped once the call
+    side's watermark passes def_time + lag, and vice versa — without
+    the time-range condition the join state grows without bound
+    (state-cleanup contract of stream-stream joins). Inner joins emit
+    eagerly on match, so results appear in the micro-batch where the
+    second side arrives."""
+    from .. import pipeline as P
+
+    def _side(src_dir: str, kind: str, repo_c: str, name_c: str,
+              time_c: str) -> DataFrame:
+        src = (
+            spark.readStream.schema(SOURCE_SCHEMA)
+            .parquet(src_dir)
+            .withColumn("content_sha256", F.sha2(F.col("content"), 256))
+        )
+        segs = P.segments_of(src, passthrough=("ingested_at",))
+        m = P.mentions_of(segs, passthrough=("ingested_at",))
+        return (m.filter(F.col("mention_kind") == kind)
+                .select(F.col("repo").alias(repo_c),
+                        F.col("mention_text").alias(name_c),
+                        F.col("ingested_at").alias(time_c))
+                .withWatermark(time_c, watermark))
+
+    defs = _side(defs_dir, "def", "repo", "name", "def_time")
+    calls = _side(calls_dir, "call", "c_repo", "c_name", "call_time")
+    lag = f"INTERVAL {int(lag_minutes)} MINUTES"
+    cond = ((F.col("repo") == F.col("c_repo"))
+            & (F.col("name") == F.col("c_name"))
+            & (F.col("def_time") >= F.expr(f"call_time - {lag}"))
+            & (F.col("def_time") <= F.expr(f"call_time + {lag}")))
+    return (defs.join(calls, cond, "inner")
+            .select("repo", "name", "def_time", "call_time"))
+
+
 def _keepmax_rowlocal(ment: DataFrame) -> DataFrame:
     """(subj, obj) keep-max dedup without shuffle or state.
 

@@ -325,3 +325,48 @@ def test_stream_triples_catalog_sink_exactly_once(spark, tmp_path,
     # incremental consumers see exactly the new batch
     assert (cat.changes("g.triples", since=snaps1[-1]).count()
             == cat.read_at("g.triples").count() - n1)
+
+
+def test_stream_stream_join_matches_and_redrains_idempotently(
+        spark, tmp_path):
+    """stream_mention_joins: call sites resolve to definitions of the
+    same (repo, name) within the event-time lag; a second checkpointed
+    drain with no new data emits nothing (join state + offsets are in
+    the checkpoint, not recomputed)."""
+    import pandas as pd
+
+    rows = []
+    for i, (repo, lag_min) in enumerate(
+            [("r1", 0), ("r1", 2), ("r1", 3), ("r2", 1)]):
+        name = "fn%d" % i
+        t0 = pd.Timestamp("2026-01-01 00:00:00")
+        rows.append({"repo": repo, "path": "d%d.py" % i, "commit": "0" * 40,
+                     "lang": "python",
+                     "content": "def %s(x):\n    return x\n" % name,
+                     "ingested_at": t0})
+        rows.append({"repo": repo, "path": "c%d.py" % i, "commit": "0" * 40,
+                     "lang": "python",
+                     "content": "def use%d(y):\n    return %s(y)\n"
+                                % (i, name),
+                     "ingested_at": t0 + pd.Timedelta(minutes=lag_min)})
+    pdf = pd.DataFrame(rows)
+    defs_dir, calls_dir = str(tmp_path / "defs"), str(tmp_path / "calls")
+    spark.createDataFrame(pdf[pdf.path.str.startswith("d")]).write.parquet(
+        defs_dir)
+    spark.createDataFrame(pdf[pdf.path.str.startswith("c")]).write.parquet(
+        calls_dir)
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+
+    def drain():
+        q = (ingest.stream_mention_joins(spark, defs_dir, calls_dir,
+                                         lag_minutes=2)
+             .writeStream.outputMode("append").format("parquet")
+             .option("path", out).option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return spark.read.parquet(out).collect()
+
+    got = {(r["repo"], r["name"]) for r in drain()}
+    # fn2's call arrives 3 min after its def: outside the ±2 min lag
+    assert got == {("r1", "fn0"), ("r1", "fn1"), ("r2", "fn3")}
+    assert len(drain()) == 3  # re-drain adds nothing
