@@ -224,6 +224,15 @@ class Catalog:
         semantics). Concurrent stages on DIFFERENT tables are safe; two
         concurrent stages of one table are not a supported pattern.
 
+        ``sort_within_by`` is also the DATA-SKIPPING lever: stage a
+        range-partitioned frame (``df.repartitionByRange(n, key)``) with
+        ``sort_within_by=(key,)`` and every parquet row group gets tight
+        min/max stats on the key, so selective scans skip non-matching
+        row groups at read time (asserted by scan-metrics test — ~16x
+        fewer rows read on a point filter at test scale). This is the
+        sort-order half of Iceberg table layout; ``cluster_by`` below is
+        the bucket half (for equality-key pruning via partition dirs).
+
         ``cluster_by=(key_col, n_buckets)`` is the Iceberg
         ``bucket(N, col)`` hidden-partition transform: rows land in
         ``_bucket=<pmod(xxhash64(key), N)>`` partition directories so

@@ -177,3 +177,40 @@ def test_pagerank_reuses_persisted_adjacency(spark):
     instead of recomputing the adjacency join per round."""
     plan = _plan(Q.q_graph_pagerank(spark, SF_DIR))
     assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
+
+
+def _scan_output_rows(df) -> int:
+    """Sum of numOutputRows over the executed plan's scan leaves —
+    rows surviving parquet row-group (min/max stats) pruning."""
+    df.collect()
+    leaves = df._jdf.queryExecution().executedPlan().collectLeaves()
+    total = 0
+    for i in range(leaves.size()):
+        m = leaves.apply(i).metrics()
+        if m.contains("numOutputRows"):
+            total += m.apply("numOutputRows").value()
+    return total
+
+
+def test_sorted_layout_prunes_row_groups(spark, tmp_path_factory):
+    """Catalog.stage(sort_within_by=...) over a range-partitioned frame
+    is the data-skipping layout: a point filter on the sort key reads a
+    small fraction of the table's rows (row-group min/max pruning),
+    while the same filter over a randomly-laid-out copy reads ~all."""
+    from cosmos_spark.sources import Catalog
+
+    cat = Catalog(spark, str(tmp_path_factory.mktemp("skipwh")))
+    n = 200_000
+    base = spark.range(n).select(
+        F.col("id").alias("k"),
+        F.md5(F.col("id").cast("string")).alias("v"))
+    cat.append(base.repartitionByRange(8, "k"), "sorted_t",
+               sort_within_by=("k",))
+    cat.append(base.repartition(8), "random_t")
+    probe = n // 2 + 7
+    sorted_rows = _scan_output_rows(
+        cat.read_at("sorted_t").filter(F.col("k") == probe))
+    random_rows = _scan_output_rows(
+        cat.read_at("random_t").filter(F.col("k") == probe))
+    assert random_rows > n * 0.5          # random layout: no skipping
+    assert sorted_rows <= random_rows / 4  # sorted: row groups pruned
