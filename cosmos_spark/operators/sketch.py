@@ -219,6 +219,58 @@ def kmv_sketch(df: DataFrame, group_col: str, value_col: str,
     return _finalize(_local(pairs, group_col, k), group_col, k)
 
 
+def _cms_bucket(value, i: int, width: int):
+    """Depth-i count-min bucket of a string column: engine-portable
+    md5-prefix hash of 'i|value', mod width."""
+    h = F.conv(F.substring(
+        F.md5(F.concat(F.lit(f"{i}|"), value)), 1, 15), 16, 10)
+    return F.pmod(h.cast("long"), F.lit(width))
+
+
+def cms_build(df: DataFrame, value_col: str, depth: int = 4,
+              width: int = 1024) -> DataFrame:
+    """Count-min sketch over a string column — the frequency twin of
+    the KMV cardinality sketch: estimate how often any value occurs
+    (heavy hitters, stopword discovery, hot-key detection before a
+    join) without a per-value groupBy whose result is
+    distinct-value-sized. Returns the sketch TABLE (depth, bucket,
+    cnt): at most depth x width rows regardless of input size.
+
+    Shape: each row contributes `depth` (depth, bucket) pairs via one
+    inline array explode; the groupBy's partial aggregation collapses
+    them map-side, so the shuffle carries at most depth x width rows
+    per task — bounded state, exactly the sketch's guarantee. Estimates
+    (`cms_estimate`) are upper bounds: overcounts only, by < total/width
+    w.h.p. per depth row, and taking the min over depth rows drives the
+    error toward the true count."""
+    pairs = df.select(F.explode(F.array(*[
+        F.struct(F.lit(i).alias("depth"),
+                 _cms_bucket(F.col(value_col), i, width).alias("bucket"))
+        for i in range(depth)])).alias("db"))
+    return (pairs.groupBy(F.col("db.depth").alias("depth"),
+                          F.col("db.bucket").alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def cms_estimate(cms: DataFrame, probes: DataFrame, value_col: str,
+                 depth: int = 4, width: int = 1024) -> DataFrame:
+    """Point-frequency estimates for a probe relation against a built
+    sketch: min over depth rows of the probe's bucket counters (0 when
+    a bucket was never touched — values absent from the corpus estimate
+    0 unless they collide everywhere). The sketch side is depth x width
+    rows, so the join broadcasts; the probe side never rescans the
+    corpus."""
+    pb = probes.select(F.col(value_col), F.explode(F.array(*[
+        F.struct(F.lit(i).alias("depth"),
+                 _cms_bucket(F.col(value_col), i, width).alias("bucket"))
+        for i in range(depth)])).alias("db")).select(
+        value_col, "db.depth", "db.bucket")
+    joined = pb.join(F.broadcast(cms), ["depth", "bucket"], "left")
+    return (joined.groupBy(value_col)
+            .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+                 .alias("est_count")))
+
+
 def kmv_pair_overlap(sk: DataFrame, group_col: str, k: int) -> DataFrame:
     """Pairwise set-operation ESTIMATES between finalized KMV sketches
     (theta-sketch style) — how two corpora overlap without ever

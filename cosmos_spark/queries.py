@@ -770,6 +770,51 @@ FROM s
 """
 
 
+_CMS_PROBES = ["scan", "column", "window", "join", "merge", "value",
+               "zzz_absent"]
+
+
+def q_cms_heavy_hitters(spark, sf_dir):
+    """Count-min sketch frequency estimates (operators/sketch.py): the
+    frequency twin of the KMV cardinality sketch — token frequencies
+    from a depth x width counter table (bounded shuffle regardless of
+    corpus size), probed for a fixed token set incl. one absent token
+    (estimates are upper bounds; absent values read 0 unless they
+    collide in every depth row). Hashing and min-over-depth arithmetic
+    are engine-portable, so the oracle reproduces every counter and
+    estimate bit-for-bit."""
+    from .operators import sketch
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.expr(
+        r"regexp_extract_all(lower(text), '\\S+', 0)")).alias("tok"))
+    cms = sketch.cms_build(toks, "tok", depth=4, width=1024)
+    probes = spark.createDataFrame([(p,) for p in _CMS_PROBES], "tok string")
+    return sketch.cms_estimate(cms, probes, "tok", depth=4, width=1024)
+
+
+SQL_CMS_HEAVY_HITTERS = """
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(text), '\\S+')) AS tok
+  FROM documents),
+cms AS (
+  SELECT d.range AS depth,
+         CAST(('0x' || substr(md5(d.range || '|' || tok), 1, 15))::UBIGINT
+              % 1024 AS BIGINT) AS bucket,
+         count(*) AS cnt
+  FROM toks, range(4) d GROUP BY 1, 2),
+probes AS (SELECT unnest(['scan', 'column', 'window', 'join', 'merge',
+                          'value', 'zzz_absent']) AS tok),
+pb AS (
+  SELECT tok, d.range AS depth,
+         CAST(('0x' || substr(md5(d.range || '|' || tok), 1, 15))::UBIGINT
+              % 1024 AS BIGINT) AS bucket
+  FROM probes, range(4) d)
+SELECT pb.tok, min(coalesce(cms.cnt, 0)) AS est_count
+FROM pb LEFT JOIN cms USING (depth, bucket)
+GROUP BY pb.tok
+"""
+
+
 def q_lang_stopword_id(spark, sf_dir):
     """Language-ID heuristic: stopword-hit scoring with deterministic
     fallback (n-gram-heuristic analog). The synthetic docs share one
@@ -1096,6 +1141,7 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "q_winnow_fingerprints": (q_winnow_fingerprints, SQL_WINNOW_FP),
     "q_kmv_distinct": (q_kmv_distinct, SQL_KMV_DISTINCT),
     "q_kmv_set_ops": (q_kmv_set_ops, SQL_KMV_SET_OPS),
+    "q_cms_heavy_hitters": (q_cms_heavy_hitters, SQL_CMS_HEAVY_HITTERS),
     "q_train_split": (q_train_split, SQL_TRAIN_SPLIT),
     "q_decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "q_bm25": (q_bm25, SQL_BM25),
@@ -3023,6 +3069,7 @@ PRIORITY_QUERIES: list[str] = [
     "q_winnow_fingerprints",
     "q_kmv_distinct",
     "q_kmv_set_ops",
+    "q_cms_heavy_hitters",
     "q_bpe_token_count",
     "q_train_split",
     "q_decontaminate",

@@ -714,3 +714,27 @@ def test_kmv_pair_overlap_exact_and_estimator(spark):
     true_j = sh / (2 * n + sh)
     assert abs(r2["jaccard_est"] - true_j) < 4 / (k ** 0.5)
     assert abs(r2["est_union"] - (2 * n + sh)) / (2 * n + sh) < 4 / (k ** 0.5)
+
+
+def test_cms_estimates_upper_bound_and_absent(spark):
+    """Count-min: estimates are >= the true count always, == at low
+    collision load (fixed corpus, deterministic hashing), and an absent
+    value estimates 0 when it misses in at least one depth row."""
+    from cosmos_spark.operators import sketch
+    vals = (["hot"] * 50 + ["warm"] * 7
+            + ["cold-%d" % i for i in range(40)])
+    df = spark.createDataFrame([(v,) for v in vals], "tok string")
+    cms = sketch.cms_build(df, "tok", depth=4, width=256)
+    # sketch table is bounded by depth x width regardless of input
+    assert cms.count() <= 4 * 256
+    probes = spark.createDataFrame(
+        [("hot",), ("warm",), ("cold-3",), ("never",)], "tok string")
+    est = {r["tok"]: r["est_count"]
+           for r in sketch.cms_estimate(cms, probes, "tok",
+                                        depth=4, width=256).collect()}
+    truth = {"hot": 50, "warm": 7, "cold-3": 1, "never": 0}
+    for tok, t in truth.items():
+        assert est[tok] >= t
+    # 47 distinct values in 256 buckets x 4 rows: no full-depth
+    # collision at this fixed seedless hashing -> estimates exact
+    assert est == truth
