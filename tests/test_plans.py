@@ -214,3 +214,32 @@ def test_sorted_layout_prunes_row_groups(spark, tmp_path_factory):
         cat.read_at("random_t").filter(F.col("k") == probe))
     assert random_rows > n * 0.5          # random layout: no skipping
     assert sorted_rows <= random_rows / 4  # sorted: row groups pruned
+
+
+def test_zorder_layout_skips_on_every_key(spark, tmp_path_factory):
+    """Z-order vs single-key sort: the single-key layout prunes only
+    its own column (the other reads 100%); the z-ordered layout prunes
+    BOTH — worst-case scan over the two filters drops ~4x."""
+    from cosmos_spark.sources import Catalog, zorder_key
+
+    cat = Catalog(spark, str(tmp_path_factory.mktemp("zwh")))
+    n = 1 << 20
+    base = spark.range(n).select(
+        (F.col("id") % 1024).alias("k1"),
+        ((F.col("id") / 1024).cast("long") % 1024).alias("k2"))
+    cat.append(base.repartitionByRange(16, "k1"), "k1_t",
+               sort_within_by=("k1",))
+    zb = base.withColumn("_z", zorder_key(("k1", "k2"), bits=10))
+    cat.append(zb.repartitionByRange(16, "_z")
+               .sortWithinPartitions("_z").drop("_z"), "z_t")
+
+    def probe(table, pred):
+        return _scan_output_rows(cat.read_at(table).filter(pred))
+
+    # single-key layout: perfect on k1, blind on k2
+    assert probe("k1_t", "k1 = 555") < n * 0.1
+    assert probe("k1_t", "k2 = 555") > n * 0.9
+    # z-order: both columns prune
+    z1, z2 = probe("z_t", "k1 = 555"), probe("z_t", "k2 = 555")
+    assert z1 < n * 0.5 and z2 < n * 0.5
+    assert max(z1, z2) < 0.5 * probe("k1_t", "k2 = 555")
