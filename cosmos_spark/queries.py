@@ -1648,6 +1648,25 @@ WHERE doc_id % 2 = 0 AND abs((doc_id % 7) - (doc_id % 4)) <= 2
 """
 
 
+def q_sql_surface(spark, sf_dir):
+    """The pure-SQL consumer route end-to-end: the pipeline's triples
+    as a temp view + the engine's scalar kernels registered as
+    Arrow-vectorized SQL functions (sqlapi.py), queried with one
+    spark.sql statement — kg_defuzz strips the planted _v2 suffix and
+    kg_entity_id reproduces the entity-id derivation, both value-exact
+    under the DuckDB oracle."""
+    from . import sqlapi
+    run = _linking_pipeline(spark, sf_dir)
+    run["triples"].createOrReplaceTempView("kg_triples_view")
+    sqlapi.register_functions(spark)
+    return spark.sql("""
+        SELECT subj, obj,
+               kg_defuzz(concat(obj, '_v2')) AS obj_defuzz,
+               kg_entity_id(obj) AS obj_entity
+        FROM kg_triples_view WHERE pred = 'defines'
+    """)
+
+
 def q_search_bool(spark, sf_dir):
     """§3.3 boolean search tree (`elastic_retriever.py:279-310`): one
     compiled predicate — (value OR data) AND NOT slow AND kind filter —
@@ -1876,6 +1895,20 @@ _SQL_GSEG = ("substr(sha256(source || '|d' || doc_id || '.py|4|5|'"
              " || 'def g' || doc_id || '(y):' || chr(10) || '    return f'"
              " || doc_id || '(y)'), 1, 16)")
 
+
+SQL_SQL_SURFACE = f"""
+SELECT source || '/d' || doc_id || '.py#' || {_SQL_FSEG} AS subj,
+       'f' || doc_id AS obj, 'f' || doc_id AS obj_defuzz,
+       'ent_' || substr(sha256('ent|f' || doc_id), 1, 16) AS obj_entity
+FROM documents
+UNION ALL
+SELECT source || '/d' || doc_id || '.py#' || {_SQL_GSEG} AS subj,
+       'g' || doc_id AS obj, 'g' || doc_id AS obj_defuzz,
+       'ent_' || substr(sha256('ent|g' || doc_id), 1, 16) AS obj_entity
+FROM documents
+"""
+
+
 SQL_KG_DEFINES = f"""
 SELECT source || '/d' || doc_id || '.py#' || {_SQL_FSEG} AS subj,
        'defines' AS pred, 'f' || doc_id AS obj, source AS repo,
@@ -2097,6 +2130,7 @@ QUERIES.update({
     "q_incremental_kg": (q_incremental_kg, SQL_INCREMENTAL_KG),
     "q_merge_upsert": (q_merge_upsert, SQL_MERGE_UPSERT),
     "q_stream_join": (q_stream_join, SQL_STREAM_JOIN),
+    "q_sql_surface": (q_sql_surface, SQL_SQL_SURFACE),
     "q_time_travel": (q_time_travel, SQL_TIME_TRAVEL),
     "q_snapshot_changes": (q_snapshot_changes, SQL_SNAPSHOT_CHANGES),
     "q_stream_triples": (q_stream_triples, SQL_STREAM_TRIPLES),
@@ -3060,6 +3094,7 @@ PRIORITY_QUERIES: list[str] = [
     "q_incremental_kg",
     "q_merge_upsert",
     "q_stream_join",
+    "q_sql_surface",
     "q_time_travel",
     "q_snapshot_changes",
     "q_sessionize",

@@ -377,3 +377,31 @@ def test_schema_evolution_add_and_drop_column(spark, tmp_path_factory):
         [{"k": 3, "lang": "rst"}], "k long, lang string"), "t", on=("k",))
     assert {(r["k"], r["lang"]) for r in cat.read_at("t").collect()} == {
         (1, None), (2, "py"), (3, "rst")}
+
+
+def test_sql_surface_views_and_functions(spark, graph, tmp_path_factory):
+    """sqlapi: graph tables as temp views + vectorized SQL kernels —
+    a SQL-only consumer joins the KG and scores names in one
+    spark.sql statement."""
+    from cosmos_spark import sqlapi
+    from cosmos_spark.pipeline import write_graph
+
+    cat = Catalog(spark, str(tmp_path_factory.mktemp("sqlwh")))
+    write_graph(graph, cat)
+    views = sqlapi.register_graph_views(spark, cat)
+    assert set(views) >= {"kg_triples", "kg_nodes", "kg_documents"}
+    fns = sqlapi.register_functions(spark)
+    assert "kg_trigram_jaccard" in fns
+    row = spark.sql("""
+        SELECT count(*) AS n FROM kg_triples WHERE pred = 'defines'
+    """).collect()[0]
+    assert row["n"] == graph["triples"].filter(
+        F.col("pred") == "defines").count()
+    scored = spark.sql("""
+        SELECT kg_trigram_jaccard('load_config', 'load_config_v2') AS s,
+               kg_alias_norm('loadConfig') AS n,
+               kg_basename('pkg.mod.loadConfig') AS b
+    """).collect()[0]
+    assert 0.5 < scored["s"] < 1.0
+    assert scored["n"] == "load_config"
+    assert scored["b"] == "loadConfig"
