@@ -1,0 +1,47 @@
+"""Deterministic sampling operators for training-data mixtures.
+
+An LLM training set is rarely "all the data": sources are re-weighted
+(oversample curated corpora, downsample crawl), and the sample must be
+REPRODUCIBLE — a re-run over 100 TB has to pick exactly the same rows
+without storing any RNG state, and adding/removing other rows must not
+flip a given row's fate (stability under corpus growth; seeded
+`df.sample` gives neither guarantee since it is partitioning-
+dependent). Hash-threshold Bernoulli gives both: a row is kept iff
+h(id) < weight * 2^60, where h is the engine-portable md5-prefix hash
+(plans/lineage.py trick) — a pure per-row function, so the sample is a
+deterministic subset ANY engine reproduces (DuckDB oracle,
+q_training_mix), and per-row weights express the whole mixture policy
+as a column.
+
+Scale shape: one row-local filter — no shuffle, no state, pushed
+wherever the scan is.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+# 15 hex md5 chars = 60 bits, positive in both Spark BIGINT and DuckDB.
+_HASH_SPACE = float(2**60)
+
+
+def sample_hash(id_col, salt: str = "mix") -> Column:
+    """The sampling hash as a fraction in [0, 1): deterministic,
+    engine-portable, independent per salt (two different salts give
+    independent samples of the same rows — e.g. a sampling decision
+    and a train/valid assignment that must not correlate)."""
+    h = F.conv(F.substring(F.md5(F.concat(
+        F.lit(salt + "|"), F.col(id_col).cast("string"))), 1, 15), 16, 10)
+    return h.cast("long").cast("double") / F.lit(_HASH_SPACE)
+
+
+def mixture_sample(df: DataFrame, id_col: str, weight_col,
+                   salt: str = "mix") -> DataFrame:
+    """Keep each row with probability = its weight (a column or column
+    name; >= 1.0 keeps always, 0 drops always). The weight column IS
+    the mixture policy — derive it from source/quality/language however
+    the recipe demands; this operator only guarantees the keep decision
+    is deterministic, engine-portable, and stable under corpus growth."""
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    return df.where(sample_hash(id_col, salt) < w)

@@ -770,6 +770,55 @@ FROM s
 """
 
 
+def q_training_mix(spark, sf_dir):
+    """The capstone training-data recipe, end to end in one plan:
+    language gate (stopword heuristic) -> quality gate (min tokens) ->
+    exact dedup (keep lowest doc_id per content hash) -> deterministic
+    weighted mixture sampling (sources 0-9 kept at 1.0, the rest
+    downsampled to 0.25 via hash-threshold Bernoulli,
+    operators/sampling.py) -> per-source doc/token accounting. Every
+    step is a pure function of the data, so the whole recipe is
+    value-exact under the DuckDB oracle — including which individual
+    documents the sampler kept."""
+    from .operators import sampling
+    docs = _t(spark, sf_dir, "documents")
+    toks = r"regexp_extract_all(lower(text), '\\S+', 0)"
+    en_hits = f"size(filter({toks}, x -> x in ('the', 'a', 'of', 'and')))"
+    base = (docs.where(F.expr(f"{en_hits} > 0"))
+            .where(F.expr(f"size({toks}) >= 20")))
+    keep = (base.groupBy(F.md5("text").alias("h"))
+            .agg(F.min("doc_id").alias("doc_id")))
+    dd = base.join(keep.select("doc_id"), "doc_id", "left_semi")
+    weight = (F.when(F.expr("cast(substring(source, 4, 8) as int)") < 10,
+                     F.lit(1.0)).otherwise(F.lit(0.25)))
+    sampled = sampling.mixture_sample(dd.withColumn("w", weight),
+                                      "doc_id", "w")
+    return (sampled.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.expr(f"size({toks})")).alias("n_tokens")))
+
+
+SQL_TRAINING_MIX = """
+WITH t AS (SELECT doc_id, source, text,
+                  regexp_extract_all(lower(text), '\\S+') AS toks
+           FROM documents),
+base AS (SELECT * FROM t
+         WHERE len(list_filter(toks,
+                   x -> x IN ('the', 'a', 'of', 'and'))) > 0
+           AND len(toks) >= 20),
+dd AS (SELECT * FROM base
+       WHERE doc_id IN (SELECT min(doc_id) FROM base GROUP BY md5(text))),
+s AS (SELECT * FROM dd
+      WHERE CAST(('0x' || substr(md5('mix|' || doc_id), 1, 15))::UBIGINT
+                 AS DOUBLE) / 1152921504606846976.0
+            < CAST(CASE WHEN CAST(substr(source, 4) AS INT) < 10
+                        THEN 1.0 ELSE 0.25 END AS DOUBLE))
+SELECT source, count(*) AS n_docs,
+       CAST(sum(len(toks)) AS BIGINT) AS n_tokens
+FROM s GROUP BY source
+"""
+
+
 _CMS_PROBES = ["scan", "column", "window", "join", "merge", "value",
                "zzz_absent"]
 
@@ -1142,6 +1191,7 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "q_kmv_distinct": (q_kmv_distinct, SQL_KMV_DISTINCT),
     "q_kmv_set_ops": (q_kmv_set_ops, SQL_KMV_SET_OPS),
     "q_cms_heavy_hitters": (q_cms_heavy_hitters, SQL_CMS_HEAVY_HITTERS),
+    "q_training_mix": (q_training_mix, SQL_TRAINING_MIX),
     "q_train_split": (q_train_split, SQL_TRAIN_SPLIT),
     "q_decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "q_bm25": (q_bm25, SQL_BM25),
@@ -3105,6 +3155,7 @@ PRIORITY_QUERIES: list[str] = [
     "q_kmv_distinct",
     "q_kmv_set_ops",
     "q_cms_heavy_hitters",
+    "q_training_mix",
     "q_bpe_token_count",
     "q_train_split",
     "q_decontaminate",

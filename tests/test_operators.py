@@ -738,3 +738,37 @@ def test_cms_estimates_upper_bound_and_absent(spark):
     # 47 distinct values in 256 buckets x 4 rows: no full-depth
     # collision at this fixed seedless hashing -> estimates exact
     assert est == truth
+
+
+def test_mixture_sample_deterministic_stable_and_calibrated(spark):
+    """Hash-threshold sampling: per-row decisions are a pure function
+    of (salt, id) — identical across runs/partitionings and unchanged
+    when the corpus grows; rates calibrate to the weights; different
+    salts give independent decisions."""
+    from cosmos_spark.operators import sampling
+    n = 20_000
+    df = spark.range(n).select(F.col("id"),
+                               F.lit(0.3).alias("w"))
+    kept1 = {r["id"] for r in
+             sampling.mixture_sample(df, "id", "w").collect()}
+    kept2 = {r["id"] for r in
+             sampling.mixture_sample(df.repartition(13), "id", "w")
+             .collect()}
+    assert kept1 == kept2                       # partition-invariant
+    small = df.where(F.col("id") < 5000)
+    kept_small = {r["id"] for r in
+                  sampling.mixture_sample(small, "id", "w").collect()}
+    assert kept_small == {i for i in kept1 if i < 5000}  # growth-stable
+    assert abs(len(kept1) / n - 0.3) < 0.02              # calibrated
+    # weight extremes
+    allk = sampling.mixture_sample(
+        df.withColumn("w", F.lit(1.0)), "id", "w").count()
+    none = sampling.mixture_sample(
+        df.withColumn("w", F.lit(0.0)), "id", "w").count()
+    assert (allk, none) == (n, 0)
+    # salt independence: overlap of two 30% samples ~ 9%, not 30%
+    kept_b = {r["id"] for r in
+              sampling.mixture_sample(df, "id", "w", salt="other")
+              .collect()}
+    overlap = len(kept1 & kept_b) / n
+    assert abs(overlap - 0.09) < 0.02
