@@ -1,0 +1,103 @@
+"""Distributed BPE tokenizer TRAINING (the merge-table learner).
+
+`q_bpe_token_count` estimates tokenizer cost with a GPT-2-style
+pretokenizer; this module learns the merge table itself — the other
+half of bringing up a tokenizer on a new corpus, and an operation a
+training-data pipeline owns because it must run over the full corpus.
+
+Scale shape (why this survives 100 TB):
+
+- the corpus collapses FIRST: training operates on the word-frequency
+  dim (`word_freq_table`: pretokenize -> explode -> count, one
+  map-side-combined shuffle). 100 TB of text is tens of millions of
+  distinct pretokens, not trillions of rows — every later step is
+  dim-sized, never corpus-sized.
+- each merge round is: adjacent-pair explode over the dim -> one
+  combiner-friendly groupBy -> a LIMIT-1 argmax collect (the single
+  winning pair is the only thing the driver sees) -> one narrow Arrow
+  kernel rewriting symbol arrays. The dim is localCheckpoint-ed per
+  round so the iteration's plan stays flat (same lineage-cut rule as
+  the CC loop in operators/graph.py).
+- sequential rounds match the REFERENCE BPE semantics exactly
+  (greedy left-to-right, one merge per round, deterministic
+  (freq desc, left, right) tie-break — pinned against an independent
+  driver-side reference implementation in pytest). Production trainers
+  batch non-overlapping merges per pass to cut rounds; the semantics
+  pinned here are the ground truth such batching must preserve.
+
+No SQL oracle: the K-round argmax loop is not expressible as one
+DuckDB statement, so `q_bpe_train` is a rows-only driver check — the
+value gate is the pytest parity against the reference implementation.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+#: GPT-2-style pretokenizer (shared shape with queries._BPE_PAT).
+DEFAULT_PATTERN = (r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+"
+                   r"| ?[^\sA-Za-z0-9]+|\s+")
+
+_PAIRS = ("case when size(syms) >= 2 then "
+          "transform(sequence(1, size(syms) - 1), "
+          "i -> struct(syms[i - 1] as l, syms[i] as r)) "
+          "else array() end")
+
+
+def word_freq_table(df: DataFrame, text_col: str,
+                    pattern: str = DEFAULT_PATTERN) -> DataFrame:
+    """(word, freq) pretoken frequency dim — the corpus collapse."""
+    toks = F.regexp_extract_all(text_col, F.lit(pattern), 0)
+    return (df.select(F.explode(toks).alias("word"))
+            .groupBy("word").agg(F.count(F.lit(1)).alias("freq")))
+
+
+def _merge_round(l: str, r: str):
+    """Arrow kernel: greedy left-to-right merge of adjacent (l, r)."""
+    lr = l + r
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def fn(syms: pd.Series) -> pd.Series:
+        out = []
+        for arr in syms:
+            a = list(arr)
+            res, i, n = [], 0, len(a)
+            while i < n:
+                if i < n - 1 and a[i] == l and a[i + 1] == r:
+                    res.append(lr)
+                    i += 2
+                else:
+                    res.append(a[i])
+                    i += 1
+            out.append(res)
+        return pd.Series(out, index=syms.index)
+
+    return fn
+
+
+def train_bpe(spark: SparkSession, df: DataFrame, text_col: str,
+              num_merges: int = 16,
+              pattern: str = DEFAULT_PATTERN) -> DataFrame:
+    """Learn the first ``num_merges`` BPE merges from a text column.
+    Returns DataFrame[rank int, left string, right string, freq long] —
+    the merge table in learned order."""
+    words = word_freq_table(df, text_col, pattern)
+    cur = (words.select("freq", F.split("word", "").alias("syms"))
+           .localCheckpoint())
+    merges: list[tuple] = []
+    for rank in range(num_merges):
+        best = (cur.select("freq", F.explode(F.expr(_PAIRS)).alias("p"))
+                .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+                .agg(F.sum("freq").alias("cnt"))
+                .orderBy(F.desc("cnt"), "l", "r").limit(1).collect())
+        if not best:
+            break
+        l, r, cnt = best[0]["l"], best[0]["r"], best[0]["cnt"]
+        merges.append((rank, l, r, int(cnt)))
+        cur = (cur.withColumn("syms", _merge_round(l, r)(F.col("syms")))
+               .localCheckpoint())
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, freq long")

@@ -819,6 +819,19 @@ FROM s GROUP BY source
 """
 
 
+def q_bpe_train(spark, sf_dir):
+    """BPE tokenizer training (operators/bpe.py): learn the first 10
+    merges from the documents corpus. The corpus collapses to the
+    word-frequency dim first; each round is one combiner-friendly pair
+    count + a LIMIT-1 argmax + one narrow Arrow rewrite. Rows-only at
+    the driver (the K-round argmax loop is not one SQL statement); the
+    value gate is pytest parity against an independent driver-side
+    reference implementation."""
+    from .operators import bpe
+    docs = _t(spark, sf_dir, "documents")
+    return bpe.train_bpe(spark, docs, "text", num_merges=10)
+
+
 _CMS_PROBES = ["scan", "column", "window", "join", "merge", "value",
                "zzz_absent"]
 
@@ -1192,6 +1205,7 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "q_kmv_set_ops": (q_kmv_set_ops, SQL_KMV_SET_OPS),
     "q_cms_heavy_hitters": (q_cms_heavy_hitters, SQL_CMS_HEAVY_HITTERS),
     "q_training_mix": (q_training_mix, SQL_TRAINING_MIX),
+    "q_bpe_train": (q_bpe_train, None),
     "q_train_split": (q_train_split, SQL_TRAIN_SPLIT),
     "q_decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "q_bm25": (q_bm25, SQL_BM25),
@@ -3156,6 +3170,7 @@ PRIORITY_QUERIES: list[str] = [
     "q_kmv_set_ops",
     "q_cms_heavy_hitters",
     "q_training_mix",
+    "q_bpe_train",
     "q_bpe_token_count",
     "q_train_split",
     "q_decontaminate",

@@ -772,3 +772,50 @@ def test_mixture_sample_deterministic_stable_and_calibrated(spark):
               .collect()}
     overlap = len(kept1 & kept_b) / n
     assert abs(overlap - 0.09) < 0.02
+
+
+def test_bpe_training_matches_reference(spark):
+    """train_bpe == an independent driver-side reference implementation
+    (own counter loop, no shared code) on the same corpus — merge order,
+    pair identities, and frequencies all equal."""
+    import re
+    from collections import Counter
+
+    from cosmos_spark.operators import bpe
+
+    texts = ["the cat sat on the mat", "the cats sat", "a mat, a cat!",
+             "concatenate the category"] * 3
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [(r["rank"], r["left"], r["right"], r["freq"])
+           for r in bpe.train_bpe(spark, df, "text", num_merges=8)
+           .orderBy("rank").collect()]
+
+    # reference: plain python BPE over the same pretokens
+    freqs = Counter()
+    for t in texts:
+        for w in re.findall(bpe.DEFAULT_PATTERN, t):
+            freqs[w] += 1
+    words = {w: list(w) for w in freqs}
+    exp = []
+    for rank in range(8):
+        pc = Counter()
+        for w, syms in words.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += freqs[w]
+        if not pc:
+            break
+        (l, r), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        exp.append((rank, l, r, cnt))
+        for w, syms in words.items():
+            res, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == l and syms[i + 1] == r:
+                    res.append(l + r)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            words[w] = res
+    assert got == exp
+    # learned merges are nontrivial multi-char units by the later ranks
+    assert any(len(l + r) >= 3 for _, l, r, _ in got)
