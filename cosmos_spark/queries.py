@@ -770,6 +770,62 @@ FROM s
 """
 
 
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IPV4 = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+_PII_HEXKEY = r"\b[0-9a-f]{32,}\b"
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII scrubbing — the redaction pass a training corpus gets before
+    anything else: emails, IPv4 addresses, and long hex secrets
+    replaced by typed placeholder tags, with per-doc hit counts for
+    audit. Patterns are RE2-safe (no lookaround) so redaction is pure
+    JVM regexp_replace AND bit-identical under the DuckDB oracle. The
+    synthetic docs carry no PII, so deterministic PII is planted per
+    doc first — the oracle must reproduce plant + scrub exactly."""
+    docs = _t(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.col("text"), F.lit(" contact u"), F.col("doc_id"),
+        F.lit("@example.com from 10.0."),
+        (F.col("doc_id") % 256).cast("string"), F.lit("."),
+        ((F.col("doc_id") * 7) % 256).cast("string"),
+        F.lit(" token "), F.md5(F.col("doc_id").cast("string")))
+    scrubbed = planted
+    for pat, tag in ((_PII_EMAIL, "<EMAIL>"), (_PII_IPV4, "<IP>"),
+                     (_PII_HEXKEY, "<KEY>")):
+        scrubbed = F.regexp_replace(scrubbed, pat, tag)
+    n = lambda pat: F.size(F.regexp_extract_all(planted, F.lit(pat), 0))
+    return docs.select(
+        "doc_id", scrubbed.alias("clean_text"),
+        n(_PII_EMAIL).cast("bigint").alias("n_emails"),
+        n(_PII_IPV4).cast("bigint").alias("n_ips"),
+        n(_PII_HEXKEY).cast("bigint").alias("n_keys"))
+
+
+SQL_PII_SCRUB = r"""
+WITH planted AS (
+  SELECT doc_id,
+         text || ' contact u' || doc_id || '@example.com from 10.0.'
+              || (doc_id % 256) || '.' || ((doc_id * 7) % 256)
+              || ' token ' || md5(CAST(doc_id AS VARCHAR)) AS t
+  FROM documents)
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(t,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>',
+           'g'),
+           '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+           '\b[0-9a-f]{32,}\b', '<KEY>', 'g') AS clean_text,
+       CAST(len(regexp_extract_all(t,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+         AS n_emails,
+       CAST(len(regexp_extract_all(t,
+           '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ips,
+       CAST(len(regexp_extract_all(t,
+           '\b[0-9a-f]{32,}\b')) AS BIGINT) AS n_keys
+FROM planted
+"""
+
+
 def q_training_mix(spark, sf_dir):
     """The capstone training-data recipe, end to end in one plan:
     language gate (stopword heuristic) -> quality gate (min tokens) ->
@@ -1205,6 +1261,7 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "q_kmv_set_ops": (q_kmv_set_ops, SQL_KMV_SET_OPS),
     "q_cms_heavy_hitters": (q_cms_heavy_hitters, SQL_CMS_HEAVY_HITTERS),
     "q_training_mix": (q_training_mix, SQL_TRAINING_MIX),
+    "q_pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
     "q_bpe_train": (q_bpe_train, None),
     "q_train_split": (q_train_split, SQL_TRAIN_SPLIT),
     "q_decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
@@ -3170,6 +3227,7 @@ PRIORITY_QUERIES: list[str] = [
     "q_kmv_set_ops",
     "q_cms_heavy_hitters",
     "q_training_mix",
+    "q_pii_scrub",
     "q_bpe_train",
     "q_bpe_token_count",
     "q_train_split",

@@ -243,3 +243,36 @@ def test_zorder_layout_skips_on_every_key(spark, tmp_path_factory):
     z1, z2 = probe("z_t", "k1 = 555"), probe("z_t", "k2 = 555")
     assert z1 < n * 0.5 and z2 < n * 0.5
     assert max(z1, z2) < 0.5 * probe("k1_t", "k2 = 555")
+
+
+def test_sketch_aggs_partial_before_shuffle(spark):
+    """Sketch shuffles carry pre-aggregated state: both the CMS counter
+    groupBy and the KMV merge groupBy plan a partial HashAggregate /
+    ObjectHashAggregate BELOW the exchange, so the wire sees sketch-
+    sized rows, not the value stream."""
+    from cosmos_spark.operators import sketch
+
+    df = spark.range(1000).select(
+        F.col("id").cast("string").alias("tok"),
+        (F.col("id") % 3).cast("string").alias("grp"))
+    import re
+
+    def nodes(plan, name):
+        return len(re.findall(r"\(\d+\) " + name + r"\b", plan))
+
+    cms_plan = spark._sc._jvm.PythonSQLUtils.explainString(
+        sketch.cms_build(df, "tok", depth=2, width=64)
+        ._jdf.queryExecution(), "formatted")
+    # two HashAggregates (partial + final) around one Exchange
+    assert nodes(cms_plan, "HashAggregate") == 2
+    assert nodes(cms_plan, "Exchange") == 1
+    assert "partial_count" in cms_plan
+
+    kmv_plan = spark._sc._jvm.PythonSQLUtils.explainString(
+        sketch.kmv_sketch(df, "grp", "tok", k=8)
+        ._jdf.queryExecution(), "formatted")
+    # collect_list merge is an ObjectHashAggregate pair; the only
+    # exchange moves k-bounded arrays (post-mapInPandas local sketches)
+    assert nodes(kmv_plan, "ObjectHashAggregate") == 2
+    assert nodes(kmv_plan, "Exchange") == 1
+    assert "partial_collect_list" in kmv_plan
