@@ -187,6 +187,38 @@ def _repo_spec(n_repos: int, files_per_repo: int,
     ]
 
 
+def corpus_index_space(n_repos: int, files_per_repo: int,
+                       skew_factor: int, include_edges: bool):
+    """THE global file-index space: (bounds, n_files, total) where
+    bounds = [(start, end, repo)] over generated files and the planted
+    edge-case rows occupy the tail indices [n_files, total). One
+    definition shared by :func:`make_corpus_spark` and the
+    ``cosmos_corpus`` DataSource (sources/corpus_source.py) so their
+    rows can never drift apart."""
+    bounds, off = [], 0
+    for repo, n in _repo_spec(n_repos, files_per_repo, skew_factor):
+        bounds.append((off, off + n, repo))
+        off += n
+    n_edges = len(_edge_rows()) if include_edges else 0
+    return bounds, off, off + n_edges
+
+
+def corpus_row_at(seed: int, bounds, starts, n_files: int, edges,
+                  gidx: int) -> dict:
+    """The row at global index ``gidx`` (sha stamped) — pure function
+    of (seed, index); ``starts``/``edges`` are precomputed by the
+    caller (``[b[0] for b in bounds]`` / ``_edge_rows()``)."""
+    import bisect
+    if gidx >= n_files:
+        row = dict(edges[gidx - n_files])
+    else:
+        i = bisect.bisect_right(starts, gidx) - 1
+        lo, _hi, repo = bounds[i]
+        row = _file_row(seed, repo, int(gidx) - lo)
+    row.setdefault("content_sha256", _sha(row["content"]))
+    return row
+
+
 def make_corpus(
     n_repos: int = 10,
     files_per_repo: int = 20,
@@ -240,16 +272,10 @@ def make_corpus_spark(
     ])
 
     def gen(it):
-        import bisect
         starts = [b[0] for b in bounds]
         for pdf in it:
-            rows = []
-            for gidx in pdf["id"]:
-                i = bisect.bisect_right(starts, gidx) - 1
-                start, _end, repo = bounds[i]
-                row = _file_row(seed, repo, int(gidx) - start)
-                row["content_sha256"] = _sha(row["content"])
-                rows.append(row)
+            rows = [corpus_row_at(seed, bounds, starts, total, [], gidx)
+                    for gidx in pdf["id"]]
             yield pd.DataFrame(rows, columns=schema.fieldNames())
 
     nparts = partitions or max(spark.sparkContext.defaultParallelism * 2, 8)

@@ -37,7 +37,9 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-#: GPT-2-style pretokenizer (shared shape with queries._BPE_PAT).
+#: GPT-2-style pretokenizer — THE engine pretokenizer: queries.py
+#: imports this as _BPE_PAT so counting and training share one
+#: token universe.
 DEFAULT_PATTERN = (r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+"
                    r"| ?[^\sA-Za-z0-9]+|\s+")
 

@@ -22,18 +22,16 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
-# 15 hex md5 chars = 60 bits, positive in both Spark BIGINT and DuckDB.
-_HASH_SPACE = float(2**60)
+from ..portable_hash import HASH_SPACE, hash60
 
 
 def sample_hash(id_col, salt: str = "mix") -> Column:
     """The sampling hash as a fraction in [0, 1): deterministic,
-    engine-portable, independent per salt (two different salts give
-    independent samples of the same rows — e.g. a sampling decision
-    and a train/valid assignment that must not correlate)."""
-    h = F.conv(F.substring(F.md5(F.concat(
-        F.lit(salt + "|"), F.col(id_col).cast("string"))), 1, 15), 16, 10)
-    return h.cast("long").cast("double") / F.lit(_HASH_SPACE)
+    engine-portable (portable_hash.hash60), independent per salt (two
+    different salts give independent samples of the same rows — e.g. a
+    sampling decision and a train/valid assignment that must not
+    correlate)."""
+    return hash60(id_col, salt=salt).cast("double") / F.lit(HASH_SPACE)
 
 
 def mixture_sample(df: DataFrame, id_col: str, weight_col,

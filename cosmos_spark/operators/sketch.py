@@ -13,11 +13,12 @@ one of the operations a training-data pipeline needs beyond it.
 
 Shape (the reason it survives 100 TB) — three levels, each bounded:
 
-1. row-local (JVM): when values arrive as an array column
-   (`kmv_sketch_arrays`, the fast path), each row reduces to its own
-   <= k-hash sketch entirely inside whole-stage codegen
-   (transform/md5/array_sort/slice HOFs) — the value stream never
-   leaves the JVM;
+1. row-local: when values arrive as an array column
+   (`kmv_sketch_arrays`) or raw text (`kmv_sketch_ngrams`), each row
+   reduces to its own <= k-hash sketch inside one batched Arrow kernel
+   (one md5 per DISTINCT value; SQL HOF lambdas measured ~2x slower —
+   interpreted per element) — the value stream never reaches a
+   shuffle;
 2. partition-local (Arrow): a mapInPandas pass merges the row sketches
    per group present in the partition (numpy union-truncate; state =
    groups-in-partition x k longs, no per-row Python);
@@ -42,12 +43,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
-# 15 hex chars = 60 bits: always fits a positive signed long in Spark
-# AND a BIGINT in DuckDB, so unsigned/signed ordering games never arise.
-HASH_BITS = 60
-HASH_SPACE = float(2**HASH_BITS)
-
-_HASH_ONE = "cast(conv(substring(md5({v}), 1, 15), 16, 10) as bigint)"
+from ..portable_hash import HASH_SPACE, hash60, hash60_py
 
 
 def _merge_kmin(k: int, grp_field: str):
@@ -124,8 +120,6 @@ def kmv_sketch_arrays(df: DataFrame, group_col: str, values_col: str,
     est_distinct double); estimate = exact count while the sketch is
     not full, else (k-1) * 2^60 / h_k. Null array elements are skipped
     (SQL COUNT(DISTINCT) semantics)."""
-    import hashlib
-
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def _row_kmv(vals: pd.Series) -> pd.Series:
         out: list[list[int]] = []
@@ -137,10 +131,8 @@ def kmv_sketch_arrays(df: DataFrame, group_col: str, values_col: str,
             if not uniq:
                 out.append([])
                 continue
-            # first 15 hex chars of md5 = top 60 bits of the digest
             hs = np.fromiter(
-                (int.from_bytes(hashlib.md5(v.encode()).digest()[:8],
-                                "big") >> 4 for v in uniq),
+                (hash60_py(v) for v in uniq),
                 dtype=np.int64, count=len(uniq))
             # distinct-HASH semantics (two values may collide in 60 bits)
             hs = np.unique(hs)
@@ -163,7 +155,6 @@ def kmv_sketch_ngrams(df: DataFrame, group_col: str, text_col: str,
     non-null strings. This is the shape to use for corpus vocabulary
     statistics; `kmv_sketch`/`kmv_sketch_arrays` are the generic
     building blocks."""
-    import hashlib
     import re
 
     tags = {"uni": 1, "bi": 2} if ns is None else ns
@@ -182,9 +173,7 @@ def kmv_sketch_ngrams(df: DataFrame, group_col: str, text_col: str,
                         continue
                     uniq = set(grams)
                     hs = np.fromiter(
-                        (int.from_bytes(
-                            hashlib.md5(v.encode()).digest()[:8],
-                            "big") >> 4 for v in uniq),
+                        (hash60_py(v) for v in uniq),
                         dtype=np.int64, count=len(uniq))
                     hs = np.unique(hs)[:k]
                     key = "%s|%s" % (g, tag)
@@ -212,19 +201,16 @@ def kmv_sketch(df: DataFrame, group_col: str, value_col: str,
     Same result as `kmv_sketch_arrays` on the grouped-up values (pinned
     by test); prefer the array form when values naturally arrive as
     per-row arrays — it keeps the value stream out of Python."""
-    h = F.expr(_HASH_ONE.format(v=value_col))
     pairs = (df.select(F.col(group_col),
-                       F.array(h).alias("kmv"))
+                       F.array(hash60(value_col)).alias("kmv"))
              .where(F.element_at("kmv", 1).isNotNull()))
     return _finalize(_local(pairs, group_col, k), group_col, k)
 
 
 def _cms_bucket(value, i: int, width: int):
     """Depth-i count-min bucket of a string column: engine-portable
-    md5-prefix hash of 'i|value', mod width."""
-    h = F.conv(F.substring(
-        F.md5(F.concat(F.lit(f"{i}|"), value)), 1, 15), 16, 10)
-    return F.pmod(h.cast("long"), F.lit(width))
+    60-bit hash of 'i|value' (portable_hash.hash60), mod width."""
+    return F.pmod(hash60(value, salt=str(i)), F.lit(width))
 
 
 def cms_build(df: DataFrame, value_col: str, depth: int = 4,

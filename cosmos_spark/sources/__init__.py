@@ -1,1 +1,1 @@
-from .catalog import Catalog, zorder_key  # noqa: F401
+from .catalog import Catalog, CommitConflict, zorder_key  # noqa: F401

@@ -25,6 +25,7 @@ from pyspark.sql.functions import col as F_col
 from pyspark.sql.functions import lit as F_lit
 from pyspark.sql.functions import shiftleft as F_shiftleft
 from pyspark.sql.functions import shiftright as F_shiftright
+from pyspark.sql.functions import when as F_when
 
 
 class CommitConflict(RuntimeError):
@@ -55,7 +56,7 @@ def _iceberg_available(spark: SparkSession) -> bool:
         return False
 
 
-def zorder_key(cols, bits: int = 16):
+def zorder_key(cols, bits: int = 16, check: bool = True):
     """Interleaved-bit (Morton / Z-order) sort key over non-negative
     integer columns already scaled into ``[0, 2^bits)`` — the
     Delta ``OPTIMIZE ZORDER BY`` analog for multi-column data skipping:
@@ -71,13 +72,27 @@ def zorder_key(cols, bits: int = 16):
     on the non-sort column reads 100% of a single-key layout vs ~17%
     of the z-ordered one; the sort column degrades 2% -> ~24% — the
     z-order trade). Pure bit arithmetic in whole-stage codegen:
-    bits x n_cols shift/and/add terms, no UDF."""
+    bits x n_cols shift/and/add terms, no UDF.
+
+    ``check`` (default on) makes out-of-range values FAIL the write
+    instead of silently interleaving only the low bits — a value
+    >= 2^bits would otherwise collide with its low-bits twin and the
+    layout would degrade to no pruning on that column with nothing
+    recording why."""
+    from pyspark.sql.functions import concat as F_concat
+    from pyspark.sql.functions import raise_error as F_raise
+
     key = F_lit(0).cast("long")
     n = len(cols)
     for i in range(bits):
         for j, c in enumerate(cols):
-            bit = F_shiftright(F_col(c).cast("long"), i).bitwiseAND(
-                F_lit(1))
+            v = F_col(c).cast("long")
+            if check and i == 0:
+                in_range = (v >= 0) & (v < (1 << bits))
+                v = F_when(in_range, v).otherwise(F_raise(F_concat(
+                    F_lit(f"zorder_key: {c} out of [0, 2^{bits}): "),
+                    v.cast("string"))))
+            bit = F_shiftright(v, i).bitwiseAND(F_lit(1))
             key = key + F_shiftleft(bit, i * n + j)
     return key
 
@@ -575,8 +590,14 @@ class Catalog:
         resolution, committed as one overwrite snapshot (history stays
         time-travelable until expired). The join is the standard CoW
         merge cost — both sides shuffle on the keys once, AQE handles
-        skew, and a clustered table keeps its layout because the table's
-        ``cluster_by`` property is re-applied by ``stage``. For
+        skew, and the table keeps its physical layout: ``cluster_by``
+        is a table property ``stage`` re-applies, and the overwrite
+        inherits the current view's newest partition_by/sort_within_by
+        so sort-order data skipping survives a merge. The commit
+        carries optimistic validation (``expect=`` the snapshot the
+        merge was computed against): a concurrent writer landing
+        in between raises :class:`CommitConflict` instead of being
+        silently erased — recompute and retry. For
         delta-sized maintenance where rewriting the table is the
         bottleneck, the merge-on-read path (append + equality-delete
         surgery, ``plans/incremental.py``) is the at-scale alternative.
@@ -596,6 +617,11 @@ class Catalog:
         if when_not_matched_by_source not in ("keep", "delete"):
             raise ValueError(
                 f"when_not_matched_by_source={when_not_matched_by_source!r}")
+        # optimistic concurrency: the overwrite is computed against this
+        # snapshot; a concurrent commit between here and commit_group
+        # would otherwise be silently erased by the overwrite (lost
+        # update) — same expect= guard plans/incremental.py commits with
+        expect_snap = self.current_snapshot(table)
         target = self.read_at(table)
         cols = target.columns
         missing = [c for c in cols if c not in source.columns]
@@ -628,4 +654,15 @@ class Catalog:
             f_when(take_source, col(f"__s_{c}"))
             .otherwise(col(f"__t_{c}")).alias(c)
             for c in cols])
-        return self.replace(out, table)
+        # the overwrite inherits the CURRENT view's newest physical
+        # layout (partition dirs + sort order) unless overridden — a
+        # merge must not silently destroy the data-skipping layout the
+        # table was staged with (cluster_by is a table property and
+        # inherits inside stage() already)
+        newest = self._live_snaps(table, None)[-1]
+        pby = tuple(c for c in newest.get("partition_by", ())
+                    if c != _BUCKET_COL)
+        sby = tuple(newest.get("sort_within_by", ()))
+        staged = self.stage(out, table, "overwrite", pby, sby)
+        return self.commit_group([staged],
+                                 expect={table: expect_snap})[table]

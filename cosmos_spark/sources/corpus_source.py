@@ -25,9 +25,10 @@ with real partition planning instead of an ad-hoc helper:
   pure function of (seed, repo, idx), corpus.py banner).
 
 Rows are IDENTICAL to corpus.make_corpus / make_corpus_spark at the
-same options (pinned by test): the reader re-uses `_repo_spec` /
-`_file_row` / `_edge_rows`, with the planted edge-case rows occupying
-the tail indices [total_files, total_files + n_edges).
+same options (pinned by test): index planning and row synthesis are
+delegated to the ONE shared definition (`corpus.corpus_index_space` /
+`corpus.corpus_row_at`), with the planted edge-case rows occupying the
+tail indices [total_files, total_files + n_edges).
 """
 
 from __future__ import annotations
@@ -60,15 +61,11 @@ class _Opts:
         self.rows_per_batch = int(options.get("rows_per_batch", 50))
 
     def bounds(self):
-        """(start, end, repo) global index ranges + total incl. edges."""
-        from ..corpus import _edge_rows, _repo_spec
-        bounds, off = [], 0
-        for repo, n in _repo_spec(self.n_repos, self.files_per_repo,
-                                  self.skew_factor):
-            bounds.append((off, off + n, repo))
-            off += n
-        n_edges = len(_edge_rows()) if self.include_edges else 0
-        return bounds, off, off + n_edges
+        """(bounds, n_files, total) — delegated to the ONE index-space
+        definition in corpus.corpus_index_space."""
+        from ..corpus import corpus_index_space
+        return corpus_index_space(self.n_repos, self.files_per_repo,
+                                  self.skew_factor, self.include_edges)
 
 
 class _Range(InputPartition):
@@ -92,23 +89,16 @@ def _split(start: int, end: int, n: int) -> Sequence[_Range]:
 
 def _read_range(opts: _Opts, start: int, end: int) -> Iterator[tuple]:
     """Synthesize rows for global indices [start, end) — stateless, a
-    pure function of (options, index range)."""
-    import bisect
-
-    from ..corpus import _edge_rows, _file_row, _sha
+    pure function of (options, index range), via the shared
+    corpus.corpus_row_at mapping."""
+    from ..corpus import _edge_rows, corpus_row_at
 
     bounds, n_files, _total = opts.bounds()
     starts = [b[0] for b in bounds]
     edges = _edge_rows() if opts.include_edges else []
     for gidx in range(start, end):
-        if gidx >= n_files:  # planted edge-case tail rows
-            row = dict(edges[gidx - n_files])
-            row.setdefault("content_sha256", _sha(row["content"]))
-        else:
-            i = bisect.bisect_right(starts, gidx) - 1
-            lo, _hi, repo = bounds[i]
-            row = _file_row(opts.seed, repo, gidx - lo)
-            row["content_sha256"] = _sha(row["content"])
+        row = corpus_row_at(opts.seed, bounds, starts, n_files, edges,
+                            gidx)
         yield tuple(row[c] for c in _COLS)
 
 

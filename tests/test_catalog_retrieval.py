@@ -405,3 +405,34 @@ def test_sql_surface_views_and_functions(spark, graph, tmp_path_factory):
     assert 0.5 < scored["s"] < 1.0
     assert scored["n"] == "load_config"
     assert scored["b"] == "loadConfig"
+
+
+def test_merge_optimistic_concurrency_and_layout_inheritance(
+        spark, tmp_path_factory):
+    """A commit landing between merge's read and its commit raises
+    CommitConflict (no lost update); and a merge preserves the current
+    view's sort-order layout so data skipping survives."""
+    from cosmos_spark.sources import CommitConflict
+
+    cat = Catalog(spark, str(tmp_path_factory.mktemp("mergeocc")))
+    rows = lambda *pairs: spark.createDataFrame(
+        [{"k": k, "v": v} for k, v in pairs], "k long, v string")
+    cat.append(rows((1, "a")), "t", sort_within_by=("k",))
+
+    # simulate the interleaving: capture merge's plan inputs, land a
+    # concurrent append, then attempt the same-snapshot commit
+    snap_before = cat.current_snapshot("t")
+    cat.append(rows((2, "b")), "t", sort_within_by=("k",))
+    staged = cat.stage(rows((1, "A"), (2, "b")), "t", "overwrite")
+    with pytest.raises(CommitConflict):
+        cat.commit_group([staged], expect={"t": snap_before})
+    # the real merge (computed against current state) succeeds and
+    # nothing was lost
+    cat.merge(rows((1, "A")), "t", on=("k",))
+    got = {(r["k"], r["v"]) for r in cat.read_at("t").collect()}
+    assert got == {(1, "A"), (2, "b")}
+    # layout inheritance: the merge's overwrite snapshot carries the
+    # sort_within_by of the newest pre-merge snapshot
+    newest = cat.snapshots("t")[-1]
+    assert newest["op"] == "overwrite"
+    assert newest["sort_within_by"] == ["k"]

@@ -276,3 +276,18 @@ def test_sketch_aggs_partial_before_shuffle(spark):
     assert nodes(kmv_plan, "ObjectHashAggregate") == 2
     assert nodes(kmv_plan, "Exchange") == 1
     assert "partial_collect_list" in kmv_plan
+
+
+def test_zorder_out_of_range_fails_loudly(spark):
+    """A value outside [0, 2^bits) fails the job instead of silently
+    colliding with its low-bits twin (which would degrade the layout to
+    no pruning with nothing recording why)."""
+    from cosmos_spark.sources import zorder_key
+
+    df = spark.createDataFrame([(5, 3), (1 << 12, 1)], "k1 long, k2 long")
+    with pytest.raises(Exception, match="zorder_key: k1 out of"):
+        df.select(zorder_key(("k1", "k2"), bits=10).alias("z")).collect()
+    # in-range rows still compute
+    ok = df.where(F.col("k1") < 1024).select(
+        zorder_key(("k1", "k2"), bits=10).alias("z")).collect()
+    assert len(ok) == 1
