@@ -34,6 +34,29 @@ def sample_hash(id_col, salt: str = "mix") -> Column:
     return hash60(id_col, salt=salt).cast("double") / F.lit(HASH_SPACE)
 
 
+def quota_sample(df: DataFrame, group_col: str, id_col: str, k: int,
+                 salt: str = "quota") -> DataFrame:
+    """Cap each group at its k hash-smallest rows — the quota half of
+    mixture building ("at most N docs per source/domain"), and a
+    deterministic uniform-without-replacement sample per group (the
+    k-minimum rows of a uniform hash ARE a uniform k-subset). Same
+    guarantees as `mixture_sample`: engine-portable, partition-
+    invariant, and STABLE in the selection ORDER under growth — a row
+    ranked within k stays selected unless a new row hashes below it,
+    which is exactly reservoir-sampling semantics without the state.
+
+    Shape: one window ranked per GROUP (partitioned — never a global
+    single-reducer sort); groups are the mixture's sources, so
+    parallelism is source-count-wide and each partition sort spills at
+    worst. For group-cardinality stats without materializing rows, use
+    the KMV sketch instead (same k-minimum idea, O(k) state)."""
+    from pyspark.sql import Window
+    w = Window.partitionBy(group_col).orderBy(
+        sample_hash(id_col, salt), id_col)
+    return (df.withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") <= k).drop("__rk"))
+
+
 def mixture_sample(df: DataFrame, id_col: str, weight_col,
                    salt: str = "mix") -> DataFrame:
     """Keep each row with probability = its weight (a column or column

@@ -904,6 +904,32 @@ def q_bpe_train(spark, sf_dir):
     return bpe.train_bpe(spark, docs, "text", num_merges=10)
 
 
+def q_quota_sample(spark, sf_dir):
+    """Per-source quota capping (operators/sampling.py): at most 8
+    docs per source, selected as the hash-smallest ids — a
+    deterministic uniform-without-replacement sample per group with
+    reservoir semantics and no state. The oracle reproduces the hash
+    ranking bit-for-bit, so it checks WHICH docs were selected, not
+    just how many."""
+    from .operators import sampling
+    docs = _t(spark, sf_dir, "documents")
+    return (sampling.quota_sample(docs, "source", "doc_id", k=8)
+            .select("source", "doc_id", "n_chars"))
+
+
+SQL_QUOTA_SAMPLE = """
+WITH r AS (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY CAST(('0x' || substr(md5('quota|' || doc_id), 1, 15))
+                         ::UBIGINT AS DOUBLE) / 1152921504606846976.0,
+                    doc_id) AS rk
+  FROM documents)
+SELECT source, doc_id, n_chars FROM r WHERE rk <= 8
+"""
+
+
 _CMS_PROBES = ["scan", "column", "window", "join", "merge", "value",
                "zzz_absent"]
 
@@ -1277,6 +1303,7 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "q_kmv_set_ops": (q_kmv_set_ops, SQL_KMV_SET_OPS),
     "q_cms_heavy_hitters": (q_cms_heavy_hitters, SQL_CMS_HEAVY_HITTERS),
     "q_training_mix": (q_training_mix, SQL_TRAINING_MIX),
+    "q_quota_sample": (q_quota_sample, SQL_QUOTA_SAMPLE),
     "q_pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
     "q_bpe_train": (q_bpe_train, None),
     "q_train_split": (q_train_split, SQL_TRAIN_SPLIT),
@@ -3243,6 +3270,7 @@ PRIORITY_QUERIES: list[str] = [
     "q_kmv_set_ops",
     "q_cms_heavy_hitters",
     "q_training_mix",
+    "q_quota_sample",
     "q_pii_scrub",
     "q_bpe_train",
     "q_bpe_token_count",

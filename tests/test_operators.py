@@ -819,3 +819,33 @@ def test_bpe_training_matches_reference(spark):
     assert got == exp
     # learned merges are nontrivial multi-char units by the later ranks
     assert any(len(l + r) >= 3 for _, l, r, _ in got)
+
+
+def test_quota_sample_reservoir_semantics(spark):
+    """quota_sample: exactly k per group (all rows when the group is
+    smaller), deterministic across partitionings, and reservoir-like
+    under growth — the selection changes only by displacement, never
+    wholesale reshuffling."""
+    from cosmos_spark.operators import sampling
+    df = spark.createDataFrame(
+        [{"g": "a", "id": i} for i in range(100)]
+        + [{"g": "b", "id": i} for i in range(3)], "g string, id long")
+    got = sampling.quota_sample(df, "g", "id", k=5).collect()
+    by_g = {}
+    for r in got:
+        by_g.setdefault(r["g"], set()).add(r["id"])
+    assert len(by_g["a"]) == 5 and by_g["b"] == {0, 1, 2}
+    # partition invariance
+    got2 = sampling.quota_sample(df.repartition(7), "g", "id", k=5)
+    assert {(r["g"], r["id"]) for r in got2.collect()} == {
+        (r["g"], r["id"]) for r in got}
+    # growth: adding rows can only displace, the survivors are the
+    # intersection-consistent k-min of the union
+    bigger = df.union(spark.createDataFrame(
+        [{"g": "a", "id": i} for i in range(100, 200)],
+        "g string, id long"))
+    sel_small = by_g["a"]
+    sel_big = {r["id"] for r in sampling.quota_sample(
+        bigger, "g", "id", k=5).collect() if r["g"] == "a"}
+    kept = sel_big & set(range(100))
+    assert kept <= sel_small  # old rows only leave by displacement
