@@ -207,6 +207,89 @@ def kmv_sketch(df: DataFrame, group_col: str, value_col: str,
     return _finalize(_local(pairs, group_col, k), group_col, k)
 
 
+def quantile_sketch(df: DataFrame, group_col: str, value_col: str,
+                    id_col: str, qs: tuple = (0.25, 0.5, 0.75, 0.9),
+                    k: int = 256) -> DataFrame:
+    """Per-group quantile ESTIMATES with O(k) state — the third leg of
+    the sketch family (KMV = how many distinct, CMS = how often, this =
+    how distributed). An exact per-group percentile shuffles every value
+    to its group's reducer (q_percentiles is that contract query — fine
+    per group, corpus-sized at 100 TB). Instead keep each group's k
+    hash-smallest rows *carrying their values*: the k-minimum rows of a
+    uniform hash are a uniform k-subset (the quota_sample argument, made
+    value-bearing), so the sample's exact discrete quantile estimates
+    the group quantile with the usual order-statistic error
+    O(sqrt(q(1-q)/k)); while a group has <= k rows the sample IS the
+    group and the estimate is exact.
+
+    Shape — same three bounded levels as the KMV sketch:
+    partition-local k-min over (hash, value) pairs in one mapInPandas
+    pass (state = groups-in-partition x k pairs), a global merge whose
+    shuffle rows are k-bounded struct arrays (union + sort + truncate =
+    the sketch's mergeability, partitioning-invariant by test), then
+    per-group finalization: sort the <= k sample values, emit
+    element_at(ceil(q * m)) per requested q (percentile_disc
+    semantics). Everything after the md5 is integer/IEEE-fixed, so
+    DuckDB reproduces each estimate bit-for-bit (q_quantile_sketch).
+
+    `value_col` must be integral (exact cross-engine compare; the
+    sample mechanics are type-agnostic). Null values are skipped."""
+    pairs = df.select(
+        F.col(group_col),
+        hash60(id_col, salt="qsk").alias("h"),
+        F.col(value_col).cast("long").alias("v"),
+    ).where(F.col("v").isNotNull())
+    grp_type = df.schema[group_col].dataType
+    schema = T.StructType([
+        T.StructField(group_col, grp_type),
+        T.StructField("hs", T.ArrayType(T.LongType())),
+        T.StructField("vs", T.ArrayType(T.LongType())),
+    ])
+
+    def _local_kmin(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc: dict = {}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            for grp, sub in pdf.groupby(group_col, sort=False,
+                                        dropna=False):
+                h = sub["h"].to_numpy(dtype=np.int64)
+                v = sub["v"].to_numpy(dtype=np.int64)
+                prev = acc.get(grp)
+                if prev is not None:
+                    h = np.concatenate([prev[0], h])
+                    v = np.concatenate([prev[1], v])
+                order = np.lexsort((v, h))[:k]
+                acc[grp] = (h[order], v[order])
+        if acc:
+            yield pd.DataFrame({
+                group_col: [None if pd.isna(g) else g for g in acc],
+                "hs": [hv[0].tolist() for hv in acc.values()],
+                "vs": [hv[1].tolist() for hv in acc.values()],
+            })
+
+    local = pairs.mapInPandas(_local_kmin, schema)
+    # global merge: k-bounded struct arrays; array_sort over
+    # struct<h, v> orders by h (ties by v), exactly the local lexsort
+    merged = (local.select(
+        group_col, F.arrays_zip(F.col("hs").alias("h"),
+                                F.col("vs").alias("v")).alias("sample"))
+        .groupBy(group_col)
+        .agg(F.slice(F.array_sort(F.flatten(F.collect_list("sample"))),
+                     1, k).alias("sample")))
+    vals = F.array_sort(F.transform("sample", lambda s: s["v"]))
+    m = F.size("sample")
+    out = merged.select(
+        group_col, vals.alias("vals"), m.alias("m_sample"),
+        F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q"))
+    idx = F.greatest(F.lit(1), F.ceil(F.col("q") * F.col("m_sample"))
+                     .cast("int"))
+    return out.select(
+        group_col, "q",
+        F.col("m_sample").cast("int").alias("m_sample"),
+        F.element_at("vals", idx).alias("est_q"))
+
+
 def _cms_bucket(value, i: int, width: int):
     """Depth-i count-min bucket of a string column: engine-portable
     60-bit hash of 'i|value' (portable_hash.hash60), mod width."""

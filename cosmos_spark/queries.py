@@ -3242,6 +3242,53 @@ QUERIES.update({
 })
 
 
+def q_quantile_sketch(spark, sf_dir):
+    """Per-language document-length quantiles from a bounded-state
+    sample sketch (operators/sketch.quantile_sketch) — the quantile leg
+    of the sketch family (KMV = distinct, CMS = frequency). k = 64 <
+    group sizes at every sf, so the k-min truncation + order-statistic
+    estimator path is exercised (not the trivially-exact small-group
+    branch); the hash, the sampled row set, and the ceil(q*m) pick are
+    all engine-portable, so the oracle reproduces every estimate
+    bit-for-bit."""
+    from .operators.sketch import quantile_sketch
+    docs = _t(spark, sf_dir, "documents")
+    return quantile_sketch(docs, "lang", "n_chars", "doc_id",
+                           qs=(0.25, 0.5, 0.75, 0.9), k=64)
+
+
+SQL_QUANTILE_SKETCH = """
+WITH h AS (
+  SELECT lang, n_chars AS v,
+         ('0x' || substr(md5('qsk|' || doc_id), 1, 15))::UBIGINT::BIGINT
+           AS hh
+  FROM documents WHERE n_chars IS NOT NULL
+),
+topk AS (
+  SELECT lang, v FROM (
+    SELECT lang, v,
+           row_number() OVER (PARTITION BY lang ORDER BY hh, v) AS rn
+    FROM h) WHERE rn <= 64
+),
+ranked AS (
+  SELECT lang, v,
+         row_number() OVER (PARTITION BY lang ORDER BY v) AS vr,
+         count(*) OVER (PARTITION BY lang) AS m
+  FROM topk
+)
+SELECT lang, q, CAST(m AS INT) AS m_sample, v AS est_q
+FROM ranked,
+     (VALUES (CAST(0.25 AS DOUBLE)), (CAST(0.5 AS DOUBLE)),
+             (CAST(0.75 AS DOUBLE)), (CAST(0.9 AS DOUBLE))) AS qv(q)
+WHERE vr = greatest(1, CAST(ceil(q * m) AS INT))
+"""
+
+
+QUERIES.update({
+    "q_quantile_sketch": (q_quantile_sketch, SQL_QUANTILE_SKETCH),
+})
+
+
 # ---------------------------------------------------------------------------
 # driver-visibility ordering
 # ---------------------------------------------------------------------------
@@ -3290,6 +3337,7 @@ PRIORITY_QUERIES: list[str] = [
     "q_rerank_top1",
     "q_qa_extract",
     "q_word_vectors",
+    "q_quantile_sketch",
 ]
 
 

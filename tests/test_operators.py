@@ -849,3 +849,61 @@ def test_quota_sample_reservoir_semantics(spark):
         bigger, "g", "id", k=5).collect() if r["g"] == "a"}
     kept = sel_big & set(range(100))
     assert kept <= sel_small  # old rows only leave by displacement
+
+
+# ---------------------------------------------------------------------------
+# Quantile sketch (operators/sketch.py)
+# ---------------------------------------------------------------------------
+
+def test_quantile_sketch_exact_when_small(spark):
+    """A group with <= k rows: the sample IS the group, so every
+    estimate equals the exact discrete quantile (ceil(q*n) order
+    statistic)."""
+    import math
+
+    from cosmos_spark.operators import sketch
+    vals = [7, 1, 9, 3, 5, 11, 2, 8]
+    df = spark.createDataFrame(
+        [{"g": "a", "id": i, "v": v} for i, v in enumerate(vals)],
+        "g string, id long, v long")
+    qs = (0.25, 0.5, 0.75, 0.9)
+    out = sketch.quantile_sketch(df, "g", "v", "id", qs=qs, k=100)
+    got = {r["q"]: r["est_q"] for r in out.collect()}
+    s = sorted(vals)
+    exp = {q: s[max(1, math.ceil(q * len(s))) - 1] for q in qs}
+    assert got == exp
+
+
+def test_quantile_sketch_partition_invariance(spark):
+    """Mergeability: the k-min sample (hence every estimate) is a pure
+    function of the row set — identical across partition layouts."""
+    from cosmos_spark.operators import sketch
+    df = spark.range(0, 500).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        F.col("id").alias("id"),
+        (F.col("id") * 37 % 1000).alias("v"))
+    a = (sketch.quantile_sketch(df.repartition(1), "g", "v", "id", k=32)
+         .orderBy("g", "q").toPandas())
+    b = (sketch.quantile_sketch(df.repartition(11, "v"), "g", "v", "id",
+                                k=32).orderBy("g", "q").toPandas())
+    assert list(a["est_q"]) == list(b["est_q"])
+    assert list(a["m_sample"]) == list(b["m_sample"])
+
+
+def test_quantile_sketch_estimator_accuracy_and_nulls(spark):
+    """k << n: estimates land within the order-statistic error band
+    (generous 4x sqrt(q(1-q)/k) on a uniform value grid); null values
+    are skipped."""
+    from cosmos_spark.operators import sketch
+    n, k = 20_000, 256
+    df = spark.range(0, n).select(
+        F.lit("g").alias("g"), F.col("id"),
+        F.when(F.col("id") % 100 == 99, F.lit(None))
+        .otherwise(F.col("id")).alias("v"))
+    out = sketch.quantile_sketch(df, "g", "v", "id",
+                                 qs=(0.5, 0.9), k=k).collect()
+    assert all(r["m_sample"] == k for r in out)
+    for r in out:
+        q = r["q"]
+        tol = 4 * (q * (1 - q) / k) ** 0.5 * n
+        assert abs(r["est_q"] - q * n) < tol, (q, r["est_q"])
