@@ -3284,8 +3284,36 @@ WHERE vr = greatest(1, CAST(ceil(q * m) AS INT))
 """
 
 
+def q_salted_join(spark, sf_dir):
+    """Deterministic skew-salted shuffle join (operators/skew.py — the
+    north-star 'monorepo hot key' mitigation): events (probe, 5-value
+    hot key event_type) left-joined to a derived per-type dim with the
+    probe side salted 8 ways and the dim replicated across salts. The
+    rewrite is an identity — the oracle is the PLAIN SQL join, checked
+    row-for-row; 'error' rows exercise the preserved-left (no match)
+    path."""
+    from .operators.skew import salted_join
+    ev = _t(spark, sf_dir, "events")
+    dim = (ev.groupBy("event_type")
+           .agg(F.count(F.lit(1)).alias("type_n"))
+           .where(F.col("event_type") != "error"))
+    out = salted_join(ev, dim, on=["event_type"], salt_on="event_id",
+                      n_salt=8, how="left")
+    return out.select("event_id", "event_type", "type_n")
+
+
+SQL_SALTED_JOIN = """
+SELECT e.event_id, e.event_type, d.type_n
+FROM events e
+LEFT JOIN (SELECT event_type, count(*) AS type_n FROM events
+           GROUP BY event_type HAVING event_type <> 'error') d
+  USING (event_type)
+"""
+
+
 QUERIES.update({
     "q_quantile_sketch": (q_quantile_sketch, SQL_QUANTILE_SKETCH),
+    "q_salted_join": (q_salted_join, SQL_SALTED_JOIN),
 })
 
 
@@ -3338,6 +3366,7 @@ PRIORITY_QUERIES: list[str] = [
     "q_qa_extract",
     "q_word_vectors",
     "q_quantile_sketch",
+    "q_salted_join",
 ]
 
 

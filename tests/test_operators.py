@@ -907,3 +907,64 @@ def test_quantile_sketch_estimator_accuracy_and_nulls(spark):
         q = r["q"]
         tol = 4 * (q * (1 - q) / k) ** 0.5 * n
         assert abs(r["est_q"] - q * n) < tol, (q, r["est_q"])
+
+
+# ---------------------------------------------------------------------------
+# Skew salting (operators/skew.py)
+# ---------------------------------------------------------------------------
+
+def test_salted_join_is_identity(spark):
+    """Salted rewrite == plain join, inner and left, including rows
+    with no match and any n_salt."""
+    from cosmos_spark.operators import skew
+    big = spark.range(0, 300).select(
+        F.col("id"), (F.col("id") % 4).cast("string").alias("k"))
+    small = spark.createDataFrame(
+        [("0", "a"), ("1", "b"), ("2", "c")], "k string, lab string")
+    for how in ("inner", "left"):
+        exp = {tuple(r) for r in big.join(small, ["k"], how)
+               .select("id", "k", "lab").collect()}
+        for n in (1, 3, 16):
+            got = {tuple(r) for r in skew.salted_join(
+                big, small, ["k"], salt_on="id", n_salt=n, how=how)
+                .select("id", "k", "lab").collect()}
+            assert got == exp, (how, n)
+
+
+def test_salted_join_refuses_build_side_preserving_types(spark):
+    import pytest as _pt
+
+    from cosmos_spark.operators import skew
+    df = spark.range(2).select(F.col("id"), F.col("id").alias("k"))
+    for how in ("right", "full", "left_semi"):
+        with _pt.raises(ValueError):
+            skew.salted_join(df, df, ["k"], salt_on="id", how=how)
+
+
+def test_salted_join_spreads_hot_key(spark):
+    """The plan shape under forced shuffle join: the join keys include
+    the salt, so the hot key hashes to n_salt distinct shuffle
+    partitions instead of one."""
+    from cosmos_spark.operators import skew
+    big = spark.range(0, 1000).select(
+        F.col("id"), F.lit("hot").alias("k"))
+    small = spark.createDataFrame([("hot", 1)], "k string, v int")
+    with_conf = spark.conf
+    old = with_conf.get("spark.sql.autoBroadcastJoinThreshold")
+    with_conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = skew.salted_join(big, small, ["k"], salt_on="id",
+                               n_salt=8, how="inner")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "_salt" in plan and "BroadcastHashJoin" not in plan
+        # every big row still matched exactly once
+        assert out.count() == 1000
+        # the salt really fans the single hot key out
+        n_salts = (big.select(F.pmod(
+            __import__("cosmos_spark.portable_hash",
+                       fromlist=["hash60"]).hash60(
+                           F.col("id"), salt="skew"), F.lit(8)))
+            .distinct().count())
+        assert n_salts == 8
+    finally:
+        with_conf.set("spark.sql.autoBroadcastJoinThreshold", old)
