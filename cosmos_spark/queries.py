@@ -3311,9 +3311,96 @@ LEFT JOIN (SELECT event_type, count(*) AS type_n FROM events
 """
 
 
+def q_stream_sessions(spark, sf_dir):
+    """Event-time SESSION windows (streaming.ingest.stream_sessions),
+    VALUE-exact: per-repo activity sessions over deterministic event
+    times — doc j of a repo fires at minute (j%5) + 11*((j//5)%20), so
+    events form 5-minute-long bursts 11 minutes apart and the session
+    layout (gap 5, inclusive merge — boundary pinned by pytest) is a
+    pure gaps-and-islands SQL over the documents table. Three availableNow drains against one
+    checkpoint: the main wave, then two far-future flush rows whose
+    only job is to advance the watermark (a finalized window emits one
+    drain AFTER the batch that advances the watermark past it — the
+    cross-drain watermark rule); flush sessions themselves stay
+    unfinalized and are filtered besides."""
+    from .streaming.ingest import stream_sessions
+
+    docs = _t(spark, sf_dir, "documents")
+    j = "(doc_id div 20)"
+    minute = f"(({j} % 5) + 11 * (({j} div 5) % 20))"
+    main = docs.select(
+        F.col("source").alias("repo"),
+        F.col("doc_id").cast("string").alias("path"),
+        F.lit("0" * 40).alias("commit"), F.col("lang"),
+        F.lit("").alias("content"),
+        F.expr(f"timestamp'2026-01-01 00:00:00' + "
+               f"make_interval(0, 0, 0, 0, 0, {minute}, 0)")
+        .alias("ingested_at"))
+    src_dir = _tmpdir("stream_sess_src_")
+    ck = _tmpdir("ck_sess_")
+    out_dir = _tmpdir("stream_sess_out_")
+    main.write.mode("append").parquet(src_dir)
+
+    def _flush(days: int) -> None:
+        (spark.range(1).select(
+            F.lit("__flush__").alias("repo"), F.lit("f").alias("path"),
+            F.lit("0" * 40).alias("commit"), F.lit("md").alias("lang"),
+            F.lit("").alias("content"),
+            F.expr(f"timestamp'2026-01-01 00:00:00' + "
+                   f"make_interval(0, 0, 0, {days}, 0, 0, 0)")
+            .alias("ingested_at"))
+         .write.mode("append").parquet(src_dir))
+
+    def _drain() -> None:
+        q = (stream_sessions(spark, src_dir, gap="5 minutes",
+                             watermark="10 minutes")
+             .writeStream.outputMode("append").format("parquet")
+             .option("path", out_dir)
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    _drain()
+    _flush(2)
+    _drain()
+    _flush(4)
+    _drain()
+    return (spark.read.parquet(out_dir)
+            .where(F.col("repo") != "__flush__"))
+
+
+SQL_STREAM_SESSIONS = """
+WITH ev AS (
+  SELECT source AS repo,
+         TIMESTAMP '2026-01-01 00:00:00' + INTERVAL (
+           ((doc_id // 20) % 5) + 11 * (((doc_id // 20) // 5) % 20)
+         ) MINUTE AS ts
+  FROM documents
+),
+x AS (
+  SELECT repo, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY repo ORDER BY ts)
+                   <= INTERVAL 5 MINUTE
+              THEN 0 ELSE 1 END AS brk
+  FROM ev
+),
+y AS (
+  SELECT repo, ts,
+         sum(brk) OVER (PARTITION BY repo ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS grp
+  FROM x
+)
+SELECT repo, min(ts) AS session_start,
+       max(ts) + INTERVAL 5 MINUTE AS session_end,
+       count(*) AS n_events
+FROM y GROUP BY repo, grp
+"""
+
+
 QUERIES.update({
     "q_quantile_sketch": (q_quantile_sketch, SQL_QUANTILE_SKETCH),
     "q_salted_join": (q_salted_join, SQL_SALTED_JOIN),
+    "q_stream_sessions": (q_stream_sessions, SQL_STREAM_SESSIONS),
 })
 
 
@@ -3367,6 +3454,7 @@ PRIORITY_QUERIES: list[str] = [
     "q_word_vectors",
     "q_quantile_sketch",
     "q_salted_join",
+    "q_stream_sessions",
 ]
 
 

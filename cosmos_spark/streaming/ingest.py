@@ -72,6 +72,41 @@ def stream_mention_counts(spark: SparkSession, source_dir: str,
     )
 
 
+def stream_sessions(spark: SparkSession, source_dir: str,
+                    gap: str = "5 minutes",
+                    watermark: str = "10 minutes") -> DataFrame:
+    """Event-time SESSION windows per repo — Spark's dynamic-gap
+    stateful windowing (``F.session_window``): consecutive events of
+    one repo closer than ``gap`` apart merge into one session; a quiet
+    period of >= ``gap`` closes it. Sessions are the activity unit
+    ingestion monitoring actually wants (a repo push = a burst of file
+    events, not a fixed-width window), and unlike ``F.window`` the
+    state is per *active* session, expired by the watermark as soon as
+    event time moves ``gap + watermark`` past the last event.
+
+    Emits finalized sessions only (append mode semantics): (repo,
+    session_start, session_end = last event + gap, n_events). Merge is
+    INCLUSIVE at the boundary — an event landing exactly ``gap`` after
+    the last one still extends the session; only a strictly larger
+    quiet period splits (pinned by pytest and mirrored by the
+    ``<= gap`` inequality in q_stream_sessions' gaps-and-islands
+    oracle)."""
+    src = (
+        spark.readStream.schema(SOURCE_SCHEMA)
+        .parquet(source_dir)
+    )
+    return (
+        src.withWatermark("ingested_at", watermark)
+        .groupBy(F.col("repo"),
+                 F.session_window("ingested_at", gap).alias("sess"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("repo",
+                F.col("sess.start").alias("session_start"),
+                F.col("sess.end").alias("session_end"),
+                "n_events")
+    )
+
+
 def stream_triples(spark: SparkSession, source_dir: str,
                    aliases: DataFrame | None = None) -> DataFrame:
     """Continuous KG construction: a streaming source table -> the SAME

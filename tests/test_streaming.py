@@ -370,3 +370,58 @@ def test_stream_stream_join_matches_and_redrains_idempotently(
     # fn2's call arrives 3 min after its def: outside the ±2 min lag
     assert got == {("r1", "fn0"), ("r1", "fn1"), ("r2", "fn3")}
     assert len(drain()) == 3  # re-drain adds nothing
+
+
+def test_session_window_inclusive_gap_boundary(spark):
+    """Pin the merge rule stream_sessions (and its oracle's
+    `<= INTERVAL 5 MINUTE`) depends on: an event exactly `gap` after
+    the last one still EXTENDS the session (inclusive boundary); only
+    a strictly larger quiet period splits. Batch session_window shares
+    the streaming implementation's assignment logic."""
+    rows = [("r", "2026-01-01 10:00:00"),
+            ("r", "2026-01-01 10:05:00"),   # exactly +5 min -> merges
+            ("r", "2026-01-01 10:11:00")]   # +6 min -> new session
+    df = spark.createDataFrame(rows, "repo string, t string").select(
+        "repo", F.to_timestamp("t").alias("ingested_at"))
+    out = (df.groupBy("repo",
+                      F.session_window("ingested_at", "5 minutes")
+                      .alias("s"))
+           .agg(F.count(F.lit(1)).alias("n"))
+           .select(F.col("s.start").cast("string").alias("start"),
+                   F.col("s.end").cast("string").alias("end"), "n")
+           .orderBy("start").collect())
+    assert [(r["start"], r["end"], r["n"]) for r in out] == [
+        ("2026-01-01 10:00:00", "2026-01-01 10:10:00", 2),
+        ("2026-01-01 10:11:00", "2026-01-01 10:16:00", 1)]
+
+
+def test_stream_sessions_emits_only_finalized(spark, tmp_path):
+    """Append-mode sessions emit only after the watermark passes their
+    end, one drain after the watermark-advancing batch; a re-drain with
+    no new data adds nothing."""
+    from cosmos_spark.streaming import ingest
+    src, ck, out = (str(tmp_path / d) for d in ("ssrc", "sck", "sout"))
+
+    def write(repo, ts):
+        pdf = pd.DataFrame([{"repo": repo, "path": "p", "commit": "c",
+                             "lang": "md", "content": ""}])
+        pdf["ingested_at"] = pd.Timestamp(ts)
+        spark.createDataFrame(pdf).write.mode("append").parquet(src)
+
+    def drain():
+        q = (ingest.stream_sessions(spark, src, gap="5 minutes",
+                                    watermark="1 minutes")
+             .writeStream.outputMode("append").format("parquet")
+             .option("path", out).option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        return spark.read.parquet(out).toPandas()
+
+    write("r", "2026-01-01 10:00:00")
+    assert len(drain()) == 0            # watermark still at epoch
+    write("r", "2026-01-01 11:00:00")   # advances watermark past 10:05
+    drain()
+    got = drain()                       # finalization lands a drain later
+    sess = got[got["session_start"] == pd.Timestamp("2026-01-01 10:00:00")]
+    assert len(sess) == 1 and int(sess["n_events"].iloc[0]) == 1
+    assert len(drain()) == len(got)     # idempotent re-drain
