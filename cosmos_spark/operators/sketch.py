@@ -233,12 +233,15 @@ def quantile_sketch(df: DataFrame, group_col: str, value_col: str,
     DuckDB reproduces each estimate bit-for-bit (q_quantile_sketch).
 
     `value_col` must be integral (exact cross-engine compare; the
-    sample mechanics are type-agnostic). Null values are skipped."""
+    sample mechanics are type-agnostic). Rows with a null value OR a
+    null id are skipped (a null id has no hash — letting it through
+    would NaN-cast to INT64_MIN in the kernel and hijack every
+    k-min)."""
     pairs = df.select(
         F.col(group_col),
         hash60(id_col, salt="qsk").alias("h"),
         F.col(value_col).cast("long").alias("v"),
-    ).where(F.col("v").isNotNull())
+    ).where(F.col("v").isNotNull() & F.col("h").isNotNull())
     grp_type = df.schema[group_col].dataType
     schema = T.StructType([
         T.StructField(group_col, grp_type),

@@ -45,7 +45,7 @@ from pyspark.sql import DataFrame
 
 from ..portable_hash import hash60
 
-SALT_COL = "_salt"
+SALT_COL = "__skew_salt"
 
 
 def salted_join(big: DataFrame, small: DataFrame, on: list[str],
@@ -55,8 +55,10 @@ def salted_join(big: DataFrame, small: DataFrame, on: list[str],
     (probe) side salted into ``n_salt`` sub-keys and the small (build)
     side replicated across them. ``salt_on`` is a big-side column (or
     Column) whose hash spreads the hot key — any roughly-uniform,
-    non-constant column works; a row id is ideal. Result is
-    column-for-column identical to ``big.join(small, on, how)``."""
+    non-constant column works; a row id is ideal (null salt values
+    hash to salt 0, so nullable columns still join correctly — they
+    just don't spread). Result is column-for-column identical to
+    ``big.join(small, on, how)``."""
     if how not in ("inner", "left"):
         raise ValueError(
             f"salted_join preserves the probe side only (inner/left); "
@@ -64,9 +66,16 @@ def salted_join(big: DataFrame, small: DataFrame, on: list[str],
             f"build side once per salt")
     if n_salt < 1:
         raise ValueError(f"n_salt must be >= 1, got {n_salt}")
+    for side, df in (("big", big), ("small", small)):
+        if SALT_COL in df.columns:
+            raise ValueError(
+                f"{side} side already has a {SALT_COL!r} column — "
+                f"rename it; salted_join would overwrite and drop it")
     sc = F.col(salt_on) if isinstance(salt_on, str) else salt_on
-    b = big.withColumn(SALT_COL, F.pmod(hash60(sc, salt="skew"),
-                                        F.lit(n_salt)).cast("int"))
+    b = big.withColumn(SALT_COL,
+                       F.pmod(F.coalesce(hash60(sc, salt="skew"),
+                                         F.lit(0)),
+                              F.lit(n_salt)).cast("int"))
     s = small.withColumn(
         SALT_COL,
         F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))))

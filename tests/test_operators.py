@@ -968,3 +968,36 @@ def test_salted_join_spreads_hot_key(spark):
         assert n_salts == 8
     finally:
         with_conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_salted_join_null_salt_and_reserved_column(spark):
+    """Null salt values hash to bucket 0 (rows still match — review
+    fix: a null hash used to null the join key and silently drop the
+    row); a pre-existing salt column is refused loudly instead of
+    being overwritten and dropped."""
+    import pytest as _pt
+
+    from cosmos_spark.operators import skew
+    big = spark.createDataFrame(
+        [(1, "a"), (None, "a")], "id long, k string")
+    small = spark.createDataFrame([("a", 10)], "k string, v int")
+    got = {(r["id"], r["v"]) for r in skew.salted_join(
+        big, small, ["k"], salt_on="id", n_salt=4).collect()}
+    assert got == {(1, 10), (None, 10)}
+    clash = big.withColumn(skew.SALT_COL, F.lit(1))
+    with _pt.raises(ValueError, match="already has"):
+        skew.salted_join(clash, small, ["k"], salt_on="id")
+    with _pt.raises(ValueError, match="already has"):
+        skew.salted_join(big, clash.drop("id"), ["k"], salt_on="id")
+
+
+def test_quantile_sketch_null_ids_skipped(spark):
+    """Null-id rows are excluded from the sample instead of NaN-casting
+    to INT64_MIN and hijacking the k-min front (review fix)."""
+    from cosmos_spark.operators import sketch
+    df = spark.createDataFrame(
+        [("g", None, 999999)] + [("g", i, i) for i in range(10)],
+        "g string, id long, v long")
+    out = sketch.quantile_sketch(df, "g", "v", "id", qs=(0.5,), k=5)
+    row = out.collect()[0]
+    assert row["m_sample"] == 5 and row["est_q"] < 999999

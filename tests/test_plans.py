@@ -291,3 +291,42 @@ def test_zorder_out_of_range_fails_loudly(spark):
     ok = df.where(F.col("k1") < 1024).select(
         zorder_key(("k1", "k2"), bits=10).alias("z")).collect()
     assert len(ok) == 1
+
+
+def test_quantile_sketch_partial_before_shuffle(spark):
+    """The quantile sketch's one Exchange moves k-bounded struct arrays
+    (post-mapInPandas local samples) with a partial collect_list below
+    it — never the raw value stream — mirroring the KMV pin."""
+    import re
+
+    from cosmos_spark.operators import sketch
+
+    df = spark.range(1000).select(
+        (F.col("id") % 3).cast("string").alias("grp"),
+        F.col("id"), (F.col("id") * 7 % 100).alias("v"))
+    plan = spark._sc._jvm.PythonSQLUtils.explainString(
+        sketch.quantile_sketch(df, "grp", "v", "id", k=8)
+        ._jdf.queryExecution(), "formatted")
+
+    def nodes(name):
+        return len(re.findall(r"\(\d+\) " + name + r"\b", plan))
+
+    assert nodes("ObjectHashAggregate") == 2
+    assert nodes("Exchange") == 1
+    assert "partial_collect_list" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_quota_sample_window_is_per_group(spark):
+    """quota_sample's rank window is PARTITIONED by the group — no
+    global single-reducer window sneaks into the sampling path (the
+    CLAUDE.md invariant; same defect class as the r1 ANN window)."""
+    from cosmos_spark.operators import sampling
+
+    df = spark.range(1000).select(
+        (F.col("id") % 5).cast("string").alias("g"), F.col("id"))
+    plan = spark._sc._jvm.PythonSQLUtils.explainString(
+        sampling.quota_sample(df, "g", "id", k=3)
+        ._jdf.queryExecution(), "formatted")
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(g" in plan
