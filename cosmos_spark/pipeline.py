@@ -308,6 +308,17 @@ def link_mentions(mentions: DataFrame, aliases: DataFrame) -> DataFrame:
 CANON_NUM_HASHES = 8    # single-row bands: recall 1-(1-J)^8 at J>=0.7
 CANON_MAX_BUCKET = 64   # hot-bucket cap (same spirit as dedup.minhash_lsh_pairs)
 
+# THE banding expressions — shared verbatim with plans/incremental.py's
+# persisted blocking index (_banded_rows/_bucket_edges): incremental
+# surgery's bit-for-bit equivalence to a full recanonicalization requires
+# both sides to band and sign IDENTICALLY, so there is exactly one
+# definition of each
+CANON_TG_EXPR = ("array_distinct(filter(transform("
+                 "sequence(1, greatest(length(canonical_name) - 2, 1)), "
+                 "i -> substring(canonical_name, i, 3)), t -> t != ''))")
+CANON_SIG_EXPR = (f"transform(sequence(0, {CANON_NUM_HASHES - 1}), "
+                  f"h -> array_min(transform(tg, t -> xxhash64(t, h))))")
+
 
 def canonical_candidate_pairs(entities: DataFrame,
                               max_bucket: int = CANON_MAX_BUCKET) -> DataFrame:
@@ -329,16 +340,11 @@ def canonical_candidate_pairs(entities: DataFrame,
     distinct-def-name dim — orders smaller than the corpus — and it keeps
     Python workers (and their cold-start) out of the canonicalization path
     entirely."""
-    tg = ("array_distinct(filter(transform("
-          "sequence(1, greatest(length(canonical_name) - 2, 1)), "
-          "i -> substring(canonical_name, i, 3)), t -> t != ''))")
-    sig = (f"transform(sequence(0, {CANON_NUM_HASHES - 1}), "
-           f"h -> array_min(transform(tg, t -> xxhash64(t, h))))")
     banded = (
-        entities.withColumn("tg", F.expr(tg))
+        entities.withColumn("tg", F.expr(CANON_TG_EXPR))
         .filter(F.size("tg") > 0)
         .select(F.struct("canonical_name", "entity_id", "tg").alias("row"),
-                F.posexplode(F.expr(sig)).alias("band", "bval"))
+                F.posexplode(F.expr(CANON_SIG_EXPR)).alias("band", "bval"))
     )
     buckets = (
         banded.groupBy("band", "bval")

@@ -82,8 +82,16 @@ def zorder_key(cols, bits: int = 16, check: bool = True):
     from pyspark.sql.functions import concat as F_concat
     from pyspark.sql.functions import raise_error as F_raise
 
-    key = F_lit(0).cast("long")
     n = len(cols)
+    if bits * n > 63:
+        # the top interleave bit would land on the long's sign bit (or
+        # wrap mod 64 in the JVM shift) and silently invert/corrupt the
+        # sort order for in-range values — fail at construction instead
+        raise ValueError(
+            f"zorder_key: bits * n_cols = {bits}*{n} = {bits * n} "
+            f"exceeds 63 — lower bits (e.g. bits={63 // n}) so the "
+            f"interleaved key fits a signed long")
+    key = F_lit(0).cast("long")
     for i in range(bits):
         for j, c in enumerate(cols):
             v = F_col(c).cast("long")
@@ -120,11 +128,19 @@ class Catalog:
         each file so downstream per-key reads stay sequential (the
         parquet-dir stand-in for Iceberg's sort order metadata)."""
         if self.iceberg:  # pragma: no cover - no Iceberg jar in sandbox
-            w = df.writeTo(table)
+            out = (df.sortWithinPartitions(*sort_within_by)
+                   if sort_within_by else df)
+            w = out.writeTo(table)
             if partition_by:
                 from pyspark.sql.functions import col
                 w = w.partitionedBy(*[col(c) for c in partition_by])
-            w.createOrReplace()
+            if mode == "append":
+                try:
+                    w.append()
+                except Exception:  # table doesn't exist yet
+                    w.create()
+            else:
+                w.createOrReplace()
             return
         self._write_dir(df, self._path(table), partition_by,
                         sort_within_by, mode)
@@ -317,6 +333,16 @@ class Catalog:
                  "sort_within_by": list(sort_within_by)}
         if spec is not None:
             entry["cluster_by"] = [spec[0], int(spec[1])]
+        if op == "overwrite":
+            # an overwrite logically CONTAINS every epoch-tagged append it
+            # replaces, so it inherits the streaming exactly-once
+            # watermark (max committed epoch) — otherwise compaction +
+            # expire would erase it and a replayed micro-batch (the
+            # sink-ran/checkpoint-didn't crash window) would append twice
+            ep = max((s.get("epoch", -1)
+                      for s in self._vmeta(table)["snapshots"]), default=-1)
+            if ep >= 0:
+                entry["epoch"] = ep
         return {"table": table, "entry": entry}
 
     def read_staged(self, staged: dict) -> DataFrame:
@@ -541,11 +567,21 @@ class Catalog:
         """Rewrite the current view as one overwrite snapshot (Iceberg
         ``rewrite_data_files``): collapses the append chain — the
         small-file/union-width bound a long-running incremental ingest
-        needs — and re-clusters rows under the given layout."""
+        needs — and re-clusters rows under the given layout. Commits
+        with optimistic validation against the snapshot the rewrite
+        read: a writer landing during the (long) rewrite job raises
+        :class:`CommitConflict` instead of being silently erased by an
+        overwrite that predates it — re-run the compaction."""
+        # capture the read-set BEFORE pinning the view: a commit in
+        # between makes the view newer than expect -> loud conflict
+        expect_snap = self.current_snapshot(table)
         cur = self.read_at(table)
-        # the source scan and the replace target never overlap (the new
-        # snapshot dir is fresh), so no self-overwrite hazard
-        return self.replace(cur, table, partition_by, sort_within_by)
+        # the source scan and the overwrite target never overlap (the
+        # new snapshot dir is fresh), so no self-overwrite hazard
+        staged = self.stage(cur, table, "overwrite", partition_by,
+                            sort_within_by)
+        return self.commit_group([staged],
+                                 expect={table: expect_snap})[table]
 
     def expire_snapshots(self, table: str, keep_last: int = 1) -> list[int]:
         """Delete data dirs that are (a) no longer referenced by the log
@@ -553,6 +589,10 @@ class Catalog:
         log entries AND not part of the current view. Returns expired ids.
         Never touches the current view's data."""
         import shutil
+        if keep_last < 1:
+            # log[-0:] is the WHOLE log — 0 would silently keep
+            # everything, the opposite of what it reads as
+            raise ValueError(f"keep_last must be >= 1, got {keep_last}")
         log = self._vmeta(table)["snapshots"]
         live_ids = {s["id"] for s in self._live_snaps(table, None)}
         keep_ids = {s["id"] for s in log[-keep_last:]} | live_ids

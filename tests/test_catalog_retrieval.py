@@ -436,3 +436,59 @@ def test_merge_optimistic_concurrency_and_layout_inheritance(
     newest = cat.snapshots("t")[-1]
     assert newest["op"] == "overwrite"
     assert newest["sort_within_by"] == ["k"]
+
+
+def test_compact_conflicts_with_concurrent_writer(spark, tmp_path):
+    """Review fix: compact commits with expect= the snapshot it read —
+    a writer landing during the rewrite raises CommitConflict instead
+    of being silently erased by the stale overwrite."""
+    import pytest as _pt
+
+    from cosmos_spark.sources.catalog import Catalog, CommitConflict
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    df = spark.range(5).selectExpr("id", "id * 2 AS v")
+    cat.append(df, "t")
+    orig_stage = cat.stage
+    raced = {"done": False}
+
+    def stage_with_race(frame, table, *a, **k):
+        staged = orig_stage(frame, table, *a, **k)
+        if not raced["done"]:
+            raced["done"] = True
+            cat.append(spark.range(100, 101).selectExpr(
+                "id", "id * 2 AS v"), "t")   # concurrent commit
+        return staged
+
+    cat.stage = stage_with_race
+    try:
+        with _pt.raises(CommitConflict):
+            cat.compact("t")
+    finally:
+        cat.stage = orig_stage
+    # the concurrent writer's row survived untouched
+    assert cat.read_at("t").count() == 6
+    # and a re-run against the new state lands
+    cat.compact("t")
+    assert cat.read_at("t").count() == 6
+
+
+def test_expire_keep_last_zero_raises(spark, tmp_path):
+    import pytest as _pt
+
+    from cosmos_spark.sources.catalog import Catalog
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    cat.append(spark.range(2), "t")
+    with _pt.raises(ValueError, match="keep_last"):
+        cat.expire_snapshots("t", keep_last=0)
+
+
+def test_zorder_width_guard(spark):
+    """Review fix: bits * n_cols > 63 would put interleave bits on the
+    long's sign bit (or wrap the JVM shift count) and silently corrupt
+    the sort order for in-range values — refused at construction."""
+    import pytest as _pt
+
+    from cosmos_spark.sources import zorder_key
+    with _pt.raises(ValueError, match="exceeds 63"):
+        zorder_key(("a", "b", "c", "d"), bits=16)
+    zorder_key(("a", "b", "c", "d"), bits=15)  # 60 bits: fine

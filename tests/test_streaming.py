@@ -425,3 +425,27 @@ def test_stream_sessions_emits_only_finalized(spark, tmp_path):
     sess = got[got["session_start"] == pd.Timestamp("2026-01-01 10:00:00")]
     assert len(sess) == 1 and int(sess["n_events"].iloc[0]) == 1
     assert len(drain()) == len(got)     # idempotent re-drain
+
+
+def test_epoch_watermark_survives_compaction(spark, tmp_path):
+    """Review fix: compaction + expire used to erase the epoch-tagged
+    append entries, so a replayed micro-batch (the sink-ran /
+    checkpoint-didn't crash window) would append TWICE after a
+    compaction. The overwrite snapshot now inherits max(epoch)."""
+    from cosmos_spark.sources import Catalog
+    from cosmos_spark.streaming.ingest import _commit_epoch, _last_epoch
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    rows = spark.createDataFrame(
+        [("s", "defines", "o", "r", 1.0)],
+        "subj string, pred string, obj string, repo string, score double")
+    assert _commit_epoch(cat, "g.triples", rows, 0) is True
+    assert _commit_epoch(cat, "g.triples", rows, 1) is True
+    n = cat.read_at("g.triples").count()
+
+    cat.compact("g.triples")
+    cat.expire_snapshots("g.triples", keep_last=1)
+    assert _last_epoch(cat, "g.triples") == 1
+    # crash-window replay of epoch 1 is STILL a no-op post-compaction
+    assert _commit_epoch(cat, "g.triples", rows, 1) is False
+    assert cat.read_at("g.triples").count() == n
