@@ -57,6 +57,7 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
         return (row["n"], row["s"])
 
     prev_sig = _sig(labels)
+    converged = False
     for i in range(max_iters):
         neighbor = (
             sym.join(labels, sym["dst"] == labels["node"])
@@ -76,9 +77,20 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
         labels = new_labels
         old.unpersist()
         if sig == prev_sig:
+            converged = True
             break
         prev_sig = sig
     sym.unpersist()
+    if not converged:
+        # min-propagation is O(component diameter): falling out of the
+        # loop mid-propagation would silently UNDER-MERGE (distinct
+        # labels inside one component) — fail loudly instead
+        labels.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} "
+            f"rounds — a component's diameter exceeds the cap; raise "
+            f"max_iters or use connected_components_star (O(log n) "
+            f"rounds, diameter-independent)")
     # Hand back a non-persisted materialization: localCheckpoint blocks are
     # released by the ContextCleaner once the frame is GC'd, so repeated
     # harness invocations don't accumulate cached label frames (the loop's
@@ -97,9 +109,21 @@ def adaptive_component_mapping(edges: DataFrame,
     distributed loop (the AQE-broadcast-threshold idea applied to graph
     connectivity); otherwise the O(log n)-round star CC runs. Isolated
     nodes never appear (callers left-join + coalesce)."""
+    from pyspark import StorageLevel
+
     spark = edges.sparkSession
-    head = edges.limit(driver_max_edges + 1).collect()
+    ep = edges.select("src", "dst")  # probe/scan width: two columns only
+    # persist once: the probe, the star path's node derivation and its E
+    # materialization otherwise re-run the (possibly expensive — LSH +
+    # verify joins at the dedup call site) edge plan up to three times;
+    # skip when the caller already persisted the frame
+    own_persist = str(edges.storageLevel) == str(StorageLevel.NONE)
+    if own_persist:
+        ep = ep.persist(StorageLevel.MEMORY_AND_DISK)
+    head = ep.limit(driver_max_edges + 1).collect()
     if len(head) <= driver_max_edges:
+        if own_persist:
+            ep.unpersist()
         parent: dict = {}
 
         def find(x):
@@ -120,10 +144,14 @@ def adaptive_component_mapping(edges: DataFrame,
         schema = T.StructType([T.StructField("node", ntype),
                                T.StructField("component", ntype)])
         return spark.createDataFrame(rows or [], schema)
-    nodes = (edges.select(F.col("src").alias("node"))
-             .unionByName(edges.select(F.col("dst").alias("node")))
+    nodes = (ep.select(F.col("src").alias("node"))
+             .unionByName(ep.select(F.col("dst").alias("node")))
              .distinct())
-    return connected_components_star(nodes, edges)
+    try:
+        return connected_components_star(nodes, ep)
+    finally:
+        if own_persist:
+            ep.unpersist()
 
 
 def connected_components_star(nodes: DataFrame, edges: DataFrame,
@@ -233,20 +261,22 @@ def degrees(edges: DataFrame) -> DataFrame:
                     F.coalesce("in_deg", F.lit(0)).alias("in_deg")))
 
 
-def k_hop(edges: DataFrame, seeds: DataFrame, k: int = 2) -> DataFrame:
+def k_hop(edges: DataFrame, seeds: DataFrame, k: int = 2,
+          broadcast_frontier: bool = True) -> DataFrame:
     """Distinct nodes reachable from ``seeds`` (column ``node``) in at most
     ``k`` directed hops, seeds included. Frontier-style BFS: each round
     joins the *frontier* (small, seed-anchored) against the edge relation
     — the frontier side is broadcast so the big edge table never shuffles;
     on a cluster the edge relation stays partition-local across all k
     rounds. For frontiers that outgrow the broadcast threshold (hub-dense
-    graphs) drop the hint and let AQE pick the join side."""
+    graphs) pass ``broadcast_frontier=False`` and AQE picks the join
+    side per round instead of an unconditional (OOM-able) hint."""
     visited = seeds.select("node").distinct()
     frontier = visited
     for _ in range(k):
+        fr = F.broadcast(frontier) if broadcast_frontier else frontier
         frontier = (
-            edges.join(F.broadcast(frontier),
-                       edges["src"] == frontier["node"])
+            edges.join(fr, edges["src"] == fr["node"])
             .select(F.col("dst").alias("node")).distinct()
         )
         visited = visited.unionByName(frontier).distinct()
@@ -322,4 +352,10 @@ def pagerank(edges: DataFrame, iters: int = 5,
         )
         if (i + 1) % 8 == 0:
             ranks = ranks.localCheckpoint()
-    return ranks
+    # materialize the result, then release the loop's caches — repeated
+    # harness calls must not accumulate cached nodes/adj relations (same
+    # discipline as connected_components; review fix)
+    out = ranks.localCheckpoint(eager=True)
+    adj.unpersist()
+    nodes.unpersist()
+    return out

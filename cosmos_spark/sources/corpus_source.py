@@ -156,6 +156,16 @@ class CorpusDataSource(DataSource):
         return SCHEMA
 
     def reader(self, schema) -> DataSourceReader:
+        # rows are synthesized positionally in _COLS order; a
+        # user-supplied .schema(...) that reorders or subsets columns
+        # would silently misassign values — refuse it loudly (project
+        # with .select AFTER load instead)
+        names = list(schema.fieldNames()) if schema is not None else _COLS
+        if names != list(_COLS):
+            raise ValueError(
+                f"cosmos_corpus emits columns {list(_COLS)} positionally; "
+                f"got read schema {names} — drop .schema() and project "
+                f"with .select() after load")
         return CorpusBatchReader(self.options)
 
     def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:

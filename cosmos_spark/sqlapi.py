@@ -62,6 +62,13 @@ def register_graph_views(spark: SparkSession, catalog, tables=None,
     views = []
     for t in tables:
         name = view_prefix + t.split(".")[-1]
+        if name in views:
+            # two tables sharing a suffix would silently clobber one
+            # view and SQL consumers would query the wrong table
+            raise ValueError(
+                f"view name collision: {name!r} (from {t!r}) — tables "
+                f"sharing a last dotted component need distinct "
+                f"view_prefix calls")
         catalog.read(t).createOrReplaceTempView(name)
         views.append(name)
     return views

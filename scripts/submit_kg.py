@@ -93,6 +93,14 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--no-stop", action="store_true",
                    help=argparse.SUPPRESS)  # tests reuse the session
     args = p.parse_args(argv)
+    if args.versioned and (args.workdir or args.graph):
+        # the versioned path has its own resume story (delta absorption
+        # via the catalog manifest) and graph layout (inc.* tables) —
+        # silently dropping these flags misled resubmits into full
+        # rebuilds, so refuse the combination loudly
+        p.error("--versioned handles resume/output via the catalog at "
+                "--output; it is mutually exclusive with --workdir and "
+                "--graph")
 
     spark = build_session()
     sc = spark.sparkContext

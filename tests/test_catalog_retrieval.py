@@ -492,3 +492,16 @@ def test_zorder_width_guard(spark):
     with _pt.raises(ValueError, match="exceeds 63"):
         zorder_key(("a", "b", "c", "d"), bits=16)
     zorder_key(("a", "b", "c", "d"), bits=15)  # 60 bits: fine
+
+
+def test_graph_view_name_collision_raises(spark, tmp_path):
+    import pytest as _pt
+
+    from cosmos_spark import sqlapi
+    # minimal duck-typed catalog: only .read is consulted before the guard
+    class _Cat:
+        def read(self, t):
+            return spark.range(1)
+    with _pt.raises(ValueError, match="collision"):
+        sqlapi.register_graph_views(spark, _Cat(),
+                                    tables=["a.triples", "b.triples"])

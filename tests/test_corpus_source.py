@@ -90,3 +90,15 @@ def test_stream_composes_with_batch_kernels(registered):
     q.awaitTermination(120)
     got = sorted(map(tuple, spark.read.parquet(out).select(cols).collect()))
     assert got == exp
+
+
+def test_reader_rejects_reordered_schema(spark):
+    """Review fix: rows are synthesized positionally, so a user schema
+    that reorders columns would silently misassign values — refused."""
+    import pytest as _pt
+    df = (spark.read.format("cosmos_corpus")
+          .schema("path string, repo string, commit string, lang string, "
+                  "content string")
+          .option("files_per_repo", "2").load())
+    with _pt.raises(Exception, match="positionally"):
+        df.collect()

@@ -1001,3 +1001,51 @@ def test_quantile_sketch_null_ids_skipped(spark):
     out = sketch.quantile_sketch(df, "g", "v", "id", qs=(0.5,), k=5)
     row = out.collect()[0]
     assert row["m_sample"] == 5 and row["est_q"] < 999999
+
+
+# ---------------------------------------------------------------------------
+# graph analytics review fixes
+# ---------------------------------------------------------------------------
+
+def test_cc_nonconvergence_raises_star_succeeds(spark):
+    """Review fix: min-label CC falling out of max_iters used to return
+    silently under-merged components; now it raises and points at the
+    diameter-independent star variant, which solves the same chain."""
+    import pytest as _pt
+
+    from cosmos_spark.operators import graph
+    n = 12
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long")
+    nodes = spark.range(n).select(F.col("id").alias("node"))
+    with _pt.raises(RuntimeError, match="did not converge"):
+        graph.connected_components(nodes, edges, max_iters=3)
+    out = graph.connected_components_star(nodes, edges)
+    assert {r["component"] for r in out.collect()} == {0}
+
+
+def test_pagerank_releases_caches(spark):
+    """Review fix: pagerank materializes its result and unpersists the
+    nodes/adjacency caches — repeated calls don't accumulate."""
+    from cosmos_spark.operators import graph
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 6) for i in range(6)], "src long, dst long")
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    ranks = graph.pagerank(edges, iters=3)
+    assert ranks.count() == 6
+    after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    # only the result's own localCheckpoint block may remain (released
+    # by the ContextCleaner once `ranks` is GC'd); the fix removed the
+    # two permanently-leaked persists (nodes + adjacency)
+    assert after - before <= 1
+
+
+def test_k_hop_no_broadcast_matches(spark):
+    from cosmos_spark.operators import graph
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4)], "src long, dst long")
+    seeds = spark.createDataFrame([(0,)], "node long")
+    a = {r["node"] for r in graph.k_hop(edges, seeds, k=2).collect()}
+    b = {r["node"] for r in graph.k_hop(
+        edges, seeds, k=2, broadcast_frontier=False).collect()}
+    assert a == b == {0, 1, 2}
