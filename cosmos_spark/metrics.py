@@ -104,6 +104,10 @@ def doc_ap(pred_df, exp_df, doc_cols=("repo", "path"),
           for k, g in exp_df.groupby(list(doc_cols))}
     docs = set(pg) | set(eg)
     per_doc = {d: ap_summary(pg.get(d, []), eg.get(d, [])) for d in docs}
+    if not per_doc:
+        # empty-vs-empty is a perfect match by average_precision's own
+        # convention — np.mean([]) would return NaN and poison any gate
+        return {"per_doc": per_doc, "AP": 1.0, "AP50": 1.0, "AP75": 1.0}
     return {
         "per_doc": per_doc,
         "AP": float(np.mean([v["AP"] for v in per_doc.values()])),

@@ -35,12 +35,15 @@ def context_windows(df: DataFrame, id_col: str, text_col: str,
                     suffix_len: int = 20, skip: int = 2) -> DataFrame:
     """(id, pos, prefix, suffix) — one row per occurrence of ``label`` in
     the whitespace token stream; pos is the 0-based token index. ``skip``
-    mirrors the reference's ``words[i+2:]`` (label + its number slot)."""
+    mirrors the reference's ``words[i+2:]`` (label + its number slot).
+    Matching is case-insensitive: the token stream is lowercased, so the
+    label is compared lowercased too (a cased label used to silently
+    match nothing)."""
     toks = F.expr(f"regexp_extract_all(lower({text_col}), '\\\\S+', 0)")
     hits = (
         df.select(F.col(id_col), toks.alias("toks"))
         .select(id_col, "toks", F.posexplode("toks").alias("pos", "tok"))
-        .filter(F.col("tok") == label)
+        .filter(F.col("tok") == label.lower())
     )
     pre_start = f"greatest(pos - {prefix_len}, 0) + 1"
     return hits.select(
@@ -156,9 +159,16 @@ def extract_table_rows(df: DataFrame, id_col: str,
             d["cells"] = d["line"].str.split(",")
             d["pos"] = d.groupby("tid").cumcount()
             size = d.groupby("tid")["tid"].transform("size")
-            first_nonnum = d["cells"].map(
-                lambda cs: not any(_NUMERIC_CELL.match(c) for c in cs))
-            d["is_header"] = (d["pos"] == 0) & (size >= 2) & first_nonnum
+            # only pos==0 rows can be headers — run the numeric-cell
+            # regex on one row per table, not every cell of every row
+            head_idx = d.index[d["pos"] == 0]
+            is_hdr = pd.Series(False, index=d.index)
+            is_hdr.loc[head_idx] = (
+                (size.loc[head_idx] >= 2)
+                & d.loc[head_idx, "cells"].map(
+                    lambda cs: not any(_NUMERIC_CELL.match(c)
+                                       for c in cs)))
+            d["is_header"] = is_hdr
             hdr_map = (d.loc[d["is_header"]]
                        .set_index("tid")["cells"].to_dict())
             d["header"] = d["tid"].map(lambda t: hdr_map.get(t))

@@ -84,9 +84,13 @@ def _get_decoder(fake: bool):
     return _DECODER_SINGLETON[key]
 
 
-def decode_image_stub(payload: bytes) -> tuple[int, int, list[float]]:
-    """Deterministic fake decode: dims + 8-dim feature from the bytes."""
-    h = hashlib.sha256(payload).digest()
+def decode_image_stub(payload: bytes,
+                      digest: bytes | None = None
+                      ) -> tuple[int, int, list[float]]:
+    """Deterministic fake decode: dims + 8-dim feature from the bytes.
+    ``digest`` lets a caller that already sha256'd the payload reuse it
+    (the feature-extraction hot path hashes each blob exactly once)."""
+    h = digest if digest is not None else hashlib.sha256(payload).digest()
     width = 64 + h[0] % 64
     height = 64 + h[1] % 64
     feature = [round(b / 255.0, 6) for b in h[2:10]]
@@ -108,11 +112,11 @@ def extract_media_features(media: DataFrame, fake: bool = True) -> DataFrame:
             for mid, kind, payload in zip(pdf["media_id"], pdf["kind"],
                                           pdf["payload"]):
                 b = bytes(payload) if payload is not None else b""
-                w, hgt, feat = decode_image_stub(b)
+                dig = hashlib.sha256(b).digest()  # hash each blob ONCE
+                w, hgt, feat = decode_image_stub(b, digest=dig)
                 if not fake:
                     w, hgt = decode_media_header(b)
-                rows.append((mid, kind, len(b),
-                             hashlib.sha256(b).hexdigest(), w, hgt, feat))
+                rows.append((mid, kind, len(b), dig.hex(), w, hgt, feat))
             yield pd.DataFrame(rows,
                                columns=[f.name for f in FEATURE_SCHEMA.fields])
 

@@ -48,17 +48,23 @@ def bucketed_rank(df: DataFrame, key_col: str, rank_col: str = "ord",
     """Exact global ``row_number() OVER (ORDER BY key_col)`` without a
     single-reducer pass over ``df``.
 
-    Requires ``key_col`` to be a unique key (exports rank by a primary
-    key). ``bucket`` must be an expression MONOTONE non-decreasing in
-    ``key_col``'s ordering — then bucket order == key order and local
-    rank + cumulative bucket offset == global rank, exactly. Default:
-    a ``prefix_len``-char prefix for string keys (prefix truncation is
-    monotone w.r.t. lexicographic order); for numeric keys pass e.g.
+    Requires ``key_col`` to be a unique, NON-NULL key (exports rank by a
+    primary key) — a null key has no position in the total order, would
+    inflate every bucket's offset and then vanish in the offset equi-join
+    (NULL != NULL), so it fails the job row-locally instead. ``bucket``
+    must be an expression MONOTONE non-decreasing in ``key_col``'s
+    ordering — then bucket order == key order and local rank + cumulative
+    bucket offset == global rank, exactly. Default: a ``prefix_len``-char
+    prefix for string keys (prefix truncation is monotone w.r.t.
+    lexicographic order); for numeric keys pass e.g.
     ``F.floor(F.col(k) / width)``. Pick granularity so each bucket fits
     an executor (hash-prefixed string ids spread uniformly; dense numeric
     ids split evenly by width)."""
     b = bucket if bucket is not None \
         else F.substring(F.col(key_col), 1, prefix_len)
+    b = F.when(F.col(key_col).isNotNull(), b).otherwise(
+        F.raise_error(F.lit(
+            f"bucketed_rank: null {key_col} — ranks need a total order")))
     dfb = df.withColumn("_bucket", b)
     counts = dfb.groupBy("_bucket").agg(F.count(F.lit(1)).alias("_cnt"))
     off_w = (Window.orderBy("_bucket")

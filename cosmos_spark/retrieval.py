@@ -32,6 +32,9 @@ def docs_matching(documents: DataFrame, terms: list[str],
     (repo, path) key relation — the Spark analog of the reference
     resolving its doc filter against the separate `fulldocument` index
     (`elastic_retriever.py:262-277`)."""
+    if not terms:
+        raise ValueError("docs_matching: terms must be non-empty "
+                         "(omit the doc_filter for match-all)")
     preds = [F.col("content").contains(t) for t in terms]
     cond = preds[0]
     for p in preds[1:]:
@@ -48,6 +51,7 @@ def search_segments(
     page: int = 0,
     per_page: int = 30,
     doc_filter: DataFrame | None = None,
+    broadcast_filter: bool = True,
 ) -> DataFrame:
     """Term search over segment text with class/score filters + pagination.
 
@@ -56,12 +60,14 @@ def search_segments(
     seg_id for a stable page (the reference pages an ES score sort).
     ``doc_filter`` — a (repo, path) key relation (typically
     :func:`docs_matching` over the ``graph.documents`` rollup) semi-joined
-    before ranking: the doc key set is query-bounded and broadcasts, so
-    the big segment side never shuffles (`elastic_retriever.py:262-277`'s
-    doc-filter clause)."""
+    before ranking: a query-bounded doc key set broadcasts, so the big
+    segment side never shuffles (`elastic_retriever.py:262-277`'s
+    doc-filter clause). A HOT term can make that key set corpus-sized —
+    pass ``broadcast_filter=False`` there so AQE sizes the join instead
+    of an unconditional (OOM-able) broadcast hint."""
     if doc_filter is not None:
-        segments = segments.join(F.broadcast(doc_filter), ["repo", "path"],
-                                 "left_semi")
+        flt = F.broadcast(doc_filter) if broadcast_filter else doc_filter
+        segments = segments.join(flt, ["repo", "path"], "left_semi")
     if terms:
         preds = [F.col("text").contains(t) for t in terms]
         cond = preds[0]
@@ -95,7 +101,18 @@ def compile_search(node: dict, text_col: str = "text"):
         {"not": node}               bool.must_not
         {"kind": ["function", ..]}  class term filter (P1 analog)
         {"min_score": 0.9}          score range filter (P2 analog)
+
+    Exactly ONE operator key per node — combining filters ES-style in a
+    single clause ({"term": ..., "min_score": ...}) is rejected loudly
+    instead of silently keeping only the first recognized key (wrap them
+    in an {"and": [...]} node).
     """
+    keys = [k for k in ("term", "and", "or", "not", "kind", "min_score")
+            if k in node]
+    if len(keys) != 1:
+        raise ValueError(
+            f"search node must have exactly one operator key, got "
+            f"{sorted(node)} — combine filters with an 'and' node")
     if "term" in node:
         return F.col(text_col).contains(node["term"])
     if "and" in node:
@@ -221,7 +238,10 @@ def qa_extract(contexts: DataFrame, question: str,
 
     Adds (answer, qa_score, span_start); rows whose context lacks the
     keyword get nulls (filter on ``span_start is not null`` for hits)."""
-    kw = re.findall(r"\S+", question.lower())[-1]
+    toks = re.findall(r"\S+", question.lower())
+    if not toks:
+        raise ValueError("qa_extract: question has no tokens")
+    kw = toks[-1]
 
     @F.pandas_udf("answer string, qa_score double, span_start int")
     def _qa(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
@@ -244,12 +264,16 @@ def qa_extract(contexts: DataFrame, question: str,
 
 
 def top1_per_doc(results: DataFrame, doc_col: str = "repo",
-                 score_col: str = "score") -> DataFrame:
+                 score_col: str = "score",
+                 tie_col: str = "object_ref") -> DataFrame:
     """Diversity rerank: keep the best hit per document (the reference's
     per-doc top-1 after BERT rerank, `elastic_reranking_retriever.py:43-49`
-    / `docsrc/source/retrieval.rst:19-31`)."""
+    / `docsrc/source/retrieval.rst:19-31`). ``tie_col`` is the
+    deterministic tie-break — defaults to the entity_objects shape;
+    pass the frame's own key (seg_id, doc_id, ...) when composing with
+    :func:`rerank` over segment/document frames."""
     w = Window.partitionBy(doc_col).orderBy(
-        F.desc(score_col), F.asc("object_ref"))
+        F.desc(score_col), F.asc(tie_col))
     return (
         results.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1).drop("rn")

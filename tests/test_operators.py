@@ -1049,3 +1049,54 @@ def test_k_hop_no_broadcast_matches(spark):
     b = {r["node"] for r in graph.k_hop(
         edges, seeds, k=2, broadcast_frontier=False).collect()}
     assert a == b == {0, 1, 2}
+
+
+def test_context_windows_label_case_insensitive(spark):
+    """Review fix: a cased label used to silently match nothing against
+    the lowercased token stream."""
+    from cosmos_spark.operators import enrich
+    df = spark.createDataFrame([(1, "see Table 4 below now ok")],
+                               "id long, text string")
+    out = enrich.context_windows(df, "id", "text", label="Table")
+    assert out.count() == 1
+
+
+def test_doc_ap_empty_vs_empty_is_perfect():
+    """Review fix: empty-vs-empty pools to 1.0 (average_precision's own
+    convention), not NaN."""
+    import pandas as pd
+
+    from cosmos_spark.metrics import doc_ap
+    cols = ["repo", "path", "line_start", "line_end", "score"]
+    empty = pd.DataFrame(columns=cols)
+    res = doc_ap(empty, empty)
+    assert res["AP"] == 1.0 and res["AP50"] == 1.0
+
+
+def test_bucketed_rank_null_key_fails_loudly(spark):
+    import pytest as _pt
+
+    from cosmos_spark.operators import ranks
+    df = spark.createDataFrame([("a",), (None,)], "k string")
+    with _pt.raises(Exception, match="null k"):
+        ranks.bucketed_rank(df, "k").collect()
+
+
+def test_compile_search_rejects_multi_key_nodes(spark):
+    import pytest as _pt
+
+    from cosmos_spark import retrieval
+    with _pt.raises(ValueError, match="exactly one operator key"):
+        retrieval.compile_search({"term": "x", "min_score": 0.9})
+    with _pt.raises(ValueError, match="exactly one operator key"):
+        retrieval.compile_search({})
+
+
+def test_docs_matching_empty_terms_raises(spark):
+    import pytest as _pt
+
+    from cosmos_spark import retrieval
+    docs = spark.createDataFrame([("r", "p", "c")],
+                                 "repo string, path string, content string")
+    with _pt.raises(ValueError, match="non-empty"):
+        retrieval.docs_matching(docs, [])
