@@ -115,7 +115,10 @@ def segments_of(source: DataFrame,
     ``passthrough`` columns (e.g. an event-time ``ingested_at``) are
     carried from the source row onto every derived segment row via an
     in-batch (repo, path) merge — exact under the unique-(repo, path)
-    source invariant, still row-local (no shuffle)."""
+    source invariant, still row-local (no shuffle). The merge side is
+    deduplicated on (repo, path) like mentions_of's: a batch carrying
+    two versions of one file (a streaming micro-batch with quick
+    successive updates) must not fan segment rows out multiplicatively."""
     src = source
     if "content_sha256" not in src.columns:
         src = src.withColumn("content_sha256", F.sha2(F.col("content"), 256))
@@ -124,8 +127,10 @@ def segments_of(source: DataFrame,
         for pdf in it:
             out = K.segment_kernel(pdf)
             if passthrough:
-                out = out.merge(pdf[["repo", "path", *passthrough]],
-                                on=["repo", "path"], how="left")
+                out = out.merge(
+                    pdf[["repo", "path", *passthrough]].drop_duplicates(
+                        ["repo", "path"]),
+                    on=["repo", "path"], how="left")
             yield out
 
     return src.mapInPandas(
@@ -537,52 +542,50 @@ def canonicalize(entities: DataFrame,
 
     dim_head = e.limit(driver_dim_max + 1).collect()
     if len(dim_head) <= driver_dim_max:
+        # level 1: whole dim fits — driver-vectorized mapping, no
+        # Catalyst banding job; shares the single return tail below
         mapping = _driver_canonical_mapping(dim_head)
-        mdf = spark.createDataFrame(mapping or [], schema)
-        canon = F.broadcast(mdf)
-        return (
-            entities.join(canon, "entity_id", "left")
-            .withColumn("canonical_id",
-                        F.coalesce(F.col("canonical_id"),
-                                   F.col("entity_id")))
-        )
-
-    from pyspark import StorageLevel
-
-    pairs = canonical_candidate_pairs(e).persist(StorageLevel.MEMORY_AND_DISK)
-    head = pairs.limit(driver_cc_max_edges + 1).collect()
-    if len(head) <= driver_cc_max_edges:
-        pairs.unpersist()
-        mapping = _driver_union_find(head)
-        mdf = spark.createDataFrame(mapping or [], schema)
-        canon = F.broadcast(mdf)
+        canon = F.broadcast(spark.createDataFrame(mapping or [], schema))
     else:
-        from .operators.graph import connected_components_star
-        edges = pairs
-        nodes = (edges.select(F.col("id_a").alias("node"))
-                 .unionByName(edges.select(F.col("id_b").alias("node")))
-                 .distinct())
-        # star CC: name-similarity components can be chain-shaped
-        # (a~b~c with a!~c), where min-label propagation would need
-        # O(chain length) rounds — large/small-star needs O(log n)
-        cc = connected_components_star(
-            nodes, edges.select(F.col("id_a").alias("src"),
-                                F.col("id_b").alias("dst")))
-        lab = cc.join(e, cc["node"] == e["entity_id"]).select(
-            "node", "component", "canonical_name")
-        rep = (
-            lab.groupBy("component")
-            .agg(F.min(F.struct("canonical_name",
-                                F.col("node").alias("eid"))).alias("r"))
-            .select("component", F.col("r.eid").alias("canonical_id"))
-        )
-        canon = (lab.join(rep, "component")
-                 .filter(F.col("node") != F.col("canonical_id"))
-                 .select(F.col("node").alias("entity_id"), "canonical_id"))
-        # connected_components_star localCheckpoints eagerly per round, so
-        # the persisted edge relation has been fully consumed by the time
-        # it returns — release it (cache-leak fix, ADVICE r2).
-        pairs.unpersist()
+        from pyspark import StorageLevel
+
+        pairs = (canonical_candidate_pairs(e)
+                 .persist(StorageLevel.MEMORY_AND_DISK))
+        head = pairs.limit(driver_cc_max_edges + 1).collect()
+        if len(head) <= driver_cc_max_edges:
+            pairs.unpersist()
+            mapping = _driver_union_find(head)
+            canon = F.broadcast(
+                spark.createDataFrame(mapping or [], schema))
+        else:
+            from .operators.graph import connected_components_star
+            edges = pairs
+            nodes = (edges.select(F.col("id_a").alias("node"))
+                     .unionByName(edges.select(F.col("id_b").alias("node")))
+                     .distinct())
+            # star CC: name-similarity components can be chain-shaped
+            # (a~b~c with a!~c), where min-label propagation would need
+            # O(chain length) rounds — large/small-star needs O(log n)
+            cc = connected_components_star(
+                nodes, edges.select(F.col("id_a").alias("src"),
+                                    F.col("id_b").alias("dst")))
+            lab = cc.join(e, cc["node"] == e["entity_id"]).select(
+                "node", "component", "canonical_name")
+            rep = (
+                lab.groupBy("component")
+                .agg(F.min(F.struct("canonical_name",
+                                    F.col("node").alias("eid"))).alias("r"))
+                .select("component", F.col("r.eid").alias("canonical_id"))
+            )
+            canon = (lab.join(rep, "component")
+                     .filter(F.col("node") != F.col("canonical_id"))
+                     .select(F.col("node").alias("entity_id"),
+                             "canonical_id"))
+            # connected_components_star localCheckpoints eagerly per
+            # round, so the persisted edge relation has been fully
+            # consumed by the time it returns — release it (cache-leak
+            # fix, ADVICE r2).
+            pairs.unpersist()
     return (
         entities.join(canon, "entity_id", "left")
         .withColumn("canonical_id",

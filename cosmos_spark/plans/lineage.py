@@ -62,11 +62,24 @@ class Checkpointer:
 
     # -- fingerprints --------------------------------------------------
     def fingerprint_source(self, source: DataFrame) -> str:
+        """Order-insensitive source fingerprint over the rows' IDENTITY
+        — (repo, path, commit, content_sha256), not content alone: a
+        rename or a content swap between files must change it (triples
+        embed paths in subj), and the per-row hashes combine by SUM
+        (decimal — no overflow), not xor, so duplicate rows cannot
+        cancel pairwise (two identical files edited identically used to
+        leave an xor digest unchanged). Cost: one columnar agg, no
+        stage recompute."""
+        ident = [c for c in ("repo", "path", "commit", "content_sha256")
+                 if c in source.columns] or list(source.columns)
+        h = F.conv(F.substring(
+            F.sha2(F.to_json(F.struct(*[F.col(c) for c in ident])), 256),
+            1, 15), 16, 10).cast("long")
         row = source.agg(
             F.count(F.lit(1)).alias("n"),
-            F.bit_xor(_digest_agg(source, "content_sha256")).alias("x"),
+            F.sum(h.cast("decimal(38,0)")).alias("s"),
         ).collect()[0]
-        return sha256_hex(f"src|{row['n']}|{row['x']}|{K.KERNEL_VERSION}")
+        return sha256_hex(f"src|{row['n']}|{row['s']}|{K.KERNEL_VERSION}")
 
     @staticmethod
     def chain(prev_fp: str, stage: str) -> str:
@@ -81,8 +94,13 @@ class Checkpointer:
         _, meta = self._paths(name)
         if not os.path.exists(meta):
             return False
-        with open(meta) as f:
-            return json.load(f).get("fingerprint") == fingerprint
+        try:
+            with open(meta) as f:
+                return json.load(f).get("fingerprint") == fingerprint
+        except (json.JSONDecodeError, OSError):
+            # a truncated/corrupt marker means NOT complete (recompute
+            # overwrites it) — never an unresumable crash loop
+            return False
 
     def stage(self, name: str, fingerprint: str,
               compute: Callable[[], DataFrame]) -> DataFrame:
@@ -91,6 +109,12 @@ class Checkpointer:
             self.skipped.append(name)
             return self.spark.read.parquet(os.path.join(data_dir, "data"))
 
+        # invalidate any STALE marker before the overwrite touches the
+        # data: a kill mid-recompute must not leave an old-fingerprint
+        # marker beside new/partial data (it would resume as complete if
+        # the input later reverted to the old fingerprint)
+        if os.path.exists(meta):
+            os.remove(meta)
         t0 = time.monotonic()
         df = compute()
         df.write.mode("overwrite").parquet(os.path.join(data_dir, "data"))
@@ -108,9 +132,13 @@ class Checkpointer:
             .select(*LINEAGE_COLUMNS)
         )
         lineage.write.mode("overwrite").parquet(os.path.join(data_dir, "lineage"))
-        with open(meta, "w") as f:  # marker last: write-then-log
+        # marker last (write-then-log), and ATOMIC: a kill mid-dump must
+        # leave no truncated marker (tmp + os.replace)
+        tmp = meta + ".tmp"
+        with open(tmp, "w") as f:
             json.dump({"fingerprint": fingerprint, "run_id": self.run_id,
                        "stage": name, "wall_ms": wall_ms}, f)
+        os.replace(tmp, meta)
         self.computed.append(name)
         return out
 
@@ -125,6 +153,7 @@ def run_resumable(
     workdir: str,
     run_id: str = "run0",
     stop_after: str | None = None,
+    source_unique_paths: bool = True,
 ) -> dict[str, DataFrame | None]:
     """The checkpointed end-to-end pipeline.
 
@@ -132,6 +161,9 @@ def run_resumable(
     including it are materialized; the rest aren't). A rerun with the same
     workdir skips every completed stage (fingerprint match), recomputing
     nothing — the BASELINE.md resumability gate.
+    ``source_unique_paths`` forwards run_pipeline's flag: pass False for
+    multi-commit snapshots (duplicate (repo, path) rows) so triples get
+    the global family dedup.
     """
     from .. import pipeline as P
 
@@ -163,7 +195,7 @@ def run_resumable(
         return out
 
     entities = ck.stage("entities_aliases", fps["entities_aliases"],
-                        lambda: P.entities_and_aliases(mentions)[0])
+                        lambda: P.entities_of(mentions))
     # alias dict derives from the (checkpointed) entities dim — never from
     # mentions, so a fully-resumed run re-reads only the tiny entity
     # parquet and recomputes nothing upstream
@@ -188,7 +220,8 @@ def run_resumable(
         "triples", fps["triples"],
         lambda: P.triples_of(segments, mentions, links,
                              canon.select("entity_id", "canonical_id"),
-                             run_id=run_id))
+                             run_id=run_id,
+                             source_unique_paths=source_unique_paths))
     out["triples"] = triples
     out["_checkpointer"] = ck  # type: ignore[assignment]
     return out

@@ -125,3 +125,77 @@ def test_submit_entrypoint_in_process(spark, tmp_path, capsys):
     # catalog holds the three-table graph layout
     for sub in ("triples", "nodes", "documents"):
         assert os.path.isdir(os.path.join(out2, "graph", sub))
+
+
+def test_fingerprint_sensitive_to_renames_and_duplicates(spark):
+    """Review fixes: the source fingerprint covers row IDENTITY (a
+    rename/content-swap must invalidate resume — triples embed paths),
+    and per-row hashes combine by SUM, so editing two identical files
+    identically can't cancel pairwise like the old xor digest."""
+    import pyspark.sql.functions as F
+
+    from cosmos_spark.plans.lineage import Checkpointer
+
+    def fp(rows):
+        df = spark.createDataFrame(rows, "repo string, path string, "
+                                   "commit string, content string")
+        df = df.withColumn("content_sha256",
+                           F.sha2(F.col("content"), 256))
+        return Checkpointer(spark, "/tmp/_fp_probe", "r").fingerprint_source(df)
+
+    base = [("r", "a.py", "c", "x"), ("r", "b.py", "c", "y")]
+    renamed = [("r", "b.py", "c", "x"), ("r", "a.py", "c", "y")]
+    assert fp(base) != fp(renamed)
+    dup = [("r", "a.py", "c", "same"), ("r", "b.py", "c", "same")]
+    dup_edited = [("r", "a.py", "c", "new"), ("r", "b.py", "c", "new")]
+    assert fp(dup) != fp(dup_edited)
+
+
+def test_truncated_marker_recovers_and_stale_marker_invalidated(
+        spark, tmp_path):
+    """Review fixes: a truncated meta marker reads as NOT complete (no
+    unresumable crash loop); a recompute removes the stale marker BEFORE
+    overwriting data, so a kill mid-recompute can never serve new data
+    under an old fingerprint."""
+    import pytest as _pt
+
+    from cosmos_spark.plans.lineage import _META, Checkpointer
+    ck = Checkpointer(spark, str(tmp_path), "r1")
+    ck.stage("s", "fpA", lambda: spark.range(3))
+    meta = os.path.join(str(tmp_path), "s", _META)
+
+    # truncated marker -> not complete -> recomputed, marker restored
+    with open(meta, "w") as f:
+        f.write('{"fingerp')
+    assert not ck.is_complete("s", "fpA")
+    ck.stage("s", "fpA", lambda: spark.range(3))
+    assert ck.is_complete("s", "fpA")
+
+    # input moves to fpB; the recompute crashes mid-way -> the fpA
+    # marker must already be gone (reverting input must NOT resume)
+    def boom():
+        raise RuntimeError("killed mid-recompute")
+    with _pt.raises(RuntimeError):
+        ck.stage("s", "fpB", boom)
+    assert not os.path.exists(meta)
+    assert not ck.is_complete("s", "fpA")
+
+
+def test_segments_passthrough_dedups_batch_duplicates(spark):
+    """Review fix: a micro-batch carrying two versions of one (repo,
+    path) must not fan segment rows out multiplicatively through the
+    passthrough merge."""
+    import pandas as pd
+
+    from cosmos_spark import pipeline as P
+    pdf = pd.DataFrame([
+        {"repo": "r", "path": "a.py", "commit": "c1", "lang": "py",
+         "content": "def f():\n    return 1"},
+        {"repo": "r", "path": "a.py", "commit": "c2", "lang": "py",
+         "content": "def f():\n    return 2"},
+    ])
+    pdf["ingested_at"] = pd.Timestamp("2026-01-01")
+    src = spark.createDataFrame(pdf).coalesce(1)
+    n_plain = P.segments_of(src.drop("ingested_at")).count()
+    n_pass = P.segments_of(src, passthrough=("ingested_at",)).count()
+    assert n_pass == n_plain
