@@ -254,13 +254,11 @@ def make_corpus_spark(
     import pyspark.sql.functions as F
     from pyspark.sql import types as T
 
-    spec = _repo_spec(n_repos, files_per_repo, skew_factor)
-    bounds = []  # (start, end, repo) global index ranges
-    off = 0
-    for repo, n in spec:
-        bounds.append((off, off + n, repo))
-        off += n
-    total = off
+    # the ONE index-space definition (shared with the cosmos_corpus
+    # DataSource); edge rows here ride as a separate union arm, so the
+    # generated range covers only the file indices
+    bounds, total, _with_edges = corpus_index_space(
+        n_repos, files_per_repo, skew_factor, include_edges=False)
 
     schema = T.StructType([
         T.StructField("repo", T.StringType()),

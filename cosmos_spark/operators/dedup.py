@@ -31,11 +31,37 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import types as T
 
-TOKENS = r"regexp_extract_all(lower({c}), '\\S+', 0)"
+# THE tokenizer — one pattern for the SQL shingle expression and the
+# Arrow-kernel re.findall sites below (and sketch/retrieval reuse it):
+# candidate GENERATION and Jaccard VERIFICATION must tokenize
+# identically or recall silently skews against verification
+TOKEN_RE = r"\S+"
+TOKENS = rf"regexp_extract_all(lower({{c}}), '\{TOKEN_RE}', 0)"
+
+# capped-bucket pair explosion shared by every banded-LSH family member:
+# ids are the bucket's sorted members; every (i < j) pair, exploded
+PAIR_EXPLODE = ("flatten(transform(ids, (x, i) -> "
+                "transform(slice(ids, i + 2, size(ids) - i - 1), "
+                "y -> struct(x as id_a, y as id_b))))")
 
 
 def _tokens(col: str) -> str:
     return TOKENS.format(c=col)
+
+
+def _bucket_pairs(banded: DataFrame, bucket_cols: list[str],
+                  max_bucket: int) -> DataFrame:
+    """(id, *bucket_cols) -> distinct (id_a < id_b) pairs within each
+    bucket, buckets above ``max_bucket`` dropped (degenerate content) —
+    the shared tail of minhash/simhash banding (and the shape
+    embedding_cosine_dup_pairs restates with vector payloads)."""
+    buckets = (
+        banded.groupBy(*bucket_cols)
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
+    )
+    return (buckets.select(F.explode(F.expr(PAIR_EXPLODE)).alias("p"))
+            .select("p.id_a", "p.id_b").distinct())
 
 
 def _shingles(col: str, k: int = 3) -> str:
@@ -74,7 +100,7 @@ def shingle_fingerprint(df: DataFrame, id_col: str, text_col: str,
     def _fp(text: pd.Series) -> pd.Series:
         out: list[str | None] = []
         for t in text.fillna(""):
-            toks = re.findall(r"\S+", t.lower())
+            toks = re.findall(TOKEN_RE, t.lower())
             n = len(toks) - shingle_k + 1
             if n <= 0:
                 out.append(None)
@@ -107,7 +133,7 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
     def _mh(text: pd.Series) -> pd.Series:
         out: list[list[int] | None] = []
         for t in text.fillna(""):
-            toks = re.findall(r"\S+", t.lower())
+            toks = re.findall(TOKEN_RE, t.lower())
             n = len(toks) - shingle_k + 1
             if n <= 0:
                 out.append(None)
@@ -141,6 +167,13 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     paired inside a groupBy — no quadratic corpus self-join ever forms.
     Returns distinct (id_a, id_b) with id_a < id_b.
     """
+    if bands < 1 or num_hashes % bands != 0:
+        # bands > num_hashes would make every band hash md5('') (one
+        # giant dropped bucket -> silently ZERO pairs); a non-divisible
+        # split would silently ignore trailing signature rows
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be a positive multiple of "
+            f"bands ({bands})")
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
     banded = sigs.select(
@@ -153,18 +186,7 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     ).select("id", F.col("bb.band").alias("band"),
              F.col("bb.bhash").alias("bhash"))
 
-    buckets = (
-        banded.groupBy("band", "bhash")
-        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
-        .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
-    )
-    pairs = buckets.select(
-        F.explode(F.expr(
-            "flatten(transform(ids, (x, i) -> "
-            "transform(slice(ids, i + 2, size(ids) - i - 1), "
-            "y -> struct(x as id_a, y as id_b))))")).alias("p")
-    ).select("p.id_a", "p.id_b").distinct()
-    return pairs
+    return _bucket_pairs(banded, ["band", "bhash"], max_bucket)
 
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
@@ -182,9 +204,13 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
         candidates.join(a, "id_a").join(b, "id_b")
         .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn("uni", F.size(F.array_union("sh_a", "sh_b")))
+        # empty-vs-empty (both docs under k tokens) is NO evidence of
+        # similarity -> 0.0, never 1.0: external/simhash candidate sets
+        # can contain sub-k-token docs with unrelated content (the LSH
+        # path can't — null signatures are filtered before banding)
         .withColumn("jaccard",
                     F.when(F.col("uni") > 0,
-                           F.col("inter") / F.col("uni")).otherwise(F.lit(1.0)))
+                           F.col("inter") / F.col("uni")).otherwise(F.lit(0.0)))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -245,7 +271,7 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str,
     def _sh(text: pd.Series) -> pd.Series:
         out = np.zeros(len(text), dtype=np.int64)
         for i, t in enumerate(text.fillna("")):
-            toks = re.findall(r"\S+", t.lower())
+            toks = re.findall(TOKEN_RE, t.lower())
             if not toks:
                 continue
             hs = np.array(
@@ -281,17 +307,7 @@ def simhash_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
             f"b -> struct(b as band, "
             f"shiftright(simhash, b * {band_bits}) & {mask}L as bval))")).alias("bb"),
     ).select("id", "bb.band", "bb.bval")
-    buckets = (
-        banded.groupBy("band", "bval")
-        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
-        .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
-    )
-    return buckets.select(
-        F.explode(F.expr(
-            "flatten(transform(ids, (x, i) -> "
-            "transform(slice(ids, i + 2, size(ids) - i - 1), "
-            "y -> struct(x as id_a, y as id_b))))")).alias("p")
-    ).select("p.id_a", "p.id_b").distinct()
+    return _bucket_pairs(banded, ["band", "bval"], max_bucket)
 
 
 def hamming64(a: Column, b: Column) -> Column:

@@ -37,6 +37,13 @@ def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
         for pdf in it:
             cur = pdf if acc is None else pd.concat([acc, pdf],
                                                     ignore_index=True)
+            # NaN/null cos_sim ranks LAST in both stages: pandas sorts
+            # NaN last here, and every row crosses this Arrow boundary
+            # before the final window, where NaN has become NULL (Arrow
+            # NaN->null coercion) and F.desc puts nulls last. Note Spark
+            # would rank a *surviving* NaN FIRST under desc — it never
+            # survives this hop, which is what keeps the two stages
+            # consistent (partition-invariance pinned by test).
             cur = cur.sort_values(["q_id", "cos_sim", "vec_id"],
                                   ascending=[True, False, True])
             acc = cur.groupby("q_id", sort=False).head(k)
@@ -85,14 +92,36 @@ def cosine_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
 
 
 def _plane_expr(vec_col: str, plane_idx: int, dim: int) -> str:
-    """Deterministic pseudo-random hyperplane component: md5(plane|dim) hex
-    nibble mapped to [-7.5 .. +7.5] (zero-mean). Sign of the dot product is
-    one LSH bit."""
-    comp = (f"transform(sequence(0, {dim - 1}), d -> "
-            f"cast(conv(substring(md5(concat('{plane_idx}|', "
-            f"cast(d as string))), 1, 4), 16, 10) as double) - 32767.5)")
-    return (f"aggregate(zip_with(cast({vec_col} as array<double>), {comp}, "
+    """Deterministic pseudo-random hyperplane component: the first 4 hex
+    chars of md5('<plane>|<d>') mapped to [-32767.5 .. +32767.5]
+    (zero-mean). The plane depends only on (plane_idx, d), so the
+    components are computed ONCE driver-side (hashlib — bit-identical to
+    the engines' md5) and inlined as an array literal: the previous HOF
+    formulation re-hashed the constant matrix per corpus ROW
+    (n_planes x dim interpreted md5 calls each — the per-element-HOF
+    pitfall dedup.py documents). DuckDB oracles keep reproducing the
+    same bits from md5 directly."""
+    import hashlib as _hl
+    comps = ", ".join(
+        repr(int(_hl.md5(f"{plane_idx}|{d}".encode()).hexdigest()[:4], 16)
+             - 32767.5) + "D"
+        for d in range(dim))
+    return (f"aggregate(zip_with(cast({vec_col} as array<double>), "
+            f"array({comps}), "
             f"(x, p) -> x * p), 0.0D, (acc, v) -> acc + v)")
+
+
+def rhp_bucket_expr(vec_col: str, n_planes: int = 8, dim: int = 64):
+    """The bucket as a COLUMN over the row's own embedding — attach with
+    ``withColumn`` (a pure row-local function; joining a separately built
+    bucket frame back on id would scan and shuffle the corpus twice for
+    a value each row already determines)."""
+    bits = " + ".join(
+        f"(case when ({_plane_expr(vec_col, p, dim)}) > 0 "
+        f"then {1 << p} else 0 end)"
+        for p in range(n_planes)
+    )
+    return F.expr(f"cast({bits} as int)")
 
 
 def rhp_lsh_buckets(emb: DataFrame, n_planes: int = 8,
@@ -101,13 +130,9 @@ def rhp_lsh_buckets(emb: DataFrame, n_planes: int = 8,
                     dim: int = 64) -> DataFrame:
     """(id, bucket): bucket = n_planes sign bits of deterministic random
     hyperplane projections. Row-local — this IS the index build."""
-    bits = " + ".join(
-        f"(case when ({_plane_expr(vec_col, p, dim)}) > 0 "
-        f"then {1 << p} else 0 end)"
-        for p in range(n_planes)
-    )
     return emb.select(F.col(id_col).alias("vec_id"),
-                      F.expr(f"cast({bits} as int)").alias("bucket"))
+                      rhp_bucket_expr(vec_col, n_planes, dim)
+                      .alias("bucket"))
 
 
 def cosine_topk_lsh(emb: DataFrame, queries: DataFrame, k: int = 10,
@@ -118,14 +143,10 @@ def cosine_topk_lsh(emb: DataFrame, queries: DataFrame, k: int = 10,
     """Approximate top-k: score only candidates sharing the query's LSH
     bucket. Recall < 1 by construction (that's the trade); at corpus scale
     this prunes the scan to ~1/2^n_planes of the rows."""
-    b_emb = emb.join(rhp_lsh_buckets(emb, n_planes, id_col, vec_col, dim),
-                     id_col)
-    q_buckets = rhp_lsh_buckets(
-        queries.select(F.col(q_id_col).alias("vec_id"),
-                       F.col(q_vec_col).alias("embedding")),
-        n_planes, "vec_id", "embedding", dim
-    ).withColumnRenamed("vec_id", q_id_col)
-    q = queries.join(q_buckets, q_id_col)
+    b_emb = emb.withColumn("bucket",
+                           rhp_bucket_expr(vec_col, n_planes, dim))
+    q = queries.withColumn("bucket",
+                           rhp_bucket_expr(q_vec_col, n_planes, dim))
 
     dot = _DOT.format(a=vec_col, b=q_vec_col)
     na = _NORM.format(a=vec_col)
@@ -177,10 +198,13 @@ def ivf_assign(emb: DataFrame, centroids: DataFrame,
         .select(F.col(id_col).alias("vec_id"), "centroid_id",
                 F.expr(sim).alias("c_sim"))
     )
+    # min over (-c_sim, cid): max similarity, ties -> SMALLEST centroid
+    # id for ANY id type (negating the id itself silently null-casts
+    # string ids and inverted the tie to largest-id; -c_sim is always
+    # numeric)
     best = (
         scored.groupBy("vec_id")
-        .agg(F.max(F.struct(F.col("c_sim"),
-                            (-F.col("centroid_id")).alias("neg"),
+        .agg(F.min(F.struct((-F.col("c_sim")).alias("ns"),
                             F.col("centroid_id").alias("cid"))).alias("b"))
         .select("vec_id", F.col("b.cid").alias("centroid_id"))
     )
@@ -193,8 +217,9 @@ def ivf_refine(emb: DataFrame, assign: DataFrame,
     """One Lloyd (k-means) refinement iteration over the IVF assignment:
     (centroid_id, dim, val) where val = elementwise mean of the vectors in
     that coarse list. One equi-join + one groupBy with map-side partial
-    aggregation — the shape iterates cheaply at any scale (re-assign with
-    :func:`ivf_assign` against the refined centroids and repeat). Sums go
+    aggregation — the shape iterates cheaply at any scale (pivot with
+    :func:`refined_centroids`, re-assign with :func:`ivf_assign`,
+    repeat). Sums go
     through decimal so the cross-engine compare is exact, not
     float-association-dependent."""
     j = emb.join(assign.withColumnRenamed("vec_id", id_col), id_col)
@@ -208,6 +233,19 @@ def ivf_refine(emb: DataFrame, assign: DataFrame,
             F.sum(F.col("x").cast("decimal(28,10)")).cast("double")
             / F.count(F.lit(1)), 6).alias("val"))
     )
+
+
+def refined_centroids(refined: DataFrame) -> DataFrame:
+    """Pivot :func:`ivf_refine`'s long (centroid_id, dim, val) output
+    back into the (centroid_id, c_vec) shape :func:`ivf_assign`
+    consumes — the missing glue that makes the documented Lloyd loop
+    (assign -> refine -> re-assign) actually compose. One k-bounded
+    groupBy; array_sort on struct(dim, val) restores dimension order."""
+    return (refined.groupBy("centroid_id")
+            .agg(F.array_sort(
+                F.collect_list(F.struct("dim", "val"))).alias("dv"))
+            .select("centroid_id",
+                    F.expr("transform(dv, s -> s.val)").alias("c_vec")))
 
 
 def cosine_topk_ivf(emb: DataFrame, queries: DataFrame, k: int = 10,
@@ -263,9 +301,9 @@ def embedding_cosine_dup_pairs(emb: DataFrame, threshold: float = 0.95,
     """Embedding-cosine near-duplicate pairs: LSH-bucket the corpus, pair
     within buckets (bounded), keep cosine >= threshold. The embedding twin
     of minhash_lsh_pairs."""
-    b = emb.join(rhp_lsh_buckets(emb, n_planes, id_col, vec_col, dim),
-                 id_col).select("bucket", F.col(id_col).alias("id"),
-                                F.col(vec_col).alias("v"))
+    b = emb.select(rhp_bucket_expr(vec_col, n_planes, dim).alias("bucket"),
+                   F.col(id_col).alias("id"),
+                   F.col(vec_col).alias("v"))
     grouped = (
         b.groupBy("bucket")
         .agg(F.sort_array(F.collect_list(F.struct("id", "v"))).alias("rows"))

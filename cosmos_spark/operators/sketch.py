@@ -157,6 +157,8 @@ def kmv_sketch_ngrams(df: DataFrame, group_col: str, text_col: str,
     building blocks."""
     import re
 
+    from .dedup import TOKEN_RE
+
     tags = {"uni": 1, "bi": 2} if ns is None else ns
     grp_type = df.schema[group_col].dataType
 
@@ -164,7 +166,7 @@ def kmv_sketch_ngrams(df: DataFrame, group_col: str, text_col: str,
         acc: dict = {}
         for pdf in batches:
             for g, t in zip(pdf[group_col], pdf[text_col]):
-                toks = re.findall(r"\S+", (t or "").lower())
+                toks = re.findall(TOKEN_RE, (t or "").lower())
                 for tag, n in tags.items():
                     grams = (toks if n == 1 else
                              [" ".join(toks[i:i + n])

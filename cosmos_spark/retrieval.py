@@ -23,6 +23,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
 from .operators import ranks
+from .operators.dedup import TOKEN_RE
 
 
 def docs_matching(documents: DataFrame, terms: list[str],
@@ -214,13 +215,13 @@ def rerank(results: DataFrame, query: str,
     scores token-set Jaccard(query, context), rounded for cross-engine
     stability. Adds ``rerank_score``; compose with :func:`top1_per_doc`
     for the reference's diversity rerank."""
-    q = set(re.findall(r"\S+", query.lower()))
+    q = set(re.findall(TOKEN_RE, query.lower()))
 
     @F.pandas_udf("double")
     def _score(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
         _load_model("overlap-reranker-v1")
         for s in it:
-            toks = s.fillna("").str.lower().str.findall(r"\S+")
+            toks = s.fillna("").str.lower().str.findall(TOKEN_RE)
             inter = toks.map(lambda t: len(q & set(t)))
             uni = toks.map(lambda t: len(q | set(t)) or 1)
             yield (inter / uni).round(6)
@@ -238,7 +239,7 @@ def qa_extract(contexts: DataFrame, question: str,
 
     Adds (answer, qa_score, span_start); rows whose context lacks the
     keyword get nulls (filter on ``span_start is not null`` for hits)."""
-    toks = re.findall(r"\S+", question.lower())
+    toks = re.findall(TOKEN_RE, question.lower())
     if not toks:
         raise ValueError("qa_extract: question has no tokens")
     kw = toks[-1]
@@ -248,7 +249,7 @@ def qa_extract(contexts: DataFrame, question: str,
         _load_model("span-extractor-v1")
         for s in it:
             rows = []
-            for t in s.fillna("").str.lower().str.findall(r"\S+"):
+            for t in s.fillna("").str.lower().str.findall(TOKEN_RE):
                 try:
                     i = t.index(kw)
                 except ValueError:

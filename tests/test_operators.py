@@ -1100,3 +1100,73 @@ def test_docs_matching_empty_terms_raises(spark):
                                  "repo string, path string, content string")
     with _pt.raises(ValueError, match="non-empty"):
         retrieval.docs_matching(docs, [])
+
+
+# ---------------------------------------------------------------------------
+# dedup/similarity review fixes
+# ---------------------------------------------------------------------------
+
+def test_lsh_bands_validation(docs):
+    with pytest.raises(ValueError, match="multiple of bands"):
+        dedup.minhash_lsh_pairs(docs, "doc_id", "text",
+                                num_hashes=16, bands=32)
+    with pytest.raises(ValueError, match="multiple of bands"):
+        dedup.minhash_lsh_pairs(docs, "doc_id", "text",
+                                num_hashes=16, bands=3)
+
+
+def test_jaccard_empty_shingles_not_dup(spark):
+    """Review fix: two sub-k-token docs with unrelated content used to
+    get jaccard 1.0 (empty-vs-empty) and be merged as duplicates."""
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "goodbye moon")],
+        "doc_id long, text string")
+    cands = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    out = dedup.ngram_jaccard_pairs(df, "doc_id", "text", cands,
+                                    threshold=0.5)
+    assert out.count() == 0
+
+
+def test_ivf_lloyd_loop_composes(spark, emb):
+    """Review fix: refined_centroids pivots ivf_refine's long output
+    back into the c_vec shape, so assign -> refine -> re-assign runs."""
+    cents = similarity.ivf_centroids(emb, n_centroids=3)
+    a1 = similarity.ivf_assign(emb, cents)
+    c2 = similarity.refined_centroids(similarity.ivf_refine(emb, a1))
+    a2 = similarity.ivf_assign(emb, c2)
+    assert a2.count() == emb.count()
+    assert set(a2.columns) == {"vec_id", "centroid_id"}
+    # refined vectors restore dimension order (8-dim input)
+    assert all(len(r["c_vec"]) == 8 for r in c2.collect())
+
+
+def test_ivf_assign_string_id_tiebreak(spark):
+    """Review fix: string centroid ids broke the smallest-id tie-break
+    (unary minus null-cast the id and silently picked the LARGEST)."""
+    e = spark.createDataFrame([(1, [1.0, 0.0])],
+                              "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [("zz", [1.0, 0.0]), ("aa", [1.0, 0.0])],
+        "centroid_id string, c_vec array<double>")
+    got = similarity.ivf_assign(e, cents).collect()[0]["centroid_id"]
+    assert got == "aa"
+
+
+def test_topk_nan_partition_invariant(spark):
+    """NaN cos_sim ranks WORST, partition-independently: the pandas
+    prune sorts NaN last, and NaN becomes NULL at the Arrow boundary so
+    the final desc window also puts it last. Pins the subtlety that a
+    NaN *surviving* to the window would rank FIRST under Spark desc —
+    it never survives the mapInPandas hop."""
+    nan = float("nan")
+    rows = ([(i, [nan, 1.0]) for i in range(6)]         # NaN cos_sim
+            + [(i, [1.0, float(i)]) for i in range(6, 12)])
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = spark.createDataFrame([(100, [1.0, 0.0])],
+                              "q_id long, q_vec array<double>")
+    a = similarity.cosine_topk(e.repartition(1), q, k=4).orderBy(
+        "rn").toPandas()
+    b = similarity.cosine_topk(e.repartition(7, "vec_id"), q, k=4).orderBy(
+        "rn").toPandas()
+    assert list(a["vec_id"]) == list(b["vec_id"])
+    assert not a["cos_sim"].isna().any()  # finite rows win over NaN
