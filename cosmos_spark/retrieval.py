@@ -217,6 +217,8 @@ def rerank(results: DataFrame, query: str,
     for the reference's diversity rerank."""
     q = set(re.findall(TOKEN_RE, query.lower()))
 
+    import numpy as np
+
     @F.pandas_udf("double")
     def _score(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
         _load_model("overlap-reranker-v1")
@@ -224,7 +226,9 @@ def rerank(results: DataFrame, query: str,
             toks = s.fillna("").str.lower().str.findall(TOKEN_RE)
             inter = toks.map(lambda t: len(q & set(t)))
             uni = toks.map(lambda t: len(q | set(t)) or 1)
-            yield (inter / uni).round(6)
+            # half-AWAY rounding (matches F.round / DuckDB round);
+            # pandas .round is banker's and diverges on exact .5 ties
+            yield np.floor((inter / uni) * 1e6 + 0.5) / 1e6
 
     return results.withColumn("rerank_score", _score(F.col(text_col)))
 
@@ -255,8 +259,10 @@ def qa_extract(contexts: DataFrame, question: str,
                 except ValueError:
                     rows.append((None, None, None))
                     continue
+                # half-AWAY rounding (matches DuckDB; Python round is
+                # banker's — diverges at e.g. position 128: 1/128)
                 rows.append((" ".join(t[i + 1:i + 1 + span_len]),
-                             round(1.0 / (1 + i), 6), i))
+                             int((1.0 / (1 + i)) * 1e6 + 0.5) / 1e6, i))
             yield pd.DataFrame(rows,
                                columns=["answer", "qa_score", "span_start"])
 
