@@ -310,7 +310,7 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
 
 
 def pagerank(edges: DataFrame, iters: int = 5,
-             damping: float = 0.5) -> DataFrame:
+             damping: float = 0.5, materialize: bool = True) -> DataFrame:
     """Fixed-iteration PageRank: (node, pr) over all edge-incident nodes.
 
     pr_0 = 1.0; pr_{t+1}(n) = (1-d) + d * sum_{m->n} pr_t(m)/out_deg(m)
@@ -354,7 +354,12 @@ def pagerank(edges: DataFrame, iters: int = 5,
             ranks = ranks.localCheckpoint()
     # materialize the result, then release the loop's caches — repeated
     # harness calls must not accumulate cached nodes/adj relations (same
-    # discipline as connected_components; review fix)
+    # discipline as connected_components; review fix).
+    # materialize=False keeps the lazy plan (and the caches, which the
+    # caller then owns) — used by the plan test that pins the
+    # persisted-adjacency reuse the checkpoint would otherwise hide.
+    if not materialize:
+        return ranks
     out = ranks.localCheckpoint(eager=True)
     adj.unpersist()
     nodes.unpersist()

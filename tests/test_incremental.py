@@ -337,3 +337,43 @@ def test_update_retry_on_commit_conflict(spark, v0_pdf, v1_pdf,
     got = _tuples(inc.triples_view(cat))
     assert got == want | {("x#s", "external", "y", "zorg/z", 1.0),
                           ("x2#s", "external", "y", "zorg/z", 1.0)}
+
+
+def test_update_conflicts_on_concurrent_commit_during_planning(
+        spark, tmp_path, v0_pdf, v1_pdf, monkeypatch):
+    """Review fix: the OCC read-set is captured BEFORE any view is
+    pinned, so a writer committing at ANY later point in the update —
+    here injected right at the first view construction — fails the
+    whole transaction instead of passing validation against a stale
+    read set. Nothing half-commits; a plain retry then lands."""
+    from cosmos_spark.sources.catalog import CommitConflict
+    cat = Catalog(spark, str(tmp_path / "wh_race"))
+    inc.build_graph(spark, corpus_to_spark(spark, v0_pdf), cat,
+                    run_id="b0")
+    tri_snap = cat.current_snapshot("inc.triples")
+
+    orig = inc.manifest_view
+    fired = {"n": 0}
+
+    def mv_with_race(catalog, prefix="inc"):
+        if fired["n"] == 0:
+            fired["n"] += 1
+            staged = catalog.stage(
+                spark.createDataFrame(
+                    [("rx", "px", _sha("x"))],
+                    "repo string, path string, content_sha256 string"),
+                f"{prefix}.manifest", "append")
+            catalog.commit_group([staged])     # concurrent writer lands
+        return orig(catalog, prefix)
+
+    monkeypatch.setattr(inc, "manifest_view", mv_with_race)
+    with pytest.raises(CommitConflict):
+        inc.update_graph(spark, cat, corpus_to_spark(spark, v1_pdf),
+                         run_id="u1", collect_stats=False)
+    monkeypatch.setattr(inc, "manifest_view", orig)
+    # the conflicted attempt committed nothing
+    assert cat.current_snapshot("inc.triples") == tri_snap
+    # retry against the new state succeeds
+    inc.update_graph(spark, cat, corpus_to_spark(spark, v1_pdf),
+                     run_id="u2", collect_stats=False)
+    assert cat.current_snapshot("inc.triples") != tri_snap

@@ -173,10 +173,18 @@ def test_k_hop_frontier_is_broadcast(spark):
 
 def test_pagerank_reuses_persisted_adjacency(spark):
     """pagerank's (src, dst, out_deg) relation is persisted and reused by
-    every iteration: the final plan must reference an InMemoryRelation
-    instead of recomputing the adjacency join per round."""
-    plan = _plan(Q.q_graph_pagerank(spark, SF_DIR))
+    every iteration: the LAZY plan (materialize=False — the default's
+    eager localCheckpoint collapses the observable plan to one
+    ExistingRDD scan) must reference an InMemoryRelation instead of
+    recomputing the adjacency join per round."""
+    from cosmos_spark.operators.graph import pagerank
+    from cosmos_spark.queries import _doc_edges
+    ranks = pagerank(_doc_edges(spark, SF_DIR), iters=3,
+                     materialize=False)
+    plan = _plan(ranks)
     assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
+    # the query-path default stays materialized (caches released)
+    assert "ExistingRDD" in _plan(Q.q_graph_pagerank(spark, SF_DIR))
 
 
 def _scan_output_rows(df) -> int:
