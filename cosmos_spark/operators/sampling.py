@@ -51,9 +51,14 @@ def quota_sample(df: DataFrame, group_col: str, id_col: str, k: int,
     worst. For group-cardinality stats without materializing rows, use
     the KMV sketch instead (same k-minimum idea, O(k) state)."""
     from pyspark.sql import Window
+    # null ids hash to null and Spark's ascending sort puts nulls FIRST,
+    # so they would permanently occupy quota slots; drop them up front —
+    # the same treatment mixture_sample gives them (null hash < any
+    # weight is false), keeping null handling uniform across the family
     w = Window.partitionBy(group_col).orderBy(
         sample_hash(id_col, salt), id_col)
-    return (df.withColumn("__rk", F.row_number().over(w))
+    return (df.where(F.col(id_col).isNotNull())
+            .withColumn("__rk", F.row_number().over(w))
             .where(F.col("__rk") <= k).drop("__rk"))
 
 

@@ -152,9 +152,10 @@ def kmv_sketch_ngrams(df: DataFrame, group_col: str, text_col: str,
     One corpus scan total: no explode, no JVM HOF n-gram construction
     (interpreted per element), no intermediate per-row sketch column;
     per-partition state stays (groups x tags) x k longs. Groups must be
-    non-null strings. This is the shape to use for corpus vocabulary
-    statistics; `kmv_sketch`/`kmv_sketch_arrays` are the generic
-    building blocks."""
+    non-null strings WITHOUT '|' (the composite-key delimiter — a group
+    'a|uni' would collide with ('a', 'uni'); enforced in the kernel).
+    This is the shape to use for corpus vocabulary statistics;
+    `kmv_sketch`/`kmv_sketch_arrays` are the generic building blocks."""
     import re
 
     from .dedup import TOKEN_RE
@@ -166,6 +167,10 @@ def kmv_sketch_ngrams(df: DataFrame, group_col: str, text_col: str,
         acc: dict = {}
         for pdf in batches:
             for g, t in zip(pdf[group_col], pdf[text_col]):
+                if g is None or "|" in str(g):
+                    raise ValueError(
+                        "kmv_sketch_ngrams: group values must be "
+                        f"non-null and '|'-free, got {g!r}")
                 toks = re.findall(TOKEN_RE, (t or "").lower())
                 for tag, n in tags.items():
                     grams = (toks if n == 1 else
@@ -317,10 +322,15 @@ def cms_build(df: DataFrame, value_col: str, depth: int = 4,
     (`cms_estimate`) are upper bounds: overcounts only, by < total/width
     w.h.p. per depth row, and taking the min over depth rows drives the
     error toward the true count."""
-    pairs = df.select(F.explode(F.array(*[
-        F.struct(F.lit(i).alias("depth"),
-                 _cms_bucket(F.col(value_col), i, width).alias("bucket"))
-        for i in range(depth)])).alias("db"))
+    # null values hash to a null bucket — one phantom (depth, NULL) row
+    # per depth that no estimate can ever probe, silently breaking the
+    # depth*width row bound; exclude them like every other sketch leg
+    pairs = df.where(F.col(value_col).isNotNull()).select(
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("depth"),
+                     _cms_bucket(F.col(value_col), i, width)
+                     .alias("bucket"))
+            for i in range(depth)])).alias("db"))
     return (pairs.groupBy(F.col("db.depth").alias("depth"),
                           F.col("db.bucket").alias("bucket"))
             .agg(F.count(F.lit(1)).alias("cnt")))

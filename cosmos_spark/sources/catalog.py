@@ -135,9 +135,13 @@ class Catalog:
                 from pyspark.sql.functions import col
                 w = w.partitionedBy(*[col(c) for c in partition_by])
             if mode == "append":
-                try:
+                # probe existence first: a blanket except around append()
+                # would mask genuine failures (schema mismatch, transient
+                # IO) behind a confusing "table already exists" from
+                # create()
+                if self.spark.catalog.tableExists(table):
                     w.append()
-                except Exception:  # table doesn't exist yet
+                else:
                     w.create()
             else:
                 w.createOrReplace()

@@ -1170,3 +1170,43 @@ def test_topk_nan_partition_invariant(spark):
         "rn").toPandas()
     assert list(a["vec_id"]) == list(b["vec_id"])
     assert not a["cos_sim"].isna().any()  # finite rows win over NaN
+
+
+# ---------------------------------------------------------------------------
+# r4 ADVICE regression fixes (null handling + composite-key guard)
+# ---------------------------------------------------------------------------
+
+def test_quota_sample_drops_null_ids(spark):
+    """ADVICE r3: a null id hashes to null and Spark sorts nulls FIRST
+    ascending, so null-id rows would permanently squat the quota slots.
+    They are now filtered — same treatment mixture_sample gives them."""
+    from cosmos_spark.operators import sampling
+    df = spark.createDataFrame(
+        [("a", None), ("a", None), ("a", "x"), ("a", "y"), ("a", "z")],
+        "g string, id string")
+    got = sampling.quota_sample(df, "g", "id", k=2).collect()
+    assert len(got) == 2 and all(r["id"] is not None for r in got)
+
+
+def test_cms_build_excludes_nulls(spark):
+    """ADVICE r3: null values hashed to a (depth, NULL) phantom bucket
+    that no estimate could probe; they are excluded at build time."""
+    from cosmos_spark.operators import sketch
+    df = spark.createDataFrame(
+        [("hot",), (None,), ("hot",), (None,)], "tok string")
+    cms = sketch.cms_build(df, "tok", depth=3, width=16)
+    rows = cms.collect()
+    assert all(r["bucket"] is not None for r in rows)
+    assert sum(r["cnt"] for r in rows) == 2 * 3  # only the 2 non-nulls
+
+
+def test_kmv_ngrams_rejects_delimiter_groups(spark):
+    """ADVICE r3: composite keys are group || '|' || tag, so a group
+    containing '|' would be ambiguous ('a|uni' vs ('a','uni')) — the
+    kernel now refuses loudly."""
+    import pytest as _pytest
+    from cosmos_spark.operators import sketch
+    df = spark.createDataFrame([("a|uni", "some text")],
+                               "g string, txt string")
+    with _pytest.raises(Exception, match="'|'-free"):
+        sketch.kmv_sketch_ngrams(df, "g", "txt", k=8).collect()
