@@ -1,0 +1,237 @@
+"""Driver-contract queries: one entry per SURVEY §2 operator family, plus
+the training-data-pipeline operator set (dedup / similarity / text stats),
+each runnable on the TPC-H-ish tables in /root/testdata/sf*/.
+
+Registry shape: ``QUERIES[name] = (spark_fn, oracle_sql)`` where
+``spark_fn(spark, sf_dir) -> DataFrame`` and ``oracle_sql`` is ANSI SQL that
+DuckDB runs against the same parquet files (views pre-registered by the
+driver). Column names and types are aligned on both sides because the
+driver's compare hashes values after sorting columns by name.
+
+Every Spark implementation is declarative DataFrame API (Catalyst handles
+pushdown/pruning/join selection); floats that cross engines are rounded to
+a stable precision before they become sort keys or output.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+# family modules: every q_* function and SQL_* oracle string is re-exported
+# here so `cosmos_spark.queries` keeps its original flat surface; the
+# registry blocks below are VERBATIM from the pre-split module, preserving
+# driver-visible insertion order exactly.
+from .relational import *  # noqa: F401,F403
+from .textpipe import *  # noqa: F401,F403
+from .sketchq import *  # noqa: F401,F403
+from .dedupq import *  # noqa: F401,F403
+from .annq import *  # noqa: F401,F403
+from .kgq import *  # noqa: F401,F403
+from .enrichq import *  # noqa: F401,F403
+from .catalogq import *  # noqa: F401,F403
+from .streamq import *  # noqa: F401,F403
+from .graphq import *  # noqa: F401,F403
+
+# private helpers that external surfaces import by name
+from ._shared import (  # noqa: F401
+    _docs_as_source,
+    _linking_pipeline,
+    _linking_source,
+    _memo_scope,
+    _t,
+    _tmpdir,
+)
+from .graphq import _doc_edges  # noqa: F401
+
+
+QUERIES: dict[str, tuple[Callable, str | None]] = {
+    "q_filter_project": (q_filter_project, SQL_FILTER_PROJECT),
+    "q_groupby_agg": (q_groupby_agg, SQL_GROUPBY_AGG),
+    "q_broadcast_join": (q_broadcast_join, SQL_BROADCAST_JOIN),
+    "q_semi_join": (q_semi_join, SQL_SEMI_JOIN),
+    "q_anti_join": (q_anti_join, SQL_ANTI_JOIN),
+    "q_topk_per_group": (q_topk_per_group, SQL_TOPK_PER_GROUP),
+    "q_interval_join": (q_interval_join, SQL_INTERVAL_JOIN),
+    "q_section_window": (q_section_window, SQL_SECTION_WINDOW),
+    "q_union_distinct": (q_union_distinct, SQL_UNION_DISTINCT),
+    "q_set_except": (q_set_except, SQL_SET_EXCEPT),
+    "q_pagination": (q_pagination, SQL_PAGINATION),
+    "q_asof_join": (q_asof_join, SQL_ASOF_JOIN),
+    "q_sessionize": (q_sessionize, SQL_SESSIONIZE),
+    "q_rollup_agg": (q_rollup_agg, SQL_ROLLUP_AGG),
+    "q_pivot_agg": (q_pivot_agg, SQL_PIVOT_AGG),
+    "q_percentiles": (q_percentiles, SQL_PERCENTILES),
+    "q_regex_extract": (q_regex_extract, SQL_REGEX_EXTRACT),
+    "q_sha256_hash": (q_sha256_hash, SQL_SHA256_HASH),
+    "q_json_extract": (q_json_extract, SQL_JSON_EXTRACT),
+    "q_dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "q_token_count": (q_token_count, SQL_TOKEN_COUNT),
+    "q_bpe_token_count": (q_bpe_token_count, SQL_BPE_TOKEN_COUNT),
+    "q_quality_score": (q_quality_score, SQL_QUALITY_SCORE),
+    "q_ngram_fingerprint": (q_ngram_fingerprint, SQL_NGRAM_FINGERPRINT),
+    "q_winnow_fingerprints": (q_winnow_fingerprints, SQL_WINNOW_FP),
+    "q_kmv_distinct": (q_kmv_distinct, SQL_KMV_DISTINCT),
+    "q_kmv_set_ops": (q_kmv_set_ops, SQL_KMV_SET_OPS),
+    "q_cms_heavy_hitters": (q_cms_heavy_hitters, SQL_CMS_HEAVY_HITTERS),
+    "q_training_mix": (q_training_mix, SQL_TRAINING_MIX),
+    "q_quota_sample": (q_quota_sample, SQL_QUOTA_SAMPLE),
+    "q_pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
+    "q_bpe_train": (q_bpe_train, None),
+    "q_train_split": (q_train_split, SQL_TRAIN_SPLIT),
+    "q_decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
+    "q_bm25": (q_bm25, SQL_BM25),
+    "q_lang_stopword_id": (q_lang_stopword_id, SQL_LANG_STOPWORD_ID),
+    "q_ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
+    "q_embedding_norms": (q_embedding_norms, SQL_EMBEDDING_NORMS),
+    "q_kg_segments": (q_kg_segments, SQL_KG_SEGMENTS),
+    "q_kg_member_triples": (q_kg_member_triples, SQL_KG_MEMBER_TRIPLES),
+}
+
+QUERIES.update({
+    "q_simhash_bands": (q_simhash_bands, SQL_SIMHASH_BANDS),
+    "q_minhash_sig": (q_minhash_sig, SQL_MINHASH_SIG),
+    "q_lsh_bucket": (q_lsh_bucket, SQL_LSH_BUCKET),
+    "q_media_features": (q_media_features, SQL_MEDIA_FEATURES),
+    "q_media_frames": (q_media_frames, SQL_MEDIA_FRAMES),
+})
+
+QUERIES.update({
+    "q_search_bool": (q_search_bool, SQL_SEARCH_BOOL),
+    "q_cc_components": (q_cc_components, SQL_CC_COMPONENTS),
+    "q_minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH_PAIRS),
+    "q_greedy_assoc": (q_greedy_assoc, SQL_GREEDY_ASSOC),
+    "q_search_pagination": (q_search_pagination, SQL_SEARCH_PAGINATION),
+    "q_stream_kind_counts": (q_stream_kind_counts, None),
+    "q_stream_first_seen": (q_stream_first_seen, None),
+})
+
+QUERIES.update({
+    "q_neighbor_self_join": (q_neighbor_self_join, SQL_NEIGHBOR_SELF_JOIN),
+    "q_lead_lag": (q_lead_lag, SQL_LEAD_LAG),
+    "q_summary_stats": (q_summary_stats, SQL_SUMMARY_STATS),
+    "q_embedding_dup_pairs": (q_embedding_dup_pairs, SQL_EMBEDDING_DUP_PAIRS),
+})
+
+QUERIES.update({
+    "q_kg_defines": (q_kg_defines, SQL_KG_DEFINES),
+    "q_kg_entities": (q_kg_entities, SQL_KG_ENTITIES),
+    "q_kg_mention_links": (q_kg_mention_links, SQL_KG_MENTION_LINKS),
+    "q_incremental_kg": (q_incremental_kg, SQL_INCREMENTAL_KG),
+    "q_merge_upsert": (q_merge_upsert, SQL_MERGE_UPSERT),
+    "q_stream_join": (q_stream_join, SQL_STREAM_JOIN),
+    "q_sql_surface": (q_sql_surface, SQL_SQL_SURFACE),
+    "q_time_travel": (q_time_travel, SQL_TIME_TRAVEL),
+    "q_snapshot_changes": (q_snapshot_changes, SQL_SNAPSHOT_CHANGES),
+    "q_stream_triples": (q_stream_triples, SQL_STREAM_TRIPLES),
+})
+
+QUERIES.update({
+    "q_rules_postprocess": (q_rules_postprocess, SQL_RULES_POSTPROCESS),
+    "q_score_recalibrate": (q_score_recalibrate, SQL_SCORE_RECALIBRATE),
+    "q_json_export": (q_json_export, SQL_JSON_EXPORT),
+})
+
+QUERIES.update({
+    "q_ivf_refine": (q_ivf_refine, SQL_IVF_REFINE),
+    "q_ann_ivf_topk": (q_ann_ivf_topk, SQL_ANN_IVF_TOPK),
+    "q_detection_summary": (q_detection_summary, SQL_DETECTION_SUMMARY),
+    "q_reading_order": (q_reading_order, SQL_READING_ORDER),
+    "q_class_methods": (q_class_methods, SQL_CLASS_METHODS),
+    "q_rerank_top1": (q_rerank_top1, SQL_RERANK_TOP1),
+    "q_qa_extract": (q_qa_extract, SQL_QA_EXTRACT),
+    "q_context_windows": (q_context_windows, SQL_CONTEXT_WINDOWS),
+    "q_detection_stats": (q_detection_stats, SQL_DETECTION_STATS),
+    "q_table_extract": (q_table_extract, SQL_TABLE_EXTRACT),
+    "q_ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
+    "q_near_dedup": (q_near_dedup, SQL_NEAR_DEDUP),
+    "q_ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH_TOPK),
+    "q_entity_objects": (q_entity_objects, SQL_ENTITY_OBJECTS),
+    "q_word_vectors": (q_word_vectors, None),
+})
+
+QUERIES.update({
+    "q_doc_rollup": (q_doc_rollup, SQL_DOC_ROLLUP),
+    "q_search_docfilter": (q_search_docfilter, SQL_SEARCH_DOCFILTER),
+})
+
+QUERIES.update({
+    "q_graph_degree": (q_graph_degree, SQL_GRAPH_DEGREE),
+    "q_graph_2hop": (q_graph_2hop, SQL_GRAPH_2HOP),
+    "q_graph_triangles": (q_graph_triangles, SQL_GRAPH_TRIANGLES),
+    "q_graph_pagerank": (q_graph_pagerank, SQL_GRAPH_PAGERANK),
+})
+
+QUERIES.update({
+    "q_quantile_sketch": (q_quantile_sketch, SQL_QUANTILE_SKETCH),
+    "q_salted_join": (q_salted_join, SQL_SALTED_JOIN),
+    "q_stream_sessions": (q_stream_sessions, SQL_STREAM_SESSIONS),
+})
+
+# ---------------------------------------------------------------------------
+# driver-visibility ordering
+# ---------------------------------------------------------------------------
+# The per-round driver correctness file caps at 50 entries while the registry
+# is larger; queries listed here are rotated to the FRONT of the exported
+# registry so the driver verifies them this round (the round-2 file covered
+# the other 50 — the two rounds' union covers every query).
+PRIORITY_QUERIES: list[str] = [
+    "q_graph_degree",
+    "q_graph_2hop",
+    "q_graph_triangles",
+    "q_graph_pagerank",
+    "q_stream_triples",
+    "q_incremental_kg",
+    "q_merge_upsert",
+    "q_stream_join",
+    "q_sql_surface",
+    "q_time_travel",
+    "q_snapshot_changes",
+    "q_sessionize",
+    "q_rollup_agg",
+    "q_pivot_agg",
+    "q_percentiles",
+    "q_winnow_fingerprints",
+    "q_kmv_distinct",
+    "q_kmv_set_ops",
+    "q_cms_heavy_hitters",
+    "q_training_mix",
+    "q_quota_sample",
+    "q_pii_scrub",
+    "q_bpe_train",
+    "q_bpe_token_count",
+    "q_train_split",
+    "q_decontaminate",
+    "q_bm25",
+    "q_doc_rollup",
+    "q_search_docfilter",
+    "q_entity_objects",
+    "q_near_dedup",
+    "q_ngram_jaccard_pairs",
+    "q_ann_lsh_topk",
+    "q_context_windows",
+    "q_detection_stats",
+    "q_table_extract",
+    "q_class_methods",
+    "q_rerank_top1",
+    "q_qa_extract",
+    "q_word_vectors",
+    "q_quantile_sketch",
+    "q_salted_join",
+    "q_stream_sessions",
+]
+
+
+def ordered_queries() -> dict[str, tuple[Callable, str | None]]:
+    """Registry with PRIORITY_QUERIES first (driver-cap rotation)."""
+    unknown = [n for n in PRIORITY_QUERIES if n not in QUERIES]
+    if unknown:
+        # a typo/rename here would silently drop a never-yet-verified
+        # query out of the driver's front-50 — fail loudly instead
+        raise KeyError(f"PRIORITY_QUERIES not in registry: {unknown}")
+    out: dict[str, tuple[Callable, str | None]] = {}
+    for name in PRIORITY_QUERIES:
+        out[name] = QUERIES[name]
+    for name, entry in QUERIES.items():
+        if name not in out:
+            out[name] = entry
+    return out

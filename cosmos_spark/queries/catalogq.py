@@ -1,0 +1,148 @@
+"""Versioned-catalog contract queries: incremental KG maintenance, MERGE upsert, time travel, snapshot CDC."""
+
+from __future__ import annotations
+
+import pandas as pd  # noqa: F401
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window  # noqa: F401
+
+from ._shared import (  # noqa: F401
+    _t,
+    _memo_scope,
+    _tmpdir,
+    _linking_source,
+    _SQL_FSEG,
+    _SQL_GSEG,
+)
+
+def q_incremental_kg(spark, sf_dir):
+    """Incremental KG maintenance, driver-value-checked end to end: build
+    the graph from a perturbed corpus V0 (every 5th file missing, every
+    7th carrying an extra def the final corpus lacks, plus two files that
+    don't belong — one competing on a fuzzy alias key so link winners
+    must be re-derived), then absorb one delta that lands the corpus on
+    exactly the canonical linking source. The merged merge-on-read view's
+    defines family must equal the from-scratch oracle
+    (:data:`SQL_INCREMENTAL_KG`) — i.e. the incremental path is
+    indistinguishable from a rebuild. Runs on the doc_id%4==0 quarter of
+    the corpus: the delta machinery it exercises is density-independent,
+    and the full-corpus extraction kernel is already the kg_pipeline
+    headline — re-paying it here would double-count bench time."""
+    from ..plans import incremental as I
+    from ..sources import Catalog
+    # try_cast: the predicate constraint-propagates across update_graph's
+    # (repo, path) equi-joins onto manifest rows whose paths don't match
+    # the regex — an ANSI cast of '' would throw there
+    fid = F.regexp_extract("path", r"d(\d+)\.py", 1).try_cast("long")
+    v1 = _linking_source(spark, sf_dir).filter(fid % 4 == 0)
+    v0 = (v1.filter(fid % 5 != 0)
+          .withColumn("content",
+                      F.when(fid % 7 == 0,
+                             F.concat("content",
+                                      F.lit("\ndef qq_extra(z):"
+                                            "\n    return z\n")))
+                      .otherwise(F.col("content"))))
+    extras = spark.createDataFrame(
+        [("xorg/dead", "a.py", "f" * 40, "python",
+          "def f0_v9(x):\n    return x\n"),
+         ("xorg/dead", "b.py", "f" * 40, "python",
+          "def qq_dead(a):\n    return qq_dead(a)\n")],
+        "repo string, path string, commit string, lang string, "
+        "content string")
+    cat = Catalog(spark, _tmpdir("cosmos_incwh_"))
+    I.build_graph(spark, v0.unionByName(extras), cat)
+    # canon_mode="incremental" forces the delta-surgery canonicalization
+    # (bucket recompute + affected-component CC) so the driver's oracle
+    # gate covers the at-scale path, not just the small-dim wholesale one
+    I.update_graph(spark, cat, v1,
+                   deleted=[("xorg/dead", "a.py"), ("xorg/dead", "b.py")],
+                   collect_stats=False, canon_mode="incremental")
+    return (I.triples_view(cat).filter(F.col("pred") == "defines")
+            .select("subj", "pred", "obj", "repo", "score"))
+
+
+SQL_INCREMENTAL_KG = f"""
+SELECT source || '/d' || doc_id || '.py#' || {_SQL_FSEG} AS subj,
+       'defines' AS pred, 'f' || doc_id AS obj, source AS repo,
+       0.99 AS score
+FROM documents WHERE doc_id % 4 = 0
+UNION ALL
+SELECT source || '/d' || doc_id || '.py#' || {_SQL_GSEG} AS subj,
+       'defines' AS pred, 'g' || doc_id AS obj, source AS repo,
+       0.99 AS score
+FROM documents WHERE doc_id % 4 = 0
+"""
+
+
+_VERSIONED_MEMO: dict[tuple[str, str], tuple] = {}
+
+
+def _versioned_demo(spark, sf_dir):
+    """One versioned table shared by q_time_travel / q_snapshot_changes:
+    three appends splitting ``documents`` by doc_id%3 (snap ids 1/2/3).
+    Memoized per Spark application so the two queries pay the three tiny
+    commits once per bench/driver pass (the kg-trio pattern)."""
+    from ..sources import Catalog
+    key = (spark.sparkContext.applicationId, sf_dir)
+    _memo_scope(_VERSIONED_MEMO, spark)
+    if key not in _VERSIONED_MEMO:
+        cat = Catalog(spark, _tmpdir("cosmos_verwh_"))
+        docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+        snaps = [cat.append(docs.filter(F.col("doc_id") % 3 == r), "v.docs")
+                 for r in (0, 1, 2)]
+        _VERSIONED_MEMO[key] = (cat, snaps)
+    return _VERSIONED_MEMO[key]
+
+
+def q_merge_upsert(spark, sf_dir):
+    """MERGE INTO (copy-on-write upsert, Catalog.merge): target = the
+    o_orderkey%4==0 slice of orders; source doubles the price of the
+    %8==0 rows (matched -> update) and brings the %4==1 rows (not
+    matched -> insert); untouched target rows (%4==0, %8!=0) survive
+    unchanged. One full-outer join + one overwrite snapshot; oracle is
+    the equivalent set arithmetic."""
+    from ..sources import Catalog
+    cat = Catalog(spark, _tmpdir("cosmos_mergewh_"))
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+    cat.append(orders.filter(F.col("o_orderkey") % 4 == 0), "m.orders")
+    source = (orders.filter((F.col("o_orderkey") % 8 == 0)
+                            | (F.col("o_orderkey") % 4 == 1))
+              .withColumn("o_totalprice", F.col("o_totalprice") * 2))
+    cat.merge(source, "m.orders", on=("o_orderkey",))
+    return cat.read_at("m.orders")
+
+
+SQL_MERGE_UPSERT = """
+SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice
+FROM orders WHERE o_orderkey % 8 = 0 OR o_orderkey % 4 = 1
+UNION ALL
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders WHERE o_orderkey % 4 = 0 AND o_orderkey % 8 <> 0
+"""
+
+
+def q_time_travel(spark, sf_dir):
+    """Snapshot-scoped read (Iceberg ``VERSION AS OF`` analog): reading
+    the versioned table as of its second commit must see exactly the
+    first two appends and nothing from the third."""
+    cat, snaps = _versioned_demo(spark, sf_dir)
+    return cat.read_at("v.docs", snapshot=snaps[1])
+
+
+SQL_TIME_TRAVEL = """
+SELECT doc_id, source FROM documents WHERE doc_id % 3 IN (0, 1)
+"""
+
+
+def q_snapshot_changes(spark, sf_dir):
+    """Incremental (CDC) read: ``changes(since=first commit)`` must
+    return exactly the rows the later two appends committed — the poll
+    primitive downstream consumers use instead of rescanning the table."""
+    cat, snaps = _versioned_demo(spark, sf_dir)
+    return cat.changes("v.docs", since=snaps[0])
+
+
+SQL_SNAPSHOT_CHANGES = """
+SELECT doc_id, source FROM documents WHERE doc_id % 3 IN (1, 2)
+"""

@@ -1,0 +1,166 @@
+"""Graph analytics over the materialized KG plus the explicit skew-salted join."""
+
+from __future__ import annotations
+
+import pandas as pd  # noqa: F401
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window  # noqa: F401
+
+from ._shared import (  # noqa: F401
+    _t,
+)
+
+# ---------------------------------------------------------------------------
+# graph analytics over the materialized KG (operators/graph.py query layer)
+# ---------------------------------------------------------------------------
+# Deterministic document citation graph: node = doc_id; every doc cites its
+# next two successors inside its decade block (i -> i+1 when i%10 <= 8,
+# i -> i+2 when i%10 <= 7). Out-degrees are therefore {0, 1, 2} — powers of
+# two, which keeps every fixed-damping-0.5 PageRank value a dyadic rational:
+# exactly representable in doubles and exactly summable in ANY reduction
+# order, so the Spark result hash-matches the DuckDB oracle bit-for-bit
+# with no rounding.
+
+_SQL_DOC_EDGES = """edges AS (
+  SELECT doc_id AS src, doc_id + 1 AS dst FROM documents WHERE doc_id % 10 <= 8
+  UNION ALL
+  SELECT doc_id AS src, doc_id + 2 AS dst FROM documents WHERE doc_id % 10 <= 7
+)"""
+
+
+def _doc_edges(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    e1 = (docs.filter(F.col("doc_id") % 10 <= 8)
+          .select(F.col("doc_id").alias("src"),
+                  (F.col("doc_id") + 1).alias("dst")))
+    e2 = (docs.filter(F.col("doc_id") % 10 <= 7)
+          .select(F.col("doc_id").alias("src"),
+                  (F.col("doc_id") + 2).alias("dst")))
+    return e1.unionByName(e2)
+
+
+def q_graph_degree(spark, sf_dir):
+    """Per-node in/out degree over the KG edge relation — two
+    map-side-combined counts + one outer join on the per-node aggregates
+    (the edge table is never self-joined)."""
+    from ..operators.graph import degrees
+    return degrees(_doc_edges(spark, sf_dir))
+
+
+SQL_GRAPH_DEGREE = f"""
+WITH {_SQL_DOC_EDGES},
+od AS (SELECT src AS node, count(*) AS out_deg FROM edges GROUP BY src),
+ind AS (SELECT dst AS node, count(*) AS in_deg FROM edges GROUP BY dst)
+SELECT COALESCE(od.node, ind.node) AS node,
+       COALESCE(out_deg, 0) AS out_deg,
+       COALESCE(in_deg, 0) AS in_deg
+FROM od FULL OUTER JOIN ind ON od.node = ind.node
+"""
+
+
+def q_graph_2hop(spark, sf_dir):
+    """2-hop neighborhood of the seed set (every 100th doc): frontier BFS
+    where only the broadcast frontier moves — the edge relation stays
+    partition-local across both rounds."""
+    from ..operators.graph import k_hop
+    docs = _t(spark, sf_dir, "documents")
+    seeds = (docs.filter(F.col("doc_id") % 100 == 0)
+             .select(F.col("doc_id").alias("node")))
+    return k_hop(_doc_edges(spark, sf_dir), seeds, k=2)
+
+
+SQL_GRAPH_2HOP = f"""
+WITH {_SQL_DOC_EDGES},
+s AS (SELECT DISTINCT doc_id AS node FROM documents WHERE doc_id % 100 = 0),
+h1 AS (SELECT DISTINCT e.dst AS node FROM edges e JOIN s ON e.src = s.node),
+h2 AS (SELECT DISTINCT e.dst AS node FROM edges e JOIN h1 ON e.src = h1.node)
+SELECT node FROM s UNION SELECT node FROM h1 UNION SELECT node FROM h2
+"""
+
+
+def q_graph_triangles(spark, sf_dir):
+    """Per-node triangle participation: one wedge join + one closing-edge
+    join over the canonical (u < v) undirected edge set; each triangle is
+    produced once and credited to all three corners."""
+    from ..operators.graph import triangle_counts
+    return triangle_counts(_doc_edges(spark, sf_dir))
+
+
+SQL_GRAPH_TRIANGLES = f"""
+WITH {_SQL_DOC_EDGES},
+und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        FROM edges WHERE src <> dst),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM und e1
+  JOIN und e2 ON e2.u = e1.v
+  JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+)
+SELECT node, count(*) AS n_tri FROM (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b AS node FROM tri
+  UNION ALL SELECT c AS node FROM tri
+) GROUP BY node
+"""
+
+
+_PAGERANK_ITERS = 5
+
+
+def q_graph_pagerank(spark, sf_dir):
+    """Fixed-iteration PageRank (damping 0.5, 5 rounds) — the static
+    (src, dst, out_deg) relation is shuffled once and reused every round;
+    only the per-node rank vector moves per iteration. Dyadic-exact by
+    construction (see module comment), so the oracle needs no rounding."""
+    from ..operators.graph import pagerank
+    return pagerank(_doc_edges(spark, sf_dir), iters=_PAGERANK_ITERS,
+                    damping=0.5)
+
+
+def _pagerank_sql(iters: int) -> str:
+    parts = [f"""WITH {_SQL_DOC_EDGES},
+nodes AS (SELECT DISTINCT src AS node FROM edges
+          UNION SELECT DISTINCT dst FROM edges),
+deg AS (SELECT src, count(*) AS out_deg FROM edges GROUP BY src),
+r0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS pr FROM nodes)"""]
+    for t in range(iters):
+        parts.append(f"""r{t + 1} AS (
+  SELECT n.node,
+         CAST(0.5 AS DOUBLE) + CAST(0.5 AS DOUBLE)
+           * COALESCE(c.s, CAST(0 AS DOUBLE)) AS pr
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, SUM(r.pr / d.out_deg) AS s
+    FROM edges e
+    JOIN r{t} r ON e.src = r.node
+    JOIN deg d ON e.src = d.src
+    GROUP BY e.dst) c ON n.node = c.node)""")
+    return ",\n".join(parts) + f"\nSELECT node, pr FROM r{iters}"
+
+
+SQL_GRAPH_PAGERANK = _pagerank_sql(_PAGERANK_ITERS)
+
+def q_salted_join(spark, sf_dir):
+    """Deterministic skew-salted shuffle join (operators/skew.py — the
+    north-star 'monorepo hot key' mitigation): events (probe, 5-value
+    hot key event_type) left-joined to a derived per-type dim with the
+    probe side salted 8 ways and the dim replicated across salts. The
+    rewrite is an identity — the oracle is the PLAIN SQL join, checked
+    row-for-row; 'error' rows exercise the preserved-left (no match)
+    path."""
+    from ..operators.skew import salted_join
+    ev = _t(spark, sf_dir, "events")
+    dim = (ev.groupBy("event_type")
+           .agg(F.count(F.lit(1)).alias("type_n"))
+           .where(F.col("event_type") != "error"))
+    out = salted_join(ev, dim, on=["event_type"], salt_on="event_id",
+                      n_salt=8, how="left")
+    return out.select("event_id", "event_type", "type_n")
+
+
+SQL_SALTED_JOIN = """
+SELECT e.event_id, e.event_type, d.type_n
+FROM events e
+LEFT JOIN (SELECT event_type, count(*) AS type_n FROM events
+           GROUP BY event_type HAVING event_type <> 'error') d
+  USING (event_type)
+"""

@@ -1,0 +1,286 @@
+"""Structured Streaming contract queries: kind counts, stateful first-seen, continuous KG triples, watermarked stream-stream join, event-time session windows."""
+
+from __future__ import annotations
+
+import pandas as pd  # noqa: F401
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window  # noqa: F401
+
+from ._shared import (  # noqa: F401
+    _t,
+    _tmpdir,
+    _docs_as_source,
+    _linking_source,
+    _linking_pipeline,
+    _SQL_FSEG,
+    _SQL_GSEG,
+)
+
+_STREAM_SEQ = [0]
+
+def q_stream_kind_counts(spark, sf_dir):
+    """Structured Streaming: file-source stream of the documents table ->
+    the same segmentation mapInPandas kernel -> stateful per-kind counts,
+    drained with availableNow into a memory sink. Non-SQL-expressible
+    (streaming lifecycle) -> rows-only driver check; determinism of the
+    counts themselves is covered by q_kg_segments."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from .. import pipeline as P
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ])
+    # the streaming file source wants a directory: stage the single table
+    # file into one via symlink (zero copy)
+    stream_dir = _tmpdir("stream_src_")
+    os.symlink(os.path.abspath(f"{sf_dir}/documents.parquet"),
+               os.path.join(stream_dir, "documents.parquet"))
+    src = (
+        spark.readStream.schema(schema)
+        .parquet(stream_dir)
+        .select(F.col("source").alias("repo"),
+                F.col("doc_id").cast("string").alias("path"),
+                F.lit("0" * 40).alias("commit"),
+                F.col("lang"),
+                F.col("text").alias("content"))
+    )
+    segs = P.segments_of(src)
+    counts = segs.groupBy("kind").agg(F.count(F.lit(1)).alias("n_segments"))
+    _STREAM_SEQ[0] += 1
+    name = f"stream_kind_counts_{_STREAM_SEQ[0]}"
+    q = (
+        counts.writeStream.outputMode("complete").format("memory")
+        .queryName(name)
+        .option("checkpointLocation", _tmpdir("ck_stream_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def q_stream_first_seen(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState): per-repo
+    first-seen/duplicate counters with group state carried across
+    micro-batches — streaming lifecycle, rows-only driver check (state
+    semantics are pytest-asserted in tests/test_streaming.py)."""
+    from ..streaming.ingest import stream_first_seen
+
+    src_dir = _tmpdir("stream_fs_src_")
+    _docs_as_source(spark, sf_dir).write.mode("overwrite").parquet(src_dir)
+    out = stream_first_seen(spark, src_dir)
+    _STREAM_SEQ[0] += 1
+    name = f"stream_first_seen_{_STREAM_SEQ[0]}"
+    q = (
+        out.writeStream.outputMode("append").format("memory")
+        .queryName(name)
+        .option("checkpointLocation", _tmpdir("ck_fs_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def q_stream_triples(spark, sf_dir):
+    """Continuous KG construction end-to-end, VALUE-exact: the linking
+    corpus streamed through `streaming.ingest.stream_triples` (fused
+    kernel -> stateless triple families + stream-static broadcast
+    linking + zero-state keep-max mentions dedup), drained with
+    availableNow into a parquet sink and read back. Unlike the other two
+    streaming queries (rows-only by protocol), every emitted family here
+    is SQL-decidable on the constructed corpus, so the oracle checks the
+    full (subj, pred, obj, repo, score) relation."""
+    from ..streaming.ingest import stream_triples
+
+    src_dir = _tmpdir("stream_kg_src_")
+    (_linking_source(spark, sf_dir)
+     .withColumn("ingested_at",
+                 F.to_timestamp(F.lit("2026-01-01 00:00:00")))
+     .write.mode("overwrite").parquet(src_dir))
+    aliases = _linking_pipeline(spark, sf_dir)["aliases"]
+    out_dir = _tmpdir("stream_kg_out_")
+    q = (
+        stream_triples(spark, src_dir, aliases=aliases)
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", _tmpdir("ck_kg_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).select(
+        "subj", "pred", "obj", "repo", "score")
+
+
+def q_stream_join(spark, sf_dir):
+    """Watermarked stream-stream inner join, VALUE-exact: the linking
+    corpus is fed as TWO streams with deterministic event times —
+    definitions stamped T + (doc_id % 7) minutes, call sites
+    T + (doc_id % 4) minutes — and `stream_mention_joins` resolves each
+    call to a definition of the same (repo, name) within ±2 minutes.
+    A match exists exactly when |doc_id%7 - doc_id%4| <= 2, so the
+    full (repo, name, def_time, call_time) relation is SQL-decidable."""
+    from ..streaming.ingest import stream_mention_joins
+
+    did = r"cast(regexp_extract(path, 'd(\\d+)\\.py', 1) as int)"
+    # half corpus: join-state cost scales with input and the doc_id%7
+    # vs %4 lattice is fully exercised by either parity class
+    base = _linking_source(spark, sf_dir).where(F.expr(f"{did} % 2 = 0"))
+
+    def _stamped(mod: int, out: str) -> str:
+        d = _tmpdir(out)
+        (base.withColumn(
+            "ingested_at",
+            F.expr(f"timestamp'2026-01-01 00:00:00' + "
+                   f"make_interval(0, 0, 0, 0, 0, {did} % {mod}, 0)"))
+         .write.mode("overwrite").parquet(d))
+        return d
+
+    defs_dir = _stamped(7, "stream_join_defs_")
+    calls_dir = _stamped(4, "stream_join_calls_")
+    out_dir = _tmpdir("stream_join_out_")
+    q = (stream_mention_joins(spark, defs_dir, calls_dir,
+                              watermark="10 minutes", lag_minutes=2)
+         .writeStream.outputMode("append").format("parquet")
+         .option("path", out_dir)
+         .option("checkpointLocation", _tmpdir("ck_join_"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)
+
+
+SQL_STREAM_JOIN = """
+SELECT source AS repo, 'f' || doc_id AS name,
+       TIMESTAMP '2026-01-01 00:00:00'
+         + INTERVAL (doc_id % 7) MINUTE AS def_time,
+       TIMESTAMP '2026-01-01 00:00:00'
+         + INTERVAL (doc_id % 4) MINUTE AS call_time
+FROM documents
+WHERE doc_id % 2 = 0 AND abs((doc_id % 7) - (doc_id % 4)) <= 2
+"""
+
+SQL_STREAM_TRIPLES = f"""
+SELECT source || '/d' || doc_id || '.py#' || {_SQL_FSEG} AS subj,
+       'defines' AS pred, 'f' || doc_id AS obj, source AS repo,
+       CAST(0.99 AS DOUBLE) AS score
+FROM documents
+UNION ALL
+SELECT source || '/d' || doc_id || '.py#' || {_SQL_GSEG} AS subj,
+       'defines' AS pred, 'g' || doc_id AS obj, source AS repo,
+       CAST(0.99 AS DOUBLE) AS score
+FROM documents
+UNION ALL
+SELECT source || '/d' || doc_id || '.py#' || {_SQL_GSEG} AS subj,
+       'calls' AS pred, 'f' || doc_id AS obj, source AS repo,
+       CAST(0.85 AS DOUBLE) AS score
+FROM documents
+UNION ALL
+SELECT source || '/d' || doc_id || '.py#' || {_SQL_GSEG} AS subj,
+       'mentions' AS pred,
+       'ent_' || substr(sha256('ent|f' || doc_id), 1, 16) AS obj,
+       source AS repo, CAST(1.0 AS DOUBLE) AS score
+FROM documents
+UNION ALL
+SELECT source || '/d' || doc_id || '.py#' || {_SQL_FSEG} AS subj,
+       'member_of' AS pred, source || '/d' || doc_id || '.py' AS obj,
+       source AS repo, CAST(1.0 AS DOUBLE) AS score
+FROM documents
+UNION ALL
+SELECT source || '/d' || doc_id || '.py#' || {_SQL_GSEG} AS subj,
+       'member_of' AS pred, source || '/d' || doc_id || '.py' AS obj,
+       source AS repo, CAST(1.0 AS DOUBLE) AS score
+FROM documents
+"""
+
+def q_stream_sessions(spark, sf_dir):
+    """Event-time SESSION windows (streaming.ingest.stream_sessions),
+    VALUE-exact: per-repo activity sessions over deterministic event
+    times — doc j of a repo fires at minute (j%5) + 11*((j//5)%20), so
+    events form 5-minute-long bursts 11 minutes apart and the session
+    layout (gap 5, inclusive merge — boundary pinned by pytest) is a
+    pure gaps-and-islands SQL over the documents table. Three availableNow drains against one
+    checkpoint: the main wave, then two far-future flush rows whose
+    only job is to advance the watermark (a finalized window emits one
+    drain AFTER the batch that advances the watermark past it — the
+    cross-drain watermark rule); flush sessions themselves stay
+    unfinalized and are filtered besides."""
+    from ..streaming.ingest import stream_sessions
+
+    docs = _t(spark, sf_dir, "documents")
+    j = "(doc_id div 20)"
+    minute = f"(({j} % 5) + 11 * (({j} div 5) % 20))"
+    main = docs.select(
+        F.col("source").alias("repo"),
+        F.col("doc_id").cast("string").alias("path"),
+        F.lit("0" * 40).alias("commit"), F.col("lang"),
+        F.lit("").alias("content"),
+        F.expr(f"timestamp'2026-01-01 00:00:00' + "
+               f"make_interval(0, 0, 0, 0, 0, {minute}, 0)")
+        .alias("ingested_at"))
+    src_dir = _tmpdir("stream_sess_src_")
+    ck = _tmpdir("ck_sess_")
+    out_dir = _tmpdir("stream_sess_out_")
+    main.write.mode("append").parquet(src_dir)
+
+    def _flush(days: int) -> None:
+        (spark.range(1).select(
+            F.lit("__flush__").alias("repo"), F.lit("f").alias("path"),
+            F.lit("0" * 40).alias("commit"), F.lit("md").alias("lang"),
+            F.lit("").alias("content"),
+            F.expr(f"timestamp'2026-01-01 00:00:00' + "
+                   f"make_interval(0, 0, 0, {days}, 0, 0, 0)")
+            .alias("ingested_at"))
+         .write.mode("append").parquet(src_dir))
+
+    def _drain() -> None:
+        q = (stream_sessions(spark, src_dir, gap="5 minutes",
+                             watermark="10 minutes")
+             .writeStream.outputMode("append").format("parquet")
+             .option("path", out_dir)
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    _drain()
+    _flush(2)
+    _drain()
+    _flush(4)
+    _drain()
+    return (spark.read.parquet(out_dir)
+            .where(F.col("repo") != "__flush__"))
+
+
+SQL_STREAM_SESSIONS = """
+WITH ev AS (
+  SELECT source AS repo,
+         TIMESTAMP '2026-01-01 00:00:00' + INTERVAL (
+           ((doc_id // 20) % 5) + 11 * (((doc_id // 20) // 5) % 20)
+         ) MINUTE AS ts
+  FROM documents
+),
+x AS (
+  SELECT repo, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY repo ORDER BY ts)
+                   <= INTERVAL 5 MINUTE
+              THEN 0 ELSE 1 END AS brk
+  FROM ev
+),
+y AS (
+  SELECT repo, ts,
+         sum(brk) OVER (PARTITION BY repo ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS grp
+  FROM x
+)
+SELECT repo, min(ts) AS session_start,
+       max(ts) + INTERVAL 5 MINUTE AS session_end,
+       count(*) AS n_events
+FROM y GROUP BY repo, grp
+"""
