@@ -167,6 +167,10 @@ QUERIES.update({
     "q_stream_sessions": (q_stream_sessions, SQL_STREAM_SESSIONS),
 })
 
+QUERIES.update({
+    "q_stats_prune": (q_stats_prune, SQL_STATS_PRUNE),
+})
+
 # ---------------------------------------------------------------------------
 # driver-visibility ordering
 # ---------------------------------------------------------------------------
@@ -218,6 +222,7 @@ PRIORITY_QUERIES: list[str] = [
     "q_quantile_sketch",
     "q_salted_join",
     "q_stream_sessions",
+    "q_stats_prune",
 ]
 
 

@@ -147,6 +147,49 @@ FROM orders WHERE o_orderkey % 4 = 0 AND o_orderkey % 8 <> 0
 """
 
 
+_STATS_MEMO: dict[tuple[str, str], object] = {}
+
+
+def _stats_demo(spark, sf_dir):
+    """Versioned table with file-level column statistics: documents
+    range-partitioned on n_chars into 8 files, staged with
+    ``stats_by=("n_chars",)`` so each file's manifest entry carries a
+    tight [min, max]. Memoized per Spark application (kg-trio pattern) —
+    the staging is input setup, the operator under test is the pruned
+    read."""
+    from ..sources import Catalog
+    key = (spark.sparkContext.applicationId, sf_dir)
+    _memo_scope(_STATS_MEMO, spark)
+    if key not in _STATS_MEMO:
+        cat = Catalog(spark, _tmpdir("cosmos_statswh_"))
+        docs = _t(spark, sf_dir, "documents").select(
+            "doc_id", "source", "n_chars")
+        staged = cat.stage(docs.repartitionByRange(8, "n_chars"),
+                           "s.docs", stats_by=("n_chars",))
+        cat.commit_group([staged])
+        _STATS_MEMO[key] = cat
+    return _STATS_MEMO[key]
+
+
+def q_stats_prune(spark, sf_dir):
+    """File-level min/max data skipping (Catalog ``stats_by`` manifests —
+    the Iceberg-manifest analog of the reference's index-side filters,
+    `elastic_retriever.py:294-307`): ``read_at(where=...)`` selects only
+    files whose recorded bounds can intersect the predicate and applies
+    the residual row filter, so the value oracle is simply the plain
+    BETWEEN — the pruning must be invisible to the result. The
+    files-actually-skipped evidence is pinned by
+    tests/test_catalog_retrieval.py::test_file_stats_manifest_prunes_files."""
+    cat = _stats_demo(spark, sf_dir)
+    return cat.read_at("s.docs", where={"n_chars": (100, 160)})
+
+
+SQL_STATS_PRUNE = """
+SELECT doc_id, source, n_chars FROM documents
+WHERE n_chars BETWEEN 100 AND 160
+"""
+
+
 def q_time_travel(spark, sf_dir):
     """Snapshot-scoped read (Iceberg ``VERSION AS OF`` analog): reading
     the versioned table as of its second commit must see exactly the

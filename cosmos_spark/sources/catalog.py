@@ -105,6 +105,61 @@ def zorder_key(cols, bits: int = 16, check: bool = True):
     return key
 
 
+_STATS_TYPES = (int, float, str, bool)
+
+
+def _file_stats_kernel(cols: tuple[str, ...]):
+    """mapInPandas kernel: per parquet file, merge row-group footer
+    statistics into one (min, max) per requested column. FOOTER reads
+    only — no data pages touched; the work is distributed over the
+    executors so the driver never walks the data path (the Iceberg
+    analog: manifests are produced by writer tasks, the catalog only
+    holds the pointer). A column whose stats are missing, truncated,
+    or non-JSON-typed in ANY row group yields None — conservative:
+    such files are always selected at read time."""
+    import pandas as _pd
+
+    def fn(it):
+        import json as _json
+
+        import pyarrow.parquet as _pq
+        for pdf in it:
+            rows = []
+            for path in pdf["abs_path"]:
+                md = _pq.ParquetFile(path).metadata
+                idx = {md.schema.column(i).path: i
+                       for i in range(md.num_columns)}
+                stats: dict = {}
+                for c in cols:
+                    j = idx.get(c)
+                    lo = hi = None
+                    ok = j is not None and md.num_row_groups > 0
+                    for g in range(md.num_row_groups if ok else 0):
+                        st = md.row_group(g).column(j).statistics
+                        if st is None or not st.has_min_max:
+                            ok = False
+                            break
+                        mn, mx = st.min, st.max
+                        if isinstance(mn, bytes):
+                            try:
+                                mn, mx = mn.decode(), mx.decode()
+                            except UnicodeDecodeError:
+                                ok = False
+                                break
+                        if not (isinstance(mn, _STATS_TYPES)
+                                and isinstance(mx, _STATS_TYPES)):
+                            ok = False
+                            break
+                        lo = mn if lo is None else min(lo, mn)
+                        hi = mx if hi is None else max(hi, mx)
+                    stats[c] = [lo, hi] if ok else None
+                rows.append((path, md.num_rows, _json.dumps(stats)))
+            yield _pd.DataFrame(
+                rows, columns=["abs_path", "rows", "stats"])
+
+    return fn
+
+
 class Catalog:
     def __init__(self, spark: SparkSession, warehouse: str,
                  prefer_iceberg: bool = True):
@@ -281,7 +336,8 @@ class Catalog:
     def stage(self, df: DataFrame, table: str, op: str = "append",
               partition_by: tuple[str, ...] = (),
               sort_within_by: tuple[str, ...] = (),
-              cluster_by: tuple[str, int] | None = None) -> dict:
+              cluster_by: tuple[str, int] | None = None,
+              stats_by: tuple[str, ...] = ()) -> dict:
         """Write a snapshot's data directory WITHOUT touching the commit
         log; returns the pending log entry for :meth:`commit_group`. The
         expensive parallel work (the Spark write) happens here —
@@ -307,7 +363,19 @@ class Catalog:
         declared on the table's first clustered stage, inherited by every
         later stage (appends, surgery, compaction stay clustered without
         each call site restating it); restating a different spec is an
-        error."""
+        error.
+
+        ``stats_by=(col, ...)`` records FILE-LEVEL min/max statistics
+        for the listed columns in a per-snapshot ``_manifest.json`` —
+        the Iceberg manifest analog of the reference's index-side
+        filters (`elastic_retriever.py:294-307`). ``read_at(where=...)``
+        prunes whole files whose [min, max] cannot intersect the
+        predicate, covering selective scans on columns that are neither
+        the bucket key nor the sort key (row-group skipping handles the
+        sort key; bucket pruning the cluster key). Footer reads only,
+        distributed over the executors; like ``cluster_by`` it is a
+        table property inherited by later stages, so appends,
+        compaction, and merges keep their manifests."""
         with self._meta_lock:
             # next id clears both the log AND any orphaned dirs a
             # rollback or killed stage left on disk
@@ -320,6 +388,7 @@ class Catalog:
             d = os.path.join(self._vdir(table), f"snap-{sid:05d}")
             os.makedirs(d)  # reserves the id before releasing the lock
             table_spec = self._vmeta(table).get("cluster_by")
+            table_stats = self._vmeta(table).get("stats_by")
         if cluster_by is not None and table_spec is not None \
                 and list(cluster_by) != list(table_spec):
             raise ValueError(
@@ -337,6 +406,10 @@ class Catalog:
                  "sort_within_by": list(sort_within_by)}
         if spec is not None:
             entry["cluster_by"] = [spec[0], int(spec[1])]
+        stats_cols = tuple(stats_by) or tuple(table_stats or ())
+        if stats_cols:
+            self._write_manifest(d, stats_cols)
+            entry["stats_by"] = list(stats_cols)
         if op == "overwrite":
             # an overwrite logically CONTAINS every epoch-tagged append it
             # replaces, so it inherits the streaming exactly-once
@@ -359,6 +432,84 @@ class Catalog:
         if staged["entry"].get("cluster_by"):
             df = df.drop(_BUCKET_COL)
         return df
+
+    # -- file-level column statistics (the Iceberg manifest analog) ----
+
+    def _write_manifest(self, snapdir: str, cols: tuple[str, ...]) -> None:
+        """Collect per-file min/max for ``cols`` (footers only, read by a
+        distributed job over the file list) and write the snapshot's
+        ``_manifest.json``. The collect is manifest-sized — one row per
+        data file, the same cardinality Iceberg hands its planner — and
+        the underscore name keeps Spark/Hadoop readers from treating it
+        as data."""
+        files = []
+        for root, _dirs, fs in os.walk(snapdir):
+            files.extend(os.path.join(root, f) for f in fs
+                         if f.endswith(".parquet"))
+        entries: list[dict] = []
+        if files:
+            src = self.spark.createDataFrame([(p,) for p in files],
+                                             "abs_path string")
+            n = min(len(files),
+                    self.spark.sparkContext.defaultParallelism)
+            rows = (src.repartition(n)
+                    .mapInPandas(_file_stats_kernel(tuple(cols)),
+                                 "abs_path string, rows long, stats string")
+                    .collect())
+            entries = sorted(
+                ({"path": os.path.relpath(r["abs_path"], snapdir),
+                  "rows": r["rows"], "stats": json.loads(r["stats"])}
+                 for r in rows), key=lambda e: e["path"])
+        with open(os.path.join(snapdir, "_manifest.json"), "w") as f:
+            json.dump({"stats_by": list(cols), "files": entries}, f)
+
+    def _read_manifest(self, table: str, snap: dict) -> dict | None:
+        p = os.path.join(self._vdir(table), snap["dir"], "_manifest.json")
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    @staticmethod
+    def _normalize_where(where: dict) -> dict:
+        """Normalize predicate values: scalar -> point lookup (v, v);
+        (lo, hi) -> inclusive range, None bound = unbounded."""
+        out = {}
+        for c, v in where.items():
+            if isinstance(v, tuple):
+                if len(v) != 2:
+                    raise ValueError(
+                        f"where[{c!r}] must be a scalar or (lo, hi), "
+                        f"got {v!r}")
+                out[c] = v
+            else:
+                out[c] = (v, v)
+        return out
+
+    @staticmethod
+    def _select_files(manifest: dict, where: dict) -> list[str]:
+        """Files whose stats ranges can intersect EVERY predicate; files
+        with missing/uncomparable stats are always kept (conservative —
+        pruning may over-select, never under-select; the residual row
+        filter in read_at guarantees exactness either way)."""
+        keep: list[str] = []
+        for fe in manifest["files"]:
+            ok = True
+            for c, (lo, hi) in where.items():
+                st = fe["stats"].get(c)
+                if st is None or st[0] is None:
+                    continue  # no stats for this column: cannot prune
+                mn, mx = st
+                try:
+                    if (lo is not None and mx < lo) or \
+                       (hi is not None and mn > hi):
+                        ok = False
+                        break
+                except TypeError:
+                    continue  # uncomparable bound type: keep the file
+            if ok:
+                keep.append(fe["path"])
+        return keep
 
     def commit_group(self, staged: list[dict],
                      expect: dict[str, int | None] | None = None
@@ -396,6 +547,11 @@ class Catalog:
                 if spec is not None:
                     # first clustered commit declares the table property
                     entry.setdefault("cluster_by", spec)
+                stats = s["entry"].get("stats_by")
+                if stats is not None:
+                    # first stats-carrying commit declares the property;
+                    # later stages inherit it so manifests never lapse
+                    entry.setdefault("stats_by", stats)
                 entry["snapshots"].append(s["entry"])
             self._write_catalog_meta(meta)
         return {s["table"]: s["entry"]["id"] for s in staged}
@@ -456,10 +612,27 @@ class Catalog:
     def _read_snap(self, table: str, snap: dict,
                    snapshot_col: str | None = None,
                    prune_buckets: list[int] | None = None,
-                   spec: tuple[str, int] | None = None) -> DataFrame:
+                   spec: tuple[str, int] | None = None,
+                   where: dict | None = None) -> DataFrame | None:
+        """One snapshot arm. With ``where`` and a stats manifest, the
+        scan is restricted to files whose stats can match — returns None
+        when the whole arm prunes away (read_at drops the arm)."""
         from pyspark.sql.functions import col
-        df = self.spark.read.parquet(
-            os.path.join(self._vdir(table), snap["dir"]))
+        base = os.path.join(self._vdir(table), snap["dir"])
+        df = None
+        if where:
+            man = self._read_manifest(table, snap)
+            if man is not None:
+                sel = self._select_files(man, where)
+                if not sel:
+                    return None
+                if len(sel) < len(man["files"]):
+                    # basePath keeps partition-dir columns (_bucket,
+                    # user partitions) on the explicit-file-list read
+                    df = (self.spark.read.option("basePath", base)
+                          .parquet(*[os.path.join(base, p) for p in sel]))
+        if df is None:
+            df = self.spark.read.parquet(base)
         if prune_buckets is not None:
             if snap.get("cluster_by"):
                 # partition-directory pruning: _bucket is a partition
@@ -480,7 +653,8 @@ class Catalog:
 
     def read_at(self, table: str, snapshot: int | None = None,
                 snapshot_col: str | None = None,
-                prune_buckets: list[int] | None = None) -> DataFrame:
+                prune_buckets: list[int] | None = None,
+                where: dict | None = None) -> DataFrame:
         """Read the table as of ``snapshot`` (default: latest) — Iceberg
         ``VERSION AS OF``. The view is the union of append snapshots since
         the last overwrite; ``compact`` bounds the union width (each arm
@@ -493,18 +667,43 @@ class Catalog:
         the listed storage buckets: each clustered snapshot arm scans only
         matching ``_bucket=`` partition directories — the key-driven scan
         pruning that keeps delta-sized maintenance reads delta-sized at
-        10^12-row dims."""
+        10^12-row dims.
+
+        ``where={col: (lo, hi) | scalar}`` is a FILTERED read with
+        file-level data skipping: snapshots staged with ``stats_by``
+        manifests scan only files whose recorded [min, max] can
+        intersect the predicate (whole files skipped, not just row
+        groups), and the predicate is then applied as a row filter, so
+        the result is exact whether or not any file pruned. Bounds are
+        inclusive; a None bound is unbounded; a scalar is a point
+        lookup."""
         spec = self.cluster_spec(table)
         if prune_buckets is not None and spec is None:
             raise ValueError(f"{table} is not clustered; cannot prune")
         if prune_buckets is not None and not prune_buckets:
             prune_buckets = [-1]  # empty key set: match nothing (pmod >= 0)
+        where = self._normalize_where(where) if where else None
         live = self._live_snaps(table, snapshot)
         if not live:
             raise ValueError(f"versioned table {table} is empty")
         arms = [self._read_snap(table, s, snapshot_col,
-                                prune_buckets, spec) for s in live]
-        return self._union_evolved(arms)
+                                prune_buckets, spec, where)
+                for s in live]
+        kept = [a for a in arms if a is not None]
+        if not kept:
+            # every arm pruned away: an empty frame in the newest live
+            # snapshot's schema (filter-false read — footers only)
+            kept = [self._read_snap(table, live[-1], snapshot_col,
+                                    prune_buckets, spec)
+                    .where(F_lit(False))]
+        out = self._union_evolved(kept)
+        if where:
+            for c, (lo, hi) in where.items():
+                if lo is not None:
+                    out = out.where(F_col(c) >= F_lit(lo))
+                if hi is not None:
+                    out = out.where(F_col(c) <= F_lit(hi))
+        return out
 
     def changes(self, table: str, since: int) -> DataFrame:
         """Rows committed after snapshot ``since`` (exclusive) — the

@@ -505,3 +505,54 @@ def test_graph_view_name_collision_raises(spark, tmp_path):
     with _pt.raises(ValueError, match="collision"):
         sqlapi.register_graph_views(spark, _Cat(),
                                     tables=["a.triples", "b.triples"])
+
+
+def test_file_stats_manifest_prunes_files(spark, tmp_path):
+    """File-level min/max data skipping (the Iceberg manifest analog of
+    the reference's index-side filters, `elastic_retriever.py:294-307`):
+    a snapshot staged with stats_by records per-file column bounds from
+    parquet FOOTERS, and read_at(where=...) scans only files whose
+    bounds can intersect the predicate — whole files skipped, not just
+    row groups — while the residual row filter keeps the result exact
+    on stats and non-stats columns alike."""
+    wh = str(tmp_path / "wh")
+    cat = Catalog(spark, wh)
+    df = spark.range(0, 800).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 7).alias("other"),
+        F.concat(F.lit("s"), F.col("id").cast("string")).alias("name"))
+    cat.commit_group([cat.stage(df.repartitionByRange(8, "k"), "t.x",
+                                stats_by=("k", "name"))])
+    full = cat.read_at("t.x")
+    n_files = len(full.inputFiles())
+    assert n_files == 8
+
+    sel = cat.read_at("t.x", where={"k": (100, 199)})
+    assert len(sel.inputFiles()) < n_files  # FILES skipped, not row groups
+    assert sorted(r["k"] for r in sel.collect()) == list(range(100, 200))
+
+    # scalar = point lookup; string-typed stats column
+    one = cat.read_at("t.x", where={"name": "s5"})
+    assert [r["k"] for r in one.collect()] == [5]
+
+    # predicate on a column WITHOUT stats: no pruning, still exact
+    r2 = cat.read_at("t.x", where={"other": (2, 2)})
+    assert sorted(x["k"] for x in r2.collect()) == [
+        i for i in range(800) if i % 7 == 2]
+
+    # appends inherit the table's stats_by property
+    cat.append(df.filter(F.col("k") < 16).repartitionByRange(2, "k"), "t.x")
+    assert cat.snapshots("t.x")[-1].get("stats_by") == ["k", "name"]
+    sel2 = cat.read_at("t.x", where={"k": (0, 7)})
+    assert sorted(r["k"] for r in sel2.collect()) == sorted(
+        list(range(8)) * 2)
+
+    # every arm pruned away: empty result, schema preserved
+    empty = cat.read_at("t.x", where={"k": (10_000, 10_001)})
+    assert empty.count() == 0 and empty.columns == full.columns
+
+    # compaction re-records manifests via the inherited property
+    cat.compact("t.x")
+    assert cat.snapshots("t.x")[-1].get("stats_by") == ["k", "name"]
+    post = cat.read_at("t.x", where={"k": (100, 199)})
+    assert sorted(r["k"] for r in post.collect()) == list(range(100, 200))
