@@ -25,9 +25,11 @@ Scale shape (why this survives 100 TB):
   batch non-overlapping merges per pass to cut rounds; the semantics
   pinned here are the ground truth such batching must preserve.
 
-No SQL oracle: the K-round argmax loop is not expressible as one
-DuckDB statement, so `q_bpe_train` is a rows-only driver check — the
-value gate is the pytest parity against the reference implementation.
+SQL oracle: the K argmax rounds unroll into one DuckDB statement via
+the boundary-string replace trick (queries/textpipe.py
+`_sql_bpe_train`), so `q_bpe_train` is value-exact at the driver;
+pytest additionally pins parity against an independent driver-side
+reference implementation.
 """
 
 from __future__ import annotations

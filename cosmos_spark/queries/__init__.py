@@ -76,7 +76,7 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "q_training_mix": (q_training_mix, SQL_TRAINING_MIX),
     "q_quota_sample": (q_quota_sample, SQL_QUOTA_SAMPLE),
     "q_pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
-    "q_bpe_train": (q_bpe_train, None),
+    "q_bpe_train": (q_bpe_train, SQL_BPE_TRAIN),
     "q_train_split": (q_train_split, SQL_TRAIN_SPLIT),
     "q_decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "q_bm25": (q_bm25, SQL_BM25),
@@ -146,7 +146,7 @@ QUERIES.update({
     "q_near_dedup": (q_near_dedup, SQL_NEAR_DEDUP),
     "q_ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH_TOPK),
     "q_entity_objects": (q_entity_objects, SQL_ENTITY_OBJECTS),
-    "q_word_vectors": (q_word_vectors, None),
+    "q_word_vectors": (q_word_vectors, SQL_WORD_VECTORS),
 })
 
 QUERIES.update({

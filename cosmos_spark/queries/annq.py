@@ -214,10 +214,36 @@ def word_vectors(spark, sf_dir, num_partitions: int):
 
 
 def q_word_vectors(spark, sf_dir):
-    """Registry wrapper: numPartitions=1 pins bit-determinism for the
-    rows-only driver check; see :func:`word_vectors` for the at-scale
-    setting and the partition-independent invariants."""
-    return word_vectors(spark, sf_dir, num_partitions=1)
+    """Driver surface for A7: the fitted Word2Vec model's VOCABULARY —
+    every word that received a vector, its corpus frequency, and the
+    vector arity. With minCount=1 the vocabulary is exactly the
+    distinct lowercased whitespace tokens, so this is value-exact
+    against a pure-SQL oracle (an inner join against corpus counts:
+    a dropped vocab word shows up as a missing row). The trained
+    vector VALUES are SGD output and stay pytest-pinned via
+    :func:`word_vectors` (positive norms, partition-independent
+    vocabulary at numPartitions=4)."""
+    from pyspark.ml.feature import Word2Vec
+    from pyspark.ml.functions import vector_to_array
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.expr(r"regexp_extract_all(lower(text), '\\S+', 0)").alias("words"))
+    w2v = Word2Vec(vectorSize=16, minCount=1, seed=42, maxIter=1,
+                   numPartitions=1, inputCol="words", outputCol="vec")
+    vocab = (w2v.fit(toks).getVectors()
+             .select("word",
+                     F.size(vector_to_array(F.col("vector"))).alias("dim")))
+    freqs = (toks.select(F.explode("words").alias("word"))
+             .groupBy("word").agg(F.count(F.lit(1)).alias("freq")))
+    return vocab.join(freqs, "word").select("word", "freq", "dim")
+
+
+SQL_WORD_VECTORS = r"""
+SELECT word, CAST(count(*) AS BIGINT) AS freq, 16 AS dim FROM (
+  SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS word
+  FROM documents)
+GROUP BY word
+"""
 
 def q_ann_ivf_topk(spark, sf_dir):
     """IVF approximate top-k (the other ANN scale path beside LSH):

@@ -387,13 +387,73 @@ def q_bpe_train(spark, sf_dir):
     """BPE tokenizer training (operators/bpe.py): learn the first 10
     merges from the documents corpus. The corpus collapses to the
     word-frequency dim first; each round is one combiner-friendly pair
-    count + a LIMIT-1 argmax + one narrow Arrow rewrite. Rows-only at
-    the driver (the K-round argmax loop is not one SQL statement); the
-    value gate is pytest parity against an independent driver-side
-    reference implementation."""
+    count + a LIMIT-1 argmax + one narrow Arrow rewrite. Value-exact at
+    the driver since r4: the oracle unrolls the 10 rounds as DuckDB
+    CTEs (see :func:`_sql_bpe_train`); pytest additionally pins parity
+    against an independent driver-side reference implementation."""
     from ..operators import bpe
     docs = _t(spark, sf_dir, "documents")
     return bpe.train_bpe(spark, docs, "text", num_merges=10)
+
+
+def _sql_bpe_train(k: int = 10) -> str:
+    """DuckDB oracle for ``q_bpe_train``: the K argmax rounds unrolled
+    as CTE chains.
+
+    Boundary-string trick: each symbol is wrapped in its OWN pair of
+    \\x01 separators (sym -> SEP+sym+SEP; word = concat of wrapped
+    symbols). Merging pair (l, r) is then a plain
+    ``replace(enc, SEP l SEP SEP r SEP, SEP l r SEP)``: every symbol
+    carries both its boundaries, so a consumed match never steals the
+    next occurrence's leading separator — DuckDB's left-to-right
+    non-overlapping ``replace`` is exactly the greedy LTR merge kernel
+    (adversarially checked on 'aaaa', 'abababab', unicode, and the
+    real corpus). Pair counts come from zipped unnests of the
+    double-SEP split, overlaps counted, matching the kernel's
+    all-adjacent-pairs explode.
+
+    ``AS MATERIALIZED`` on every CTE is load-bearing: w{i} references
+    w{i-1} three times (directly + via two scalar subqueries over
+    b{i}), so DuckDB's default CTE inlining would expand ~3^K plans.
+    ``coalesce(..., chr(2))`` keeps replace() a no-op instead of
+    NULLing the corpus if merges ever exhaust before round K, matching
+    the Spark loop's early break."""
+    pat = ("'''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+"
+           "| ?[^\\sA-Za-z0-9]+|\\s+'")
+    parts = [f"""WITH wf AS MATERIALIZED (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+    SELECT unnest(regexp_extract_all(text, {pat})) AS word
+    FROM documents) GROUP BY word),
+w0 AS MATERIALIZED (
+  SELECT freq,
+         regexp_replace(word, '([\\s\\S])', chr(1) || '\\1' || chr(1), 'g')
+           AS enc
+  FROM wf)"""]
+    for i in range(1, k + 1):
+        parts.append(f"""s{i} AS MATERIALIZED (
+  SELECT freq, string_split(trim(enc, chr(1)), chr(1) || chr(1)) AS syms
+  FROM w{i - 1}),
+p{i} AS MATERIALIZED (
+  SELECT l, r, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+    SELECT freq, unnest(syms[1:len(syms) - 1]) AS l,
+           unnest(syms[2:len(syms)]) AS r
+    FROM s{i} WHERE len(syms) >= 2)
+  GROUP BY l, r),
+b{i} AS MATERIALIZED (SELECT l, r, cnt FROM p{i}
+                      ORDER BY cnt DESC, l, r LIMIT 1),
+w{i} AS MATERIALIZED (
+  SELECT freq, replace(enc,
+    coalesce((SELECT chr(1) || l || chr(1) || chr(1) || r || chr(1)
+              FROM b{i}), chr(2)),
+    coalesce((SELECT chr(1) || l || r || chr(1) FROM b{i}), chr(2)))
+    AS enc
+  FROM w{i - 1})""")
+    unions = [f'SELECT {i - 1} AS "rank", l AS "left", r AS "right", '
+              f"cnt AS freq FROM b{i}" for i in range(1, k + 1)]
+    return ",\n".join(parts) + "\n" + "\nUNION ALL ".join(unions)
+
+
+SQL_BPE_TRAIN = _sql_bpe_train(10)
 
 
 def q_quota_sample(spark, sf_dir):

@@ -556,3 +556,43 @@ def test_file_stats_manifest_prunes_files(spark, tmp_path):
     assert cat.snapshots("t.x")[-1].get("stats_by") == ["k", "name"]
     post = cat.read_at("t.x", where={"k": (100, 199)})
     assert sorted(r["k"] for r in post.collect()) == list(range(100, 200))
+
+
+def test_model_singleton_loads_real_weights_once(spark, tmp_path):
+    """M7/M8 worker-preload pattern with REAL state (VERDICT r3 #4):
+    a numpy weight artifact ships via addFile, np.load runs exactly
+    once per Python worker across many Arrow batches, and the scores
+    match an exact driver-side numpy recompute."""
+    import re
+    import zlib
+
+    import numpy as np
+
+    from cosmos_spark import retrieval
+
+    rng = np.random.default_rng(42)
+    w = np.round(rng.standard_normal(64), 3)
+    path = tmp_path / "tiny_weights.npz"
+    np.savez(path, w=w)
+    spark.sparkContext.addFile(str(path))
+
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .repartition(8))
+    out = (retrieval.model_scores(docs, "tiny_weights.npz", debug=True)
+           .select("doc_id", "text", "model_score", "model_loads",
+                   "worker_pid")
+           .toPandas())
+    assert len(out) > 0
+    # the load ran exactly once in every worker that scored batches
+    assert (out["model_loads"] == 1).all()
+    # and genuinely loaded per-process (not one shared driver object)
+    assert out["worker_pid"].nunique() >= 2
+
+    def ref(t):
+        toks = re.findall(retrieval.TOKEN_RE, (t or "").lower())
+        return float(np.floor(
+            sum(w[zlib.crc32(x.encode()) % 64] for x in toks)
+            * 1e6 + 0.5)) / 1e6
+
+    exp = out["text"].map(ref)
+    assert (out["model_score"] == exp).all()

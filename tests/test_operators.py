@@ -535,10 +535,12 @@ def test_column_break_no_repair_without_spanning_block(spark):
 
 def test_word_vectors_cover_vocab(spark):
     """A7: Word2Vec trains over the full corpus vocabulary (minCount=1) —
-    one vector per distinct token, all with positive norm."""
+    one vector per distinct token, all with positive norm. (The vector
+    VALUES live here; the driver's q_word_vectors oracle value-checks
+    the vocabulary + counts + arity.)"""
     from cosmos_spark import queries as Q
     sf = "/root/testdata/sf0.001"
-    out = Q.q_word_vectors(spark, sf).toPandas()
+    out = Q.word_vectors(spark, sf, num_partitions=1).toPandas()
     docs = spark.read.parquet(f"{sf}/documents.parquet")
     n_vocab = (docs.select(F.explode(F.expr(
         r"regexp_extract_all(lower(text), '\\S+', 0)")).alias("t"))
@@ -553,7 +555,7 @@ def test_word_vectors_distributed_training(spark):
     and positive norms — even though individual vector values jitter."""
     from cosmos_spark import queries as Q
     sf = "/root/testdata/sf0.001"
-    ser = Q.q_word_vectors(spark, sf).toPandas()
+    ser = Q.word_vectors(spark, sf, num_partitions=1).toPandas()
     par = Q.word_vectors(spark, sf, num_partitions=4).toPandas()
     assert set(par["word"]) == set(ser["word"])
     assert (par["sq_norm"] > 0).all()
