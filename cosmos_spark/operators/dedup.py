@@ -200,8 +200,22 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
         F.array_distinct(F.expr(_shingles(text_col, shingle_k))).alias("sh"))
     a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    # LOSSLESS size-ratio prefilter: J(A,B) <= min(|A|,|B|)/max(|A|,|B|)
+    # (inter <= min, union >= max), so pairs failing the ratio can never
+    # pass the jaccard filter — prune them BEFORE the O(n log n)
+    # intersect/union kernels. Same-arithmetic safety: double division
+    # is monotone, so fl(inter/uni) >= t implies fl(min/max) >= t; the
+    # both-empty arm mirrors the downstream jaccard=0.0 convention.
+    ratio_ok = F.when(
+        F.greatest("n_a", "n_b") > 0,
+        (F.least("n_a", "n_b") / F.greatest("n_a", "n_b"))
+        >= F.lit(threshold)).otherwise(F.lit(threshold <= 0.0))
     return (
         candidates.join(a, "id_a").join(b, "id_b")
+        .withColumn("n_a", F.size("sh_a"))
+        .withColumn("n_b", F.size("sh_b"))
+        .filter(ratio_ok)
+        .drop("n_a", "n_b")
         .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn("uni", F.size(F.array_union("sh_a", "sh_b")))
         # empty-vs-empty (both docs under k tokens) is NO evidence of

@@ -310,13 +310,28 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
 
 
 def pagerank(edges: DataFrame, iters: int = 5,
-             damping: float = 0.5, materialize: bool = True) -> DataFrame:
+             damping: float = 0.5, materialize: bool = True,
+             tol: float | None = None,
+             dangling: bool = False) -> DataFrame:
     """Fixed-iteration PageRank: (node, pr) over all edge-incident nodes.
 
     pr_0 = 1.0; pr_{t+1}(n) = (1-d) + d * sum_{m->n} pr_t(m)/out_deg(m)
-    (dangling mass dropped — the un-normalized 'personalized-constant'
-    form, so ranks are comparable across iterations without a global
-    renormalize job).
+    (dangling mass dropped by default — the un-normalized
+    'personalized-constant' form, so ranks are comparable across
+    iterations without a global renormalize job).
+
+    Convergence options (additive; the default contract — and its
+    bit-exact DuckDB oracle — is untouched):
+
+    - ``tol``: stop as soon as ``max |pr_{t+1} - pr_t| < tol`` (checked
+      with one rank-relation-sized agg per round; ``iters`` becomes the
+      round cap). The standard production mode — run to stability
+      instead of guessing an iteration count.
+    - ``dangling``: redistribute each round's dangling mass (rank held
+      by nodes with no out-edges) uniformly — the textbook correction;
+      with it, total rank is conserved at exactly |V| in the fixed
+      point, which the pytest asserts. Costs one 1-row agg collect per
+      round (a bounded probe).
 
     Scale shape: the (src, dst, out_deg) relation is joined on ``src``
     once, persisted in that shuffle layout, and reused every iteration —
@@ -336,20 +351,46 @@ def pagerank(edges: DataFrame, iters: int = 5,
     adj = (edges.join(out_d, "src")
            .select("src", "dst", "out_deg")
            .persist(StorageLevel.MEMORY_AND_DISK))
+    n_nodes = nodes.count() if dangling else 0
+    # sinks: nodes with no out-edges — their rank is the dangling mass
+    sinks = (nodes.join(out_d.select(F.col("src").alias("node")),
+                        "node", "left_anti")
+             .persist(StorageLevel.MEMORY_AND_DISK)) if dangling else None
     ranks = nodes.select("node", F.lit(1.0).alias("pr"))
     for i in range(iters):
+        if tol is not None:
+            # convergence mode re-reads pr_t for the diff — pin it
+            ranks = ranks.localCheckpoint()
+        dm = 0.0
+        if dangling:
+            row = (ranks.join(sinks, "node", "left_semi")
+                   .agg(F.sum("pr")).collect())  # 1-row bounded probe
+            dm = float(row[0][0] or 0.0)
         contrib = (
             adj.join(ranks.withColumnRenamed("node", "src"), "src")
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.col("pr") / F.col("out_deg")).alias("s"))
         )
-        ranks = (
+        new_ranks = (
             nodes.join(contrib, "node", "left")
             .select("node",
                     (F.lit(1.0 - damping)
-                     + F.lit(damping) * F.coalesce("s", F.lit(0.0)))
+                     + F.lit(damping)
+                     * (F.coalesce("s", F.lit(0.0))
+                        + F.lit(dm / n_nodes if dangling else 0.0)))
                     .alias("pr"))
         )
+        if tol is not None:
+            delta = (new_ranks.withColumnRenamed("pr", "pr_new")
+                     .join(ranks, "node")
+                     .agg(F.max(F.abs(F.col("pr_new") - F.col("pr"))))
+                     .collect())  # 1-row bounded probe
+            new_ranks = new_ranks.localCheckpoint()
+            ranks = new_ranks
+            if delta and (delta[0][0] is None or delta[0][0] < tol):
+                break
+            continue
+        ranks = new_ranks
         if (i + 1) % 8 == 0:
             ranks = ranks.localCheckpoint()
     # materialize the result, then release the loop's caches — repeated
@@ -363,4 +404,6 @@ def pagerank(edges: DataFrame, iters: int = 5,
     out = ranks.localCheckpoint(eager=True)
     adj.unpersist()
     nodes.unpersist()
+    if sinks is not None:
+        sinks.unpersist()
     return out
