@@ -357,10 +357,12 @@ def pagerank(edges: DataFrame, iters: int = 5,
                         "node", "left_anti")
              .persist(StorageLevel.MEMORY_AND_DISK)) if dangling else None
     ranks = nodes.select("node", F.lit(1.0).alias("pr"))
+    if tol is not None:
+        # convergence mode re-reads pr_t for the diff — pin it (each
+        # round's new_ranks is checkpointed below, so one initial pin
+        # suffices)
+        ranks = ranks.localCheckpoint()
     for i in range(iters):
-        if tol is not None:
-            # convergence mode re-reads pr_t for the diff — pin it
-            ranks = ranks.localCheckpoint()
         dm = 0.0
         if dangling:
             row = (ranks.join(sinks, "node", "left_semi")

@@ -223,6 +223,9 @@ PRIORITY_QUERIES: list[str] = [
     "q_salted_join",
     "q_stream_sessions",
     "q_stats_prune",
+    # r4: oracle newly added (was rows-only) — needs a value-exact
+    # driver row this round
+    "q_stream_kind_counts",
 ]
 
 
