@@ -383,11 +383,14 @@ def pagerank(edges: DataFrame, iters: int = 5,
                     .alias("pr"))
         )
         if tol is not None:
+            # checkpoint BEFORE the diff probe: the probe then scans the
+            # materialized round instead of evaluating the join+agg plan
+            # a second time (the checkpoint re-evaluates it otherwise)
+            new_ranks = new_ranks.localCheckpoint()
             delta = (new_ranks.withColumnRenamed("pr", "pr_new")
                      .join(ranks, "node")
                      .agg(F.max(F.abs(F.col("pr_new") - F.col("pr"))))
                      .collect())  # 1-row bounded probe
-            new_ranks = new_ranks.localCheckpoint()
             ranks = new_ranks
             if delta and (delta[0][0] is None or delta[0][0] < tol):
                 break
