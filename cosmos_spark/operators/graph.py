@@ -379,7 +379,8 @@ def pagerank(edges: DataFrame, iters: int = 5,
                     (F.lit(1.0 - damping)
                      + F.lit(damping)
                      * (F.coalesce("s", F.lit(0.0))
-                        + F.lit(dm / n_nodes if dangling else 0.0)))
+                        + F.lit(dm / n_nodes
+                                if dangling and n_nodes else 0.0)))
                     .alias("pr"))
         )
         if tol is not None:

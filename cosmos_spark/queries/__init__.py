@@ -226,6 +226,10 @@ PRIORITY_QUERIES: list[str] = [
     # r4: oracle newly added (was rows-only) — needs a value-exact
     # driver row this round
     "q_stream_kind_counts",
+    # rows-only by protocol (append-mode batch boundaries), but it has
+    # never received even the weaker rows-only driver check — keep it
+    # in the front-50 until it has one
+    "q_stream_first_seen",
 ]
 
 

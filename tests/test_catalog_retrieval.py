@@ -558,6 +558,73 @@ def test_file_stats_manifest_prunes_files(spark, tmp_path):
     assert sorted(r["k"] for r in post.collect()) == list(range(100, 200))
 
 
+def test_file_stats_edge_cases(spark, tmp_path):
+    """Hardening for the file-stats manifest path: pruning composes with
+    time travel, bucket pruning, snapshot_col stamping, schema
+    evolution, and all-null stats columns — each exercised against the
+    exact unpruned answer."""
+    wh = str(tmp_path / "wh")
+    cat = Catalog(spark, wh)
+
+    def mk(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("n"), F.col("id").cast("string")).alias("name"))
+
+    # --- where + time travel: each snapshot prunes by its OWN manifest
+    v1 = cat.commit_group([cat.stage(
+        mk(0, 100).repartitionByRange(4, "k"), "t.tt",
+        stats_by=("k",))])["t.tt"]
+    v2 = cat.append(mk(100, 200).repartitionByRange(4, "k"), "t.tt")
+    old = cat.read_at("t.tt", snapshot=v1, where={"k": (150, 160)})
+    assert old.count() == 0  # v2's files invisible to the v1 read
+    now = cat.read_at("t.tt", snapshot=v2, where={"k": (150, 160)})
+    assert sorted(r["k"] for r in now.collect()) == list(range(150, 161))
+
+    # --- where + prune_buckets + snapshot_col compose on one read
+    docs = spark.range(0, 400).select(
+        F.col("id").alias("doc"), (F.col("id") * 3).alias("k"))
+    cat.commit_group([cat.stage(
+        docs.repartitionByRange(4, "k"), "t.cl",
+        cluster_by=("doc", 8), stats_by=("k",))])
+    keys = spark.createDataFrame([(7,), (12,)], "doc long")
+    bids = cat.bucket_ids("t.cl", keys, "doc")
+    got = cat.read_at("t.cl", prune_buckets=bids, where={"k": (0, 60)},
+                      snapshot_col="snap").collect()
+    want = {(d, d * 3) for d in range(0, 21)
+            if any(r["doc"] == d for r in
+                   cat.read_at("t.cl", prune_buckets=bids).collect())}
+    assert {(r["doc"], r["k"]) for r in got} == want
+    assert all(r["snap"] == 1 for r in got)
+    assert {7, 12} <= {r["doc"] for r in got}
+
+    # --- predicate on a column added by a later snapshot (evolution):
+    # old arms have no such stats and surface null -> filtered out
+    ev2 = mk(200, 210).withColumn("extra", F.col("k") - 200)
+    cat.append(ev2.repartitionByRange(2, "k"), "t.tt")
+    r = cat.read_at("t.tt", where={"extra": (3, 5)})
+    assert sorted(x["k"] for x in r.collect()) == [203, 204, 205]
+
+    # --- a file whose stats column is ALL NULL records no bounds and is
+    # conservatively kept; the row filter still yields the exact answer
+    nn = spark.range(0, 40).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") < 20, F.col("id")).alias("v"),
+        (F.col("id") < 20).alias("grp"))
+    cat.commit_group([cat.stage(
+        nn, "t.nn", partition_by=("grp",), stats_by=("v",))])
+    man = cat._read_manifest(
+        "t.nn", cat.snapshots("t.nn")[-1])
+    assert any(fe["stats"]["v"] is None for fe in man["files"])
+    sel = cat.read_at("t.nn", where={"v": (5, 8)})
+    assert sorted(x["k"] for x in sel.collect()) == [5, 6, 7, 8]
+
+    # --- malformed predicate rejected early
+    import pytest as _pt
+    with _pt.raises(ValueError, match="scalar or"):
+        cat.read_at("t.tt", where={"k": (1, 2, 3)})
+
+
 def test_model_singleton_loads_real_weights_once(spark, tmp_path):
     """M7/M8 worker-preload pattern with REAL state (VERDICT r3 #4):
     a numpy weight artifact ships via addFile, np.load runs exactly
