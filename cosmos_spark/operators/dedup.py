@@ -395,3 +395,69 @@ def winnow_fingerprints(df: DataFrame, id_col: str, text_col: str,
         .filter(F.col("fps").isNotNull())
         .select("id", F.explode("fps").alias("fp"))
     )
+
+
+def dup_ngram_spans(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", n: int = 8,
+                    round_to: int = 4) -> DataFrame:
+    """Cross-document duplicate-span detection (the window-level exact
+    dedup of Lee et al., "Deduplicating Training Data Makes Language
+    Models Better": a span is duplicated when its word ``n``-gram occurs
+    in >= 2 distinct documents). Returns per-document span stats —
+    ``(id, n_windows, dup_windows, dup_ratio)`` — the signal a training
+    pipeline thresholds to drop or trim boilerplate-heavy documents;
+    documents with fewer than ``n`` tokens emit nothing.
+
+    Scale shape: window hashes are computed row-locally in ONE batched
+    Arrow kernel evaluation (one md5 per window position, gram-memoized
+    like :func:`winnow_fingerprints` — SQL HOF lambdas would pay an
+    interpreted slice+concat per position); ``n_windows`` is the array
+    size, stamped BEFORE the explode so it rides along row-locally
+    instead of being a second aggregation. The wide tail is one linear
+    pipeline over 8-byte hashes — (gram, doc) pre-agg, a PER-GRAM window
+    for the distinct-doc count, per-doc agg — never the two-scan
+    count-then-join-back shape, which re-evaluates the kernel per branch
+    (measured 8.6s -> 1.9s at sf0.1/32c). No gram strings ever shuffle."""
+    from ..portable_hash import hash60_py
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _win_hashes(text: pd.Series) -> pd.Series:
+        cache: dict[str, int] = {}
+
+        def _h(g: str) -> int:
+            v = cache.get(g)
+            if v is None:
+                if len(cache) >= (1 << 20):
+                    cache.clear()
+                v = hash60_py(g)
+                cache[g] = v
+            return v
+
+        out: list[list[int] | None] = []
+        for t in text:
+            toks = ("" if t is None else t).lower().split()
+            m = len(toks) - n + 1
+            if m <= 0:
+                out.append(None)
+                continue
+            out.append([_h(" ".join(toks[i:i + n])) for i in range(m)])
+        return pd.Series(out)
+
+    from pyspark.sql import Window
+
+    grams = (df.select(F.col(id_col).alias("id"),
+                       _win_hashes(F.col(text_col)).alias("hs"))
+             .select("id", F.size("hs").cast("long").alias("nw"),
+                     F.explode("hs").alias("h")))
+    per = grams.groupBy("h", "id").agg(
+        F.count(F.lit(1)).alias("c"), F.first("nw").alias("nw"))
+    nd = per.withColumn(
+        "n_docs", F.count(F.lit(1)).over(Window.partitionBy("h")))
+    return (
+        nd.groupBy("id")
+        .agg(F.max("nw").alias("n_windows"),
+             F.sum(F.when(F.col("n_docs") >= 2, F.col("c"))
+                   .otherwise(F.lit(0))).alias("dup_windows"))
+        .withColumn("dup_ratio",
+                    F.round(F.col("dup_windows").cast("double")
+                            / F.col("n_windows"), round_to)))

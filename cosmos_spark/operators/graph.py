@@ -413,3 +413,60 @@ def pagerank(edges: DataFrame, iters: int = 5,
     if sinks is not None:
         sinks.unpersist()
     return out
+
+
+def neighbor_jaccard(edges: DataFrame, min_common: int = 1,
+                     max_degree: int | None = None,
+                     round_to: int = 6) -> DataFrame:
+    """Link prediction by neighbor-set Jaccard over the undirected simple
+    graph induced by ``edges``: for every pair (node_a < node_b) sharing
+    at least ``min_common`` neighbors, ``jac = |N(a) ∩ N(b)| /
+    (deg(a) + deg(b) - |N(a) ∩ N(b)|)`` — the classic structural
+    similarity score the reference's KG consumers would rank candidate
+    entity merges / "related entity" suggestions by (the graph-side
+    counterpart of the name-similarity canonicalization in
+    `/root/reference/cosmos/retrieval/elastic_retriever.py:227-249`,
+    which only ever sees lexical evidence).
+
+    Shape: canonicalize + symmetrize once; common-neighbor counts come
+    from the wedge self-join on the shared-neighbor key grouped by the
+    endpoint pair (one shuffle on the center node, one on the pair), and
+    the denominators join in from the per-node degree aggregate. The
+    wedge join is the same quadratic-hub risk ``triangle_counts``
+    documents: ``max_degree`` drops hub CENTERS (degree > cap) from the
+    wedge — the Suri-Vassilvitskii-style fan-out cap — which at scale
+    turns an O(max_deg^2)-per-hub explosion into a bounded one. Hubs
+    still count toward their neighbors' degrees (the score stays a
+    conservative lower bound for pairs that shared only hub neighbors;
+    exact for all others). Pass ``max_degree=None`` for the exact
+    contract on graphs with bounded degree."""
+    und = (edges.select(F.least("src", "dst").alias("u"),
+                        F.greatest("src", "dst").alias("v"))
+           .filter(F.col("u") != F.col("v")).distinct())
+    sym = (und.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
+           .unionByName(
+               und.select(F.col("v").alias("node"),
+                          F.col("u").alias("nbr"))))
+    deg = sym.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    centers = sym
+    if max_degree is not None:
+        ok = deg.filter(F.col("deg") <= max_degree).select("node")
+        centers = sym.join(F.broadcast(ok), "node", "left_semi")
+    # wedge through each (non-hub) center: its neighbor pairs a < b
+    s1 = centers.select(F.col("node").alias("c"), F.col("nbr").alias("a"))
+    s2 = centers.select(F.col("node").alias("c"), F.col("nbr").alias("b"))
+    common = (
+        s1.join(s2, "c")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy(F.col("a").alias("node_a"), F.col("b").alias("node_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+        .filter(F.col("common") >= min_common))
+    da = deg.select(F.col("node").alias("node_a"),
+                    F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("node_b"),
+                    F.col("deg").alias("deg_b"))
+    return (common.join(da, "node_a").join(db, "node_b")
+            .select("node_a", "node_b", "common",
+                    F.round(F.col("common").cast("double")
+                            / (F.col("deg_a") + F.col("deg_b")
+                               - F.col("common")), round_to).alias("jac")))

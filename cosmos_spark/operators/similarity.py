@@ -323,3 +323,60 @@ def embedding_cosine_dup_pairs(emb: DataFrame, threshold: float = 0.95,
         .select("id_a", "id_b", "cos_sim")
         .distinct()
     )
+
+
+def semantic_dedup(emb: DataFrame, n_clusters: int = 16,
+                   iterations: int = 1, threshold: float = 0.45,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   max_cluster: int = 100_000,
+                   round_to: int = 6) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): k-means
+    cluster the embedding space, compare pairs only WITHIN a cluster, and
+    drop every vector that has a lower-id near-duplicate (cosine >=
+    ``threshold``) in its cluster — the greedy keep-lowest-id policy, so
+    each near-dup neighborhood keeps exactly its minimal elements.
+    Returns the full per-vector relation ``(vec_id, cluster_id, kept)``.
+
+    The k-means is the derandomized Lloyd loop this module already
+    ships: md5-seeded :func:`ivf_centroids`, then ``iterations`` rounds
+    of :func:`ivf_refine` -> :func:`refined_centroids` ->
+    :func:`ivf_assign` (all sims rounded to ``round_to`` so the chain is
+    cross-engine exact).
+
+    Scale shape: clustering IS the blocking — pair cost is
+    sum(|cluster|^2), bounded by raising ``n_clusters`` (SemDeDup's own
+    knob) and hard-capped by ``max_cluster`` (oversized clusters skip
+    pairing — degenerate embedding mass, same spirit as the LSH
+    ``max_bucket``); nothing all-pairs. Dot products stay JVM-side."""
+    cents = ivf_centroids(emb, n_clusters, id_col, vec_col)
+    assign = ivf_assign(emb, cents, id_col, vec_col, round_to=round_to)
+    for _ in range(iterations):
+        cents = refined_centroids(ivf_refine(emb, assign, id_col, vec_col))
+        assign = ivf_assign(emb, cents, id_col, vec_col, round_to=round_to)
+    assigned = (emb.select(F.col(id_col).alias("vec_id"),
+                           F.col(vec_col).alias("v"))
+                .join(assign, "vec_id")
+                .withColumnRenamed("centroid_id", "cluster_id"))
+    grouped = (
+        assigned.groupBy("cluster_id")
+        .agg(F.sort_array(
+            F.collect_list(F.struct("vec_id", "v"))).alias("rows"))
+        .filter((F.size("rows") > 1) & (F.size("rows") <= max_cluster)))
+    pairs = grouped.select(F.explode(F.expr(
+        "flatten(transform(rows, (x, i) -> "
+        "transform(slice(rows, i + 2, size(rows) - i - 1), "
+        "y -> struct(x.vec_id as id_a, y.vec_id as id_b, "
+        "x.v as va, y.v as vb))))")).alias("p")).select("p.*")
+    dot = _DOT.format(a="va", b="vb")
+    na = _NORM.format(a="va")
+    nb = _NORM.format(a="vb")
+    dropped = (
+        pairs
+        .filter(F.expr(f"round(({dot}) / (({na}) * ({nb})), {round_to})")
+                >= threshold)
+        .select(F.col("id_b").alias("vec_id")).distinct())
+    return (assigned.select("vec_id", "cluster_id")
+            .join(dropped.withColumn("_drop", F.lit(True)),
+                  "vec_id", "left")
+            .select("vec_id", "cluster_id",
+                    F.coalesce(~F.col("_drop"), F.lit(True)).alias("kept")))

@@ -171,6 +171,13 @@ QUERIES.update({
     "q_stats_prune": (q_stats_prune, SQL_STATS_PRUNE),
 })
 
+QUERIES.update({
+    "q_semantic_dedup": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),
+    "q_dup_spans": (q_dup_spans, SQL_DUP_SPANS),
+    "q_graph_jaccard": (q_graph_jaccard, SQL_GRAPH_JACCARD),
+    "q_stream_dedup": (q_stream_dedup, SQL_STREAM_DEDUP),
+})
+
 # ---------------------------------------------------------------------------
 # driver-visibility ordering
 # ---------------------------------------------------------------------------
@@ -230,6 +237,11 @@ PRIORITY_QUERIES: list[str] = [
     # never received even the weaker rows-only driver check — keep it
     # in the front-50 until it has one
     "q_stream_first_seen",
+    # r4 additions — never driver-verified, must sit in the front-50
+    "q_semantic_dedup",
+    "q_dup_spans",
+    "q_graph_jaccard",
+    "q_stream_dedup",
 ]
 
 

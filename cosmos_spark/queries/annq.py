@@ -340,3 +340,73 @@ SELECT centroid_id, dim,
          AS val
 FROM d GROUP BY centroid_id, dim
 """
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup capstone (operators/similarity.py
+    semantic_dedup): one derandomized Lloyd round over md5-seeded
+    centroids clusters the embedding space, then every vector with a
+    lower-id near-duplicate (cosine >= 0.45, rounded) in its own cluster
+    is dropped. The oracle re-derives the full (vec_id, cluster_id,
+    kept) relation — clustering AND the greedy dedup policy."""
+    from ..operators import similarity
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup(emb, n_clusters=16, iterations=1,
+                                     threshold=0.45)
+
+
+SQL_SEMANTIC_DEDUP = r"""
+WITH c AS MATERIALIZED (
+  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings
+  ORDER BY md5('ivf-seed|' || CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT 16),
+e AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+av AS MATERIALIZED (
+  SELECT e.vec_id, c.cid,
+         round(list_dot_product(e.v, c.cv)
+               / (sqrt(list_dot_product(e.v, e.v))
+                  * sqrt(list_dot_product(c.cv, c.cv))), 6) AS s
+  FROM e, c),
+a1 AS MATERIALIZED (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY s DESC, cid) AS rn
+    FROM av) WHERE rn = 1),
+d AS MATERIALIZED (
+  SELECT a1.cid, CAST(generate_subscripts(e.v, 1) - 1 AS INT) AS dim,
+         CAST(unnest(e.v) AS DOUBLE) AS x
+  FROM e JOIN a1 USING (vec_id)),
+m AS MATERIALIZED (
+  SELECT cid, dim,
+         round(CAST(sum(CAST(x AS DECIMAL(28,10))) AS DOUBLE)
+               / count(*), 6) AS val
+  FROM d GROUP BY cid, dim),
+c2 AS MATERIALIZED (
+  SELECT cid, list(val ORDER BY dim) AS cv FROM m GROUP BY cid),
+av2 AS MATERIALIZED (
+  SELECT e.vec_id, c2.cid,
+         round(list_dot_product(e.v, c2.cv)
+               / (sqrt(list_dot_product(e.v, e.v))
+                  * sqrt(list_dot_product(c2.cv, c2.cv))), 6) AS s
+  FROM e, c2),
+a2 AS MATERIALIZED (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY s DESC, cid) AS rn
+    FROM av2) WHERE rn = 1),
+p AS MATERIALIZED (
+  SELECT eb.vec_id AS ib
+  FROM e ea JOIN a2 aa ON aa.vec_id = ea.vec_id
+  JOIN a2 ab ON ab.cid = aa.cid
+  JOIN e eb ON eb.vec_id = ab.vec_id AND ea.vec_id < eb.vec_id
+  WHERE round(list_dot_product(ea.v, eb.v)
+              / (sqrt(list_dot_product(ea.v, ea.v))
+                 * sqrt(list_dot_product(eb.v, eb.v))), 6) >= 0.45)
+SELECT a2.vec_id, a2.cid AS cluster_id,
+       a2.vec_id NOT IN (SELECT ib FROM p) AS kept
+FROM a2
+"""

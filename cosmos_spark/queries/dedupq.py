@@ -373,3 +373,36 @@ SELECT d.doc_id,
        (c.comp IS NULL OR c.comp = d.doc_id) AS keep
 FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
 """
+
+
+def q_dup_spans(spark, sf_dir):
+    """Cross-document duplicate-span stats (operators/dedup.py
+    dup_ngram_spans — the window-level exact dedup of Lee et al. 2021):
+    per doc, how many of its word 8-gram windows occur in >= 2 distinct
+    documents. Window hashes are one batched Arrow kernel; the wide ops
+    shuffle only 8-byte hashes."""
+    from ..operators import dedup
+    docs = _t(spark, sf_dir, "documents")
+    out = dedup.dup_ngram_spans(docs, "doc_id", "text", n=8)
+    return out.select(F.col("id").alias("doc_id"), "n_windows",
+                      "dup_windows", "dup_ratio")
+
+
+SQL_DUP_SPANS = r"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS t
+  FROM documents),
+w AS MATERIALIZED (
+  SELECT doc_id, array_to_string(t[i:i+7], ' ') AS gram
+  FROM toks, UNNEST(generate_series(1, len(t) - 7)) AS u(i)
+  WHERE len(t) >= 8),
+d AS MATERIALIZED (
+  SELECT gram, count(DISTINCT doc_id) AS nd FROM w GROUP BY gram)
+SELECT w.doc_id,
+       CAST(count(*) AS BIGINT) AS n_windows,
+       CAST(count(*) FILTER (d.nd >= 2) AS BIGINT) AS dup_windows,
+       round(CAST(count(*) FILTER (d.nd >= 2) AS DOUBLE) / count(*), 4)
+         AS dup_ratio
+FROM w JOIN d USING (gram)
+GROUP BY w.doc_id
+"""

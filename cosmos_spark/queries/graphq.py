@@ -164,3 +164,34 @@ LEFT JOIN (SELECT event_type, count(*) AS type_n FROM events
            GROUP BY event_type HAVING event_type <> 'error') d
   USING (event_type)
 """
+
+
+def q_graph_jaccard(spark, sf_dir):
+    """Link prediction by neighbor-set Jaccard (operators/graph.py
+    neighbor_jaccard): every co-neighbor pair of the doc citation graph
+    scored |N(a) ∩ N(b)| / |N(a) ∪ N(b)| — the structural 'related
+    entity' ranking a KG consumer runs over the materialized graph. The
+    doc graph's degrees are bounded (<= 4), so the exact contract
+    (max_degree=None) applies; the hub cap is plan-pinned separately."""
+    from ..operators.graph import neighbor_jaccard
+    return neighbor_jaccard(_doc_edges(spark, sf_dir))
+
+
+SQL_GRAPH_JACCARD = f"""
+WITH {_SQL_DOC_EDGES},
+und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        FROM edges WHERE src <> dst),
+sym AS (SELECT u AS node, v AS nbr FROM und
+        UNION ALL SELECT v AS node, u AS nbr FROM und),
+deg AS (SELECT node, count(*) AS deg FROM sym GROUP BY node),
+common AS (
+  SELECT s1.nbr AS node_a, s2.nbr AS node_b, count(*) AS common
+  FROM sym s1 JOIN sym s2 ON s1.node = s2.node AND s1.nbr < s2.nbr
+  GROUP BY s1.nbr, s2.nbr)
+SELECT c.node_a, c.node_b, c.common,
+       round(CAST(c.common AS DOUBLE)
+             / (da.deg + db.deg - c.common), 6) AS jac
+FROM common c
+JOIN deg da ON da.node = c.node_a
+JOIN deg db ON db.node = c.node_b
+"""

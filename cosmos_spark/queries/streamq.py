@@ -348,9 +348,62 @@ FROM y GROUP BY repo, grp
 """
 
 
+def q_stream_dedup(spark, sf_dir):
+    """Streaming exact dedup with watermark-bounded state
+    (streaming.ingest.stream_dedup / dropDuplicatesWithinWatermark),
+    VALUE-exact: every document is delivered THREE times — once per
+    drain wave, each wave one minute later in event time, all well
+    inside the 10-minute watermark — through one checkpoint, so waves
+    2 and 3 are suppressed by dedup STATE carried across micro-batches
+    (the cross-batch property the batch dedup can't give). Projected
+    columns are delivery-invariant (key + key-derived), so the emitted
+    relation is exactly one row per document and the oracle is the
+    plain distinct projection."""
+    from ..streaming.ingest import stream_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    src_dir = _tmpdir("stream_dedup_src_")
+    ck = _tmpdir("ck_dedup_")
+    out_dir = _tmpdir("stream_dedup_out_")
+
+    def _wave(minute_off: int) -> None:
+        (docs.select(
+            F.col("source").alias("repo"),
+            F.concat(F.lit("d"), F.col("doc_id").cast("string"),
+                     F.lit(".py")).alias("path"),
+            F.lit("0" * 40).alias("commit"), F.col("lang"),
+            F.lit("").alias("content"),
+            F.expr(f"timestamp'2026-01-01 00:00:00' + make_interval("
+                   f"0, 0, 0, 0, 0, doc_id % 3 + {minute_off}, 0)")
+            .alias("ingested_at"))
+         .write.mode("append").parquet(src_dir))
+
+    def _drain() -> None:
+        q = (stream_dedup(spark, src_dir, key_cols=("repo", "path"),
+                          watermark="10 minutes")
+             .select("repo", "path", "lang")
+             .writeStream.outputMode("append").format("parquet")
+             .option("path", out_dir)
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    for wave in range(3):
+        _wave(wave)
+        _drain()
+    return spark.read.parquet(out_dir)
+
+
+SQL_STREAM_DEDUP = """
+SELECT source AS repo, 'd' || doc_id || '.py' AS path, lang
+FROM documents
+"""
+
+
 # scoped state-store sizing for every streaming drain (see
 # _with_stream_shuffle); applied at definition time so the registry in
 # __init__ picks up the wrapped callables
+q_stream_dedup = _with_stream_shuffle(q_stream_dedup)
 q_stream_kind_counts = _with_stream_shuffle(q_stream_kind_counts)
 q_stream_first_seen = _with_stream_shuffle(q_stream_first_seen)
 q_stream_triples = _with_stream_shuffle(q_stream_triples)

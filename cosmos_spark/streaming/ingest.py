@@ -424,3 +424,32 @@ def run_stream_once(stream_df: DataFrame, checkpoint_dir: str,
         q = (writer.outputMode("complete").format("memory")
              .queryName("mention_counts").trigger(availableNow=True).start())
     q.awaitTermination()
+
+
+def stream_dedup(spark: SparkSession, source_dir: str,
+                 key_cols: tuple[str, ...] = ("repo", "path"),
+                 watermark: str = "10 minutes",
+                 time_col: str = "ingested_at") -> DataFrame:
+    """Streaming exact deduplication with watermark-BOUNDED state
+    (``dropDuplicatesWithinWatermark``): the first row per ``key_cols``
+    is emitted, re-deliveries arriving while the key is still inside the
+    watermark window are suppressed — including across micro-batches,
+    which is what the batch ``dedup.exact_dedup`` cannot do — and the
+    key's state entry expires once the watermark passes, so state size
+    scales with the *re-delivery lag*, not the corpus (the same bound
+    argument as ``stream_mention_joins``). This is the ingest-side
+    at-least-once -> effectively-once gate a continuous corpus feed
+    needs in front of the KG pipeline (the reference's batch analog:
+    per-blob dedup before linking, `cosmos/ingestion/ingest.py` dedup of
+    re-crawled documents).
+
+    The emitted row for a key is whichever copy arrived first, so
+    downstream consumers should project columns that are
+    delivery-invariant (the key itself and key-derived fields); the
+    event-time column is NOT part of the contract output."""
+    return (
+        spark.readStream.schema(SOURCE_SCHEMA)
+        .parquet(source_dir)
+        .withWatermark(time_col, watermark)
+        .dropDuplicatesWithinWatermark(list(key_cols))
+    )

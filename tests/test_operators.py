@@ -1240,3 +1240,108 @@ def test_kmv_ngrams_rejects_delimiter_groups(spark):
                                "g string, txt string")
     with _pytest.raises(Exception, match="'|'-free"):
         sketch.kmv_sketch_ngrams(df, "g", "txt", k=8).collect()
+
+
+# ---------------------------------------------------------------------------
+# r4 additions: neighbor-Jaccard link prediction, duplicate n-gram spans,
+# SemDeDup-style semantic dedup
+# ---------------------------------------------------------------------------
+
+def test_neighbor_jaccard_known_graph(spark):
+    # path graph 1-2-3-4 plus edge 1-3: N(1)={2,3} N(2)={1,3} N(3)={1,2,4}
+    # N(4)={3}
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 3)], "src long, dst long")
+    out = graph.neighbor_jaccard(edges).toPandas().set_index(
+        ["node_a", "node_b"])
+    # pair (1,2): common={3}, union={1,2,3} minus? deg1=2 deg2=2 -> 1/3
+    assert out.loc[(1, 2)]["common"] == 1
+    assert abs(out.loc[(1, 2)]["jac"] - round(1 / 3, 6)) < 1e-9
+    # pair (2,4): common={3}, deg2=2 deg4=1 -> 1/2
+    assert abs(out.loc[(2, 4)]["jac"] - 0.5) < 1e-9
+    # pair (1,4): only via center 3 -> common 1
+    assert out.loc[(1, 4)]["common"] == 1
+    # no pair is scored twice and a<b always
+    assert (out.reset_index()["node_a"]
+            < out.reset_index()["node_b"]).all()
+
+
+def test_neighbor_jaccard_hub_cap_drops_hub_centers(spark):
+    # star: hub 0 connected to 1..5; plus 1-2 so one non-hub wedge exists
+    rows = [(0, i) for i in range(1, 6)] + [(1, 2)]
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    full = graph.neighbor_jaccard(edges).toPandas()
+    capped = graph.neighbor_jaccard(edges, max_degree=3).toPandas()
+    # uncapped: every leaf pair shares hub 0 -> C(5,2)=10 pairs + (0,?) via
+    # center 1/2 wedges
+    leaf_pairs = {(a, b) for a in range(1, 6) for b in range(a + 1, 6)}
+    got_full = set(zip(full["node_a"], full["node_b"]))
+    assert leaf_pairs <= got_full
+    # capped at 3: hub (deg 5) no longer a wedge center -> only wedges
+    # through nodes 1 and 2 survive: centers 1 -> (0,2), 2 -> (0,1)
+    got_capped = set(zip(capped["node_a"], capped["node_b"]))
+    assert got_capped == {(0, 1), (0, 2)}
+    # degrees (denominators) still count hub neighbors: pair (0,1) via
+    # center 2 -> common=1, deg(0)=5, deg(1)=2 -> 1/6
+    row = capped.set_index(["node_a", "node_b"]).loc[(0, 1)]
+    assert abs(row["jac"] - round(1 / 6, 6)) < 1e-9
+
+
+def test_dup_ngram_spans_counts(spark):
+    # doc 0 and 1 share one 4-gram window ("a b c d"); doc 2 disjoint;
+    # doc 3 too short to emit
+    pdf = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["a b c d e", "z a b c d", "p q r s t", "x y"],
+    })
+    docs4 = spark.createDataFrame(pdf)
+    out = (dedup.dup_ngram_spans(docs4, "doc_id", "text", n=4)
+           .toPandas().set_index("id"))
+    assert 3 not in out.index                      # < n tokens -> no rows
+    assert out.loc[0]["n_windows"] == 2            # "a b c d", "b c d e"
+    assert out.loc[0]["dup_windows"] == 1          # "a b c d" also in doc 1
+    assert out.loc[1]["dup_windows"] == 1
+    assert out.loc[2]["dup_windows"] == 0
+    assert abs(out.loc[0]["dup_ratio"] - 0.5) < 1e-9
+
+
+def test_dup_ngram_spans_case_and_null(spark):
+    # case-folded grams match; null text emits nothing
+    pdf = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["A B C D", "a b c d", None],
+    })
+    docs3 = spark.createDataFrame(pdf)
+    out = (dedup.dup_ngram_spans(docs3, "doc_id", "text", n=4)
+           .toPandas().set_index("id"))
+    assert set(out.index) == {0, 1}
+    assert (out["dup_windows"] == 1).all()
+
+
+def test_semantic_dedup_greedy_policy(spark):
+    # three exact duplicates (ids 5, 7, 9) plus two distinct vectors:
+    # greedy keep-lowest-id -> 5 kept, 7 and 9 dropped (both have the
+    # lower-id near-dup 5 in their cluster)
+    import numpy as np
+    rng = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    rows = [(5, [0.5, 0.5, 0.0, 0.0]), (7, [0.5, 0.5, 0.0, 0.0]),
+            (9, [0.5, 0.5, 0.0, 0.0]), (1, rng[0]), (2, rng[1])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.semantic_dedup(
+        emb, n_clusters=2, iterations=1, threshold=0.99).toPandas()
+    kept = dict(zip(out["vec_id"], out["kept"]))
+    assert kept[5] and not kept[7] and not kept[9]
+    assert kept[1] and kept[2]
+    # every vector appears exactly once with a cluster assignment
+    assert sorted(out["vec_id"]) == [1, 2, 5, 7, 9]
+    assert out["cluster_id"].notna().all()
+
+
+def test_semantic_dedup_max_cluster_skips_pairing(spark):
+    # oversized cluster -> pairing skipped -> everything kept
+    rows = [(i, [1.0, 0.0]) for i in range(6)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.semantic_dedup(
+        emb, n_clusters=1, iterations=0, threshold=0.5,
+        max_cluster=3).toPandas()
+    assert out["kept"].all()

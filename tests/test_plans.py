@@ -338,3 +338,35 @@ def test_quota_sample_window_is_per_group(spark):
         ._jdf.queryExecution(), "formatted")
     assert "SinglePartition" not in plan
     assert "hashpartitioning(g" in plan
+
+
+def test_neighbor_jaccard_no_cartesian(spark):
+    """The wedge self-join must be an equi-join on the shared-neighbor
+    key — never a nested-loop/cartesian — and nothing funnels through a
+    single partition."""
+    plan = _plan(Q.q_graph_jaccard(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_dup_spans_partial_agg_no_single_reducer(spark):
+    """Gram counting must partial-aggregate map-side (partial_count
+    before the Exchange) and never plan a single-partition stage — the
+    distinct-doc count is a PER-GRAM window over the (gram, doc)
+    pre-agg, not a global one."""
+    plan = _plan(Q.q_dup_spans(spark, SF_DIR))
+    assert "partial_count" in plan
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_semantic_dedup_broadcast_centroids_no_single_partition(spark):
+    """The k-row centroid side of each assignment crossJoin must be the
+    broadcast side (BroadcastNestedLoopJoin is the intended shape for a
+    k x N scoring pass), and no stage funnels through SinglePartition
+    except none at all."""
+    plan = _plan(Q.q_semantic_dedup(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in plan

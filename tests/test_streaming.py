@@ -449,3 +449,49 @@ def test_epoch_watermark_survives_compaction(spark, tmp_path):
     # crash-window replay of epoch 1 is STILL a no-op post-compaction
     assert _commit_epoch(cat, "g.triples", rows, 1) is False
     assert cat.read_at("g.triples").count() == n
+
+
+def test_stream_dedup_suppresses_then_expires(spark, tmp_path):
+    """dropDuplicatesWithinWatermark contract: duplicates inside the
+    watermark window are suppressed ACROSS drains (state carried through
+    the checkpoint), and a re-delivery arriving after the key's state
+    expired (watermark passed event_time + delay) is re-emitted — the
+    bounded-state trade documented on stream_dedup."""
+    src = str(tmp_path / "src")
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+
+    def _row(path, minute):
+        return {"repo": "r", "path": path, "commit": "0" * 40,
+                "lang": "py", "content": "",
+                "ingested_at": pd.Timestamp("2026-01-01") +
+                pd.Timedelta(minutes=minute)}
+
+    def _write(rows):
+        (spark.createDataFrame(pd.DataFrame(rows))
+         .write.mode("append").parquet(src))
+
+    def _drain():
+        q = (ingest.stream_dedup(spark, src, watermark="10 minutes")
+             .select("repo", "path")
+             .writeStream.outputMode("append").format("parquet")
+             .option("path", out).option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        return spark.read.parquet(out).toPandas()
+
+    # batch 1: key twice in one batch -> one emission
+    _write([_row("p", 0), _row("p", 1)])
+    got = _drain()
+    assert len(got[got["path"] == "p"]) == 1
+    # batch 2: same key again, still inside the watermark -> suppressed
+    # by state carried across the checkpoint; flush row advances the
+    # watermark far past the key's expiry (60 - 10 > 0 + 10)
+    _write([_row("p", 2), _row("flush", 60)])
+    got = _drain()
+    assert len(got[got["path"] == "p"]) == 1
+    # batch 3: re-delivery after expiry (event time 55 > watermark 50,
+    # so not late; state for "p" is gone) -> re-emitted
+    _write([_row("p", 55)])
+    got = _drain()
+    assert len(got[got["path"] == "p"]) == 2
