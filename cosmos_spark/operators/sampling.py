@@ -71,3 +71,48 @@ def mixture_sample(df: DataFrame, id_col: str, weight_col,
     is deterministic, engine-portable, and stable under corpus growth."""
     w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
     return df.where(sample_hash(id_col, salt) < w)
+
+
+def pack_sequences(df: DataFrame, ctx_len: int,
+                   id_col: str = "doc_id", group_col: str = "source",
+                   token_count_col=None) -> DataFrame:
+    """Assign documents to fixed-length training examples — the
+    GPT-style "concatenate the corpus, chunk every ``ctx_len`` tokens"
+    packing, computed WITHOUT materializing the concatenation: within
+    each group (stream shard), documents are laid end to end in
+    ``id_col`` order and each doc's example/offset fall out of the
+    running token total. Returns the input keys plus
+    ``(n_tokens, example_id, start_offset)`` where ``example_id`` is the
+    ctx-block the doc STARTS in and ``start_offset`` its position inside
+    it (docs may straddle block boundaries — that is the contract of
+    concat-and-chunk packing; a doc longer than ``ctx_len`` spans
+    several).
+
+    ``token_count_col`` defaults to the whitespace token count over
+    ``text`` (the q_token_count stat); pass a column for real tokenizer
+    lengths (e.g. bpe_tokenize output size).
+
+    Scale shape: ONE per-group window cumsum (partition = the stream
+    shard, so parallelism is shard-wide and no global single-reducer
+    sort exists) over an otherwise row-local plan. Deterministic and
+    growth-stable per shard: appending new docs with higher ids never
+    moves an existing doc's example."""
+    from pyspark.sql import Window
+    if ctx_len <= 0:
+        raise ValueError("ctx_len must be positive")
+    n_tok = (F.expr(r"size(regexp_extract_all(text, '\\S+', 0))")
+             .cast("bigint")
+             if token_count_col is None
+             else (F.col(token_count_col)
+                   if isinstance(token_count_col, str)
+                   else token_count_col).cast("bigint"))
+    w = (Window.partitionBy(group_col).orderBy(id_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    with_cum = (df.select(id_col, group_col, n_tok.alias("n_tokens"))
+                .withColumn("__cum", F.sum("n_tokens").over(w)))
+    # integer `div`, not floor(double /): exact at any cumulative total
+    return (with_cum
+            .withColumn("__start", F.col("__cum") - F.col("n_tokens"))
+            .select(id_col, group_col, "n_tokens",
+                    F.expr(f"__start div {ctx_len}").alias("example_id"),
+                    (F.col("__start") % ctx_len).alias("start_offset")))

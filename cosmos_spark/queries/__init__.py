@@ -176,6 +176,8 @@ QUERIES.update({
     "q_dup_spans": (q_dup_spans, SQL_DUP_SPANS),
     "q_graph_jaccard": (q_graph_jaccard, SQL_GRAPH_JACCARD),
     "q_stream_dedup": (q_stream_dedup, SQL_STREAM_DEDUP),
+    "q_kg_pattern": (q_kg_pattern, SQL_KG_PATTERN),
+    "q_pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
 })
 
 # ---------------------------------------------------------------------------
@@ -197,8 +199,10 @@ PRIORITY_QUERIES: list[str] = [
     "q_sql_surface",
     "q_time_travel",
     "q_snapshot_changes",
-    "q_sessionize",
-    "q_rollup_agg",
+    # q_sessionize / q_rollup_agg rotated OUT for r4 (value-exact in the
+    # r3 driver run, semantics untouched since, still mirrored locally
+    # every test run) to keep ALL never-driver-verified queries inside
+    # the front-50 cap
     "q_pivot_agg",
     "q_percentiles",
     "q_winnow_fingerprints",
@@ -242,6 +246,8 @@ PRIORITY_QUERIES: list[str] = [
     "q_dup_spans",
     "q_graph_jaccard",
     "q_stream_dedup",
+    "q_kg_pattern",
+    "q_pack_sequences",
 ]
 
 

@@ -327,3 +327,28 @@ SELECT seg_id, kind, line_start, score FROM (
   SELECT *, row_number() OVER (ORDER BY score DESC, seg_id) AS rn FROM segs)
 WHERE rn <= 25
 """
+
+
+def q_kg_pattern(spark, sf_dir):
+    """Declarative basic-graph-pattern query over the materialized KG
+    (operators/pattern.py match_pattern — the SPARQL-BGP analog of the
+    reference's fixed retrieval joins): 'which segment defines a
+    function some other segment calls, and in which file does the
+    caller live' — three patterns, two shared-variable equi-joins, bag
+    semantics, constants pushed as filters."""
+    from ..operators.pattern import match_pattern
+    res = _linking_pipeline(spark, sf_dir)
+    return match_pattern(res["triples"], [
+        ("?dseg", "defines", "?fn"),
+        ("?cseg", "calls", "?fn"),
+        ("?cseg", "member_of", "?file"),
+    ])
+
+
+SQL_KG_PATTERN = f"""
+SELECT source || '/d' || doc_id || '.py#' || {_SQL_FSEG} AS dseg,
+       'f' || doc_id AS fn,
+       source || '/d' || doc_id || '.py#' || {_SQL_GSEG} AS cseg,
+       source || '/d' || doc_id || '.py' AS file
+FROM documents
+"""

@@ -506,3 +506,31 @@ SELECT doc_id, lang,
        x -> x IN ('the', 'a', 'of', 'and'))) AS BIGINT) AS en_hits
 FROM documents
 """
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Sequence packing for training examples (operators/sampling.py
+    pack_sequences — GPT-style concat-and-chunk): documents laid end to
+    end per source shard in doc_id order, each assigned the ctx-256
+    block it starts in plus its offset, via ONE per-shard window cumsum;
+    exact integer arithmetic end to end."""
+    from ..operators import sampling
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.pack_sequences(docs, ctx_len=256)
+
+
+SQL_PACK_SEQUENCES = r"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+  FROM documents),
+c AS (
+  SELECT doc_id, source, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS s
+  FROM t)
+SELECT doc_id, source, n_tokens,
+       CAST(s // 256 AS BIGINT) AS example_id,
+       CAST(s % 256 AS BIGINT) AS start_offset
+FROM c
+"""

@@ -1345,3 +1345,75 @@ def test_semantic_dedup_max_cluster_skips_pairing(spark):
         emb, n_clusters=1, iterations=0, threshold=0.5,
         max_cluster=3).toPandas()
     assert out["kept"].all()
+
+
+def test_match_pattern_bindings_and_guards(spark):
+    from cosmos_spark.operators.pattern import match_pattern
+    triples = spark.createDataFrame(
+        [("s1", "defines", "f"), ("s2", "calls", "f"),
+         ("s2", "member_of", "file2"), ("s3", "calls", "g"),
+         ("x", "likes", "x")],
+        "subj string, pred string, obj string")
+    out = match_pattern(triples, [
+        ("?d", "defines", "?fn"),
+        ("?c", "calls", "?fn"),
+        ("?c", "member_of", "?file"),
+    ]).toPandas()
+    assert out.to_dict("records") == [
+        {"d": "s1", "fn": "f", "c": "s2", "file": "file2"}]
+    # variable repeated WITHIN a pattern -> row-level equality
+    loop = match_pattern(triples, [("?n", "likes", "?n")]).toPandas()
+    assert list(loop["n"]) == ["x"]
+    # select projects/reorders
+    sel = match_pattern(triples, [("?d", "defines", "?fn")],
+                        select=["fn"]).toPandas()
+    assert list(sel.columns) == ["fn"]
+    # guards
+    with pytest.raises(ValueError, match="cross product"):
+        match_pattern(triples, [("?a", "defines", "?b"),
+                                ("?c", "likes", "?d")])
+    # ... unless explicitly allowed
+    prod = match_pattern(triples, [("?a", "defines", "?b"),
+                                   ("?c", "likes", "?d")],
+                         allow_product=True)
+    assert prod.count() == 1
+    with pytest.raises(ValueError, match="binds no variables"):
+        match_pattern(triples, [("s1", "defines", "f")])
+    with pytest.raises(ValueError, match="non-empty"):
+        match_pattern(triples, [])
+
+
+def test_pack_sequences_straddle_and_group_reset(spark):
+    from cosmos_spark.operators import sampling
+    # group a: docs of 3/4/2 tokens at ctx 4 -> starts 0,3,7
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 3, 9],
+        "source": ["a", "a", "a", "b"],
+        "text": ["t t t", "t t t t", "t t", "t"],
+    })
+    out = (sampling.pack_sequences(spark.createDataFrame(pdf), ctx_len=4)
+           .toPandas().set_index("doc_id"))
+    assert (out.loc[1]["example_id"], out.loc[1]["start_offset"]) == (0, 0)
+    # doc 2 starts at token 3 -> example 0 offset 3 (straddles into ex 1)
+    assert (out.loc[2]["example_id"], out.loc[2]["start_offset"]) == (0, 3)
+    assert (out.loc[3]["example_id"], out.loc[3]["start_offset"]) == (1, 3)
+    # group b restarts at 0 — per-shard packing, not global
+    assert (out.loc[9]["example_id"], out.loc[9]["start_offset"]) == (0, 0)
+
+
+def test_pack_sequences_growth_stable(spark):
+    from cosmos_spark.operators import sampling
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2], "source": ["a", "a"],
+        "text": ["t t t", "t t"]})
+    base = (sampling.pack_sequences(spark.createDataFrame(pdf), ctx_len=4)
+            .toPandas().set_index("doc_id").to_dict("index"))
+    grown = pd.concat([pdf, pd.DataFrame(
+        {"doc_id": [5], "source": ["a"], "text": ["t"]})])
+    after = (sampling.pack_sequences(spark.createDataFrame(grown),
+                                     ctx_len=4)
+             .toPandas().set_index("doc_id").to_dict("index"))
+    for d in (1, 2):
+        assert base[d] == after[d]  # appended ids never move old docs
+    with pytest.raises(ValueError, match="positive"):
+        sampling.pack_sequences(spark.createDataFrame(pdf), ctx_len=0)

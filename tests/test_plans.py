@@ -370,3 +370,20 @@ def test_semantic_dedup_broadcast_centroids_no_single_partition(spark):
     assert "BroadcastNestedLoopJoin" in plan
     assert "SinglePartition" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_kg_pattern_equi_joins_no_cartesian(spark):
+    """BGP matching must plan shared-variable equi-joins (hash joins),
+    never a nested-loop/cartesian — the whole point of expressing the
+    pattern relationally."""
+    plan = _plan(Q.q_kg_pattern(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pack_sequences_window_is_per_group(spark):
+    """The packing cumsum must be a per-shard window — a global (empty
+    partitionBy) window would plan Exchange SinglePartition."""
+    plan = _plan(Q.q_pack_sequences(spark, SF_DIR))
+    assert "SinglePartition" not in plan
+    assert "Window" in plan
