@@ -450,8 +450,11 @@ def neighbor_jaccard(edges: DataFrame, min_common: int = 1,
     deg = sym.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
     centers = sym
     if max_degree is not None:
+        # no broadcast hint: the kept-node set is node-count-sized (an
+        # unconditional broadcast would OOM on a large graph) — AQE
+        # picks the semi-join strategy from measured size
         ok = deg.filter(F.col("deg") <= max_degree).select("node")
-        centers = sym.join(F.broadcast(ok), "node", "left_semi")
+        centers = sym.join(ok, "node", "left_semi")
     # wedge through each (non-hub) center: its neighbor pairs a < b
     s1 = centers.select(F.col("node").alias("c"), F.col("nbr").alias("a"))
     s2 = centers.select(F.col("node").alias("c"), F.col("nbr").alias("b"))
