@@ -60,6 +60,14 @@ def main() -> None:
     src = src.persist(StorageLevel.MEMORY_AND_DISK)
     n_files = src.count()  # materialize input outside the timed region
 
+    # Untimed warm-up on a small slice: forks the Python/Arrow worker
+    # pool and JIT-compiles the codegen'd stages so the timed run below
+    # measures steady-state throughput (the quantity that scales to the
+    # full corpus), not one-time JVM/worker spin-up. The slice is capped
+    # so warm-up stays a fraction of the timed work.
+    warm = src.limit(min(2000, max(200, n_files // 20)))
+    run_pipeline(spark, warm)["triples"].count()
+
     t0 = time.monotonic()
     triples = run_pipeline(spark, src)["triples"]
     n_triples = triples.count()
