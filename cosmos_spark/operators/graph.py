@@ -473,3 +473,53 @@ def neighbor_jaccard(edges: DataFrame, min_common: int = 1,
                     F.round(F.col("common").cast("double")
                             / (F.col("deg_a") + F.col("deg_b")
                                - F.col("common")), round_to).alias("jac")))
+
+
+def label_propagation(edges: DataFrame, rounds: int = 3,
+                      materialize: bool = True) -> DataFrame:
+    """Synchronous label-propagation community detection -> (node, community).
+
+    The deterministic LPA variant: labels start as the node id; each
+    round every node adopts the most frequent label among its
+    (undirected) neighbors, ties broken by the SMALLEST label. Raw LPA's
+    random tie-break and asynchronous schedule are irreproducible across
+    runs and engines, so this contract fixes both: a synchronous round
+    schedule (all nodes update from the same previous-round labels) and
+    a total (count DESC, label ASC) order. The result is a pure function
+    of (edge relation, rounds), which is what lets a SQL oracle replay
+    it as ``rounds`` unrolled CTEs.
+
+    Scale shape: the symmetrized edge relation is persisted once and
+    reused every round; the only per-round data in motion is the
+    one-row-per-node (node, label) relation — one hash join on ``src``,
+    one map-side-combinable count on (node, label), and one per-node
+    window argmax (partitioned by node, never a global window).
+    ``localCheckpoint`` per round truncates the iterative lineage (the
+    chained-persist plan-growth trap, NOTES_r3); ``materialize=False``
+    skips the checkpoints so tests can inspect the full logical plan
+    (same escape hatch as :func:`pagerank`)."""
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    und = (edges.select("src", "dst")
+           .unionByName(edges.select(F.col("dst").alias("src"),
+                                     F.col("src").alias("dst")))
+           .filter(F.col("src") != F.col("dst")).distinct()
+           .persist(StorageLevel.MEMORY_AND_DISK))
+    labels = (und.select(F.col("src").alias("node")).distinct()
+              .select("node", F.col("node").alias("label")))
+    w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("label"))
+    for _ in range(rounds):
+        msgs = (und.join(labels.withColumnRenamed("node", "src"), "src")
+                .groupBy(F.col("dst").alias("node"), "label")
+                .agg(F.count(F.lit(1)).alias("c")))
+        # eager: materialize before the next round so lineage is truly
+        # truncated and the final unpersist can't force a recompute
+        labels = (msgs.withColumn("rn", F.row_number().over(w))
+                  .filter(F.col("rn") == 1).select("node", "label"))
+        if materialize:
+            labels = labels.localCheckpoint(eager=True)
+    out = labels.select("node", F.col("label").alias("community"))
+    if materialize:
+        und.unpersist()
+    return out

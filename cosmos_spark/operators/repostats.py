@@ -1,0 +1,173 @@
+"""Repo-level corpus governance: license detection/propagation, fork
+detection, and n-gram language-model quality scoring.
+
+The operations a source-code training corpus runs between ingestion and
+sampling (The-Stack-style governance; the reference has no analog — these
+are the "beyond the reference" training-data operators the engine brief
+calls for):
+
+- :func:`detect_license` / :func:`propagate_repo_license` — classify the
+  license from a file's header comment, then resolve a repo-level license
+  by majority vote so headerless files inherit their repo's license and a
+  permissive-only filter can run per file.
+- :func:`fork_candidates` — repo-level near-duplicate (fork/mirror)
+  detection: two repos are fork candidates when the Jaccard similarity of
+  their file-content-hash sets clears a threshold. The pair generation is
+  an inverted-index self-join on the content hash, never an all-pairs
+  repo join.
+- :func:`bigram_lm_score` — corpus-trained bigram language model with
+  add-k smoothing scoring every document's mean token log-probability
+  (the CCNet/KenLM perplexity-filter shape, expressed entirely in
+  relational ops: the "model" is a count relation, "inference" is a join).
+
+All three are pure DataFrame plans — no UDFs, no driver collects — so
+Catalyst handles pushdown and AQE handles residual skew.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+# (license id, header phrase) — matched in order, first hit wins. The
+# phrases are the standard opening lines real detectors key on (SPDX
+# scan-code heuristics); matched against the file HEADER only (see
+# header_chars) the way license scanners bound their scan window.
+LICENSE_PATTERNS: list[tuple[str, str]] = [
+    ("MIT", "Permission is hereby granted"),
+    ("Apache-2.0", "Licensed under the Apache License"),
+    ("GPL-3.0", "GNU General Public License"),
+    ("BSD-3-Clause", "Redistribution and use in source and binary forms"),
+]
+
+PERMISSIVE_LICENSES = ("MIT", "Apache-2.0", "BSD-3-Clause")
+
+
+def detect_license(content: Column, header_chars: int = 400) -> Column:
+    """License id from a file's header, NULL when nothing matches.
+
+    Only the first ``header_chars`` characters are scanned — license
+    headers live at the top of a file, and bounding the regex input
+    keeps the per-row cost constant no matter how large the file is."""
+    head = F.substring(content, 1, header_chars)
+    expr = None
+    for lic, phrase in LICENSE_PATTERNS:
+        cond = head.rlike(phrase)
+        expr = F.when(cond, lic) if expr is None else expr.when(cond, lic)
+    return expr.otherwise(F.lit(None).cast("string"))
+
+
+def propagate_repo_license(files: DataFrame, repo_col: str = "repo",
+                           lic_col: str = "file_license") -> DataFrame:
+    """(repo, repo_license): majority vote over the repo's licensed files,
+    ties broken by the lexicographically smallest license id (total
+    order — deterministic across engines). Repos where NO file carries a
+    detectable license resolve to 'unknown'.
+
+    Scale shape: one map-side-combinable count on (repo, license) — at
+    most |repos| x |license ids| rows survive the partial agg — then a
+    per-repo window argmax over that tiny relation. The join back to the
+    file relation is the caller's (broadcast: the result is one row per
+    repo)."""
+    counts = (files.filter(F.col(lic_col).isNotNull())
+              .groupBy(repo_col, lic_col)
+              .agg(F.count(F.lit(1)).alias("c")))
+    w = Window.partitionBy(repo_col).orderBy(F.desc("c"), F.asc(lic_col))
+    voted = (counts.withColumn("rn", F.row_number().over(w))
+             .filter(F.col("rn") == 1)
+             .select(repo_col, F.col(lic_col).alias("repo_license")))
+    repos = files.select(repo_col).distinct()
+    return (repos.join(voted, repo_col, "left")
+            .select(repo_col,
+                    F.coalesce("repo_license", F.lit("unknown"))
+                    .alias("repo_license")))
+
+
+def fork_candidates(files: DataFrame, repo_col: str = "repo",
+                    hash_col: str = "file_hash", max_df: int = 64,
+                    min_jaccard: float = 0.05,
+                    round_to: int = 6) -> DataFrame:
+    """Fork/mirror detection: (repo_a, repo_b, n_shared, n_a, n_b, jaccard)
+    for repo pairs whose file-content-hash sets have Jaccard >=
+    ``min_jaccard`` (repo_a < repo_b).
+
+    Scale shape: per-repo hash sets are deduplicated first, then pairs
+    are generated through an inverted-index self-join ON THE HASH — two
+    repos meet only if they actually share a file. Ubiquitous files
+    (a hash present in more than ``max_df`` repos: vendored licenses,
+    empty __init__.py, checked-in lockfiles) are dropped before the
+    join, bounding every hash group to max_df repos and the per-hash
+    pair fan-out to max_df^2 — the standard document-frequency prefix
+    filter; without it one vendored file present in 10^6 repos would
+    emit 10^12 pairs. Dropping them also matches intent: sharing a
+    boilerplate file is not evidence of a fork. Repo set sizes are a
+    repo-count-sized relation; AQE picks broadcast for the final
+    size join when it fits."""
+    uniq = files.select(repo_col, hash_col).distinct()
+    sizes = uniq.groupBy(repo_col).agg(F.count(F.lit(1)).alias("n"))
+    rare = (uniq.groupBy(hash_col).agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_df).select(hash_col))
+    inv = uniq.join(rare, hash_col, "left_semi")
+    a = inv.select(F.col(repo_col).alias("repo_a"), hash_col)
+    b = inv.select(F.col(repo_col).alias("repo_b"), hash_col)
+    shared = (a.join(b, hash_col)
+              .filter(F.col("repo_a") < F.col("repo_b"))
+              .groupBy("repo_a", "repo_b")
+              .agg(F.count(F.lit(1)).alias("n_shared")))
+    sa = sizes.select(F.col(repo_col).alias("repo_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col(repo_col).alias("repo_b"), F.col("n").alias("n_b"))
+    return (shared.join(sa, "repo_a").join(sb, "repo_b")
+            .withColumn("jaccard",
+                        F.round(F.col("n_shared").cast("double")
+                                / (F.col("n_a") + F.col("n_b")
+                                   - F.col("n_shared")), round_to))
+            .filter(F.col("jaccard") >= min_jaccard)
+            .select("repo_a", "repo_b", "n_shared", "n_a", "n_b", "jaccard"))
+
+
+def bigram_lm_score(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", k: float = 0.5,
+                    round_to: int = 6) -> DataFrame:
+    """Corpus-trained bigram LM score per document:
+    (id, n_bigrams, avg_logp) where
+    avg_logp = mean over the doc's bigrams of
+    ln((count(w1,w2) + k) / (count(w1,*) + k*V)), V = unigram vocabulary
+    size — the add-k-smoothed conditional log-probability. Documents
+    whose statistics diverge from the corpus (gibberish, boilerplate
+    floods) score low; this is the CCNet/KenLM perplexity-filter shape
+    with the n-gram model trained ON the corpus itself, as one job.
+
+    Scale shape: "training" is a map-side-combinable count over the
+    exploded bigram relation; "inference" joins each document's bigrams
+    back to the two count relations. Here the vocabulary is small so
+    both joins broadcast (model tables are dimension tables); a
+    10^6-token vocabulary flips them to ordinary hash joins on the
+    bigram key with no plan change. Docs with < 2 tokens surface with
+    n_bigrams = 0 and NULL score via the final left join."""
+    ws = docs.select(
+        F.col(id_col),
+        F.expr(rf"regexp_extract_all(lower({text_col}), '\\S+', 0)")
+        .alias("ws"))
+    bg = (ws.filter(F.size("ws") >= 2)
+          .select(id_col,
+                  F.expr("explode(transform(sequence(0, size(ws)-2), "
+                         "i -> struct(ws[i] AS w1, ws[i+1] AS w2)))")
+                  .alias("b"))
+          .select(id_col, "b.w1", "b.w2"))
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
+    vocab = (ws.select(F.explode("ws").alias("w"))
+             .agg(F.count_distinct("w").alias("v")))
+    logp = F.log((F.col("n12") + F.lit(k))
+                 / (F.col("n1") + F.lit(k) * F.col("v")))
+    scored = (bg.join(F.broadcast(c2), ["w1", "w2"])
+              .join(F.broadcast(c1), "w1")
+              .crossJoin(F.broadcast(vocab))
+              .groupBy(id_col)
+              .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                   F.round(F.avg(logp), round_to).alias("avg_logp")))
+    return (docs.select(id_col).join(scored, id_col, "left")
+            .select(id_col,
+                    F.coalesce("n_bigrams", F.lit(0)).cast("bigint")
+                    .alias("n_bigrams"),
+                    "avg_logp"))

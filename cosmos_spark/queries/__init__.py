@@ -31,6 +31,7 @@ from .enrichq import *  # noqa: F401,F403
 from .catalogq import *  # noqa: F401,F403
 from .streamq import *  # noqa: F401,F403
 from .graphq import *  # noqa: F401,F403
+from .codeq import *  # noqa: F401,F403
 
 # private helpers that external surfaces import by name
 from ._shared import (  # noqa: F401
@@ -180,6 +181,13 @@ QUERIES.update({
     "q_pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
 })
 
+QUERIES.update({
+    "q_license_propagate": (q_license_propagate, SQL_LICENSE_PROPAGATE),
+    "q_fork_detect": (q_fork_detect, SQL_FORK_DETECT),
+    "q_bigram_lm_score": (q_bigram_lm_score, SQL_BIGRAM_LM_SCORE),
+    "q_graph_label_prop": (q_graph_label_prop, SQL_GRAPH_LABEL_PROP),
+})
+
 # ---------------------------------------------------------------------------
 # driver-visibility ordering
 # ---------------------------------------------------------------------------
@@ -199,12 +207,11 @@ PRIORITY_QUERIES: list[str] = [
     "q_sql_surface",
     "q_time_travel",
     "q_snapshot_changes",
-    # q_sessionize / q_rollup_agg rotated OUT for r4 (value-exact in the
+    # q_sessionize / q_rollup_agg / q_pivot_agg / q_percentiles /
+    # q_bm25 / q_train_split rotated OUT for r4 (all value-exact in the
     # r3 driver run, semantics untouched since, still mirrored locally
     # every test run) to keep ALL never-driver-verified queries inside
     # the front-50 cap
-    "q_pivot_agg",
-    "q_percentiles",
     "q_winnow_fingerprints",
     "q_kmv_distinct",
     "q_kmv_set_ops",
@@ -214,9 +221,7 @@ PRIORITY_QUERIES: list[str] = [
     "q_pii_scrub",
     "q_bpe_train",
     "q_bpe_token_count",
-    "q_train_split",
     "q_decontaminate",
-    "q_bm25",
     "q_doc_rollup",
     "q_search_docfilter",
     "q_entity_objects",
@@ -248,6 +253,11 @@ PRIORITY_QUERIES: list[str] = [
     "q_stream_dedup",
     "q_kg_pattern",
     "q_pack_sequences",
+    # r4 continuation-5 additions — never driver-verified
+    "q_license_propagate",
+    "q_fork_detect",
+    "q_bigram_lm_score",
+    "q_graph_label_prop",
 ]
 
 

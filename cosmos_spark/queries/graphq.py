@@ -195,3 +195,37 @@ FROM common c
 JOIN deg da ON da.node = c.node_a
 JOIN deg db ON db.node = c.node_b
 """
+
+
+def q_graph_label_prop(spark, sf_dir):
+    """Community detection by synchronous label propagation
+    (operators/graph.py label_propagation): 3 fixed rounds, most-frequent
+    neighbor label with (count DESC, label ASC) tie-break — the
+    deterministic LPA contract whose oracle is the same 3 rounds
+    unrolled as SQL CTEs."""
+    from ..operators.graph import label_propagation
+    return label_propagation(_doc_edges(spark, sf_dir), rounds=3)
+
+
+_SQL_LPA_ROUND = """
+m{i} AS (SELECT u.dst AS node, l.label, count(*) AS c
+         FROM und u JOIN l{j} l ON u.src = l.node GROUP BY 1, 2),
+l{i} AS (SELECT node, label FROM (
+           SELECT node, label,
+                  row_number() OVER (PARTITION BY node
+                                     ORDER BY c DESC, label ASC) AS rn
+           FROM m{i}) WHERE rn = 1)"""
+
+SQL_GRAPH_LABEL_PROP = f"""
+WITH {_SQL_DOC_EDGES},
+und AS (SELECT DISTINCT src, dst FROM (
+          SELECT src, dst FROM edges
+          UNION ALL
+          SELECT dst AS src, src AS dst FROM edges) s
+        WHERE src <> dst),
+l0 AS (SELECT DISTINCT src AS node, src AS label FROM und),
+{_SQL_LPA_ROUND.format(i=1, j=0)},
+{_SQL_LPA_ROUND.format(i=2, j=1)},
+{_SQL_LPA_ROUND.format(i=3, j=2)}
+SELECT node, label AS community FROM l3
+"""

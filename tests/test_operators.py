@@ -1417,3 +1417,85 @@ def test_pack_sequences_growth_stable(spark):
         assert base[d] == after[d]  # appended ids never move old docs
     with pytest.raises(ValueError, match="positive"):
         sampling.pack_sequences(spark.createDataFrame(pdf), ctx_len=0)
+
+
+# ---------------------------------------------------------------------------
+# repostats (license / fork / bigram LM) + label propagation (r4 cont. 5)
+# ---------------------------------------------------------------------------
+
+def _lpa_ref(edges, rounds):
+    """Independent python LPA: sync rounds, (count DESC, label ASC)."""
+    from collections import Counter, defaultdict
+    nbrs = defaultdict(set)
+    for a, b in edges:
+        if a != b:
+            nbrs[a].add(b)
+            nbrs[b].add(a)
+    labels = {n: n for n in nbrs}
+    for _ in range(rounds):
+        new = {}
+        for n in nbrs:
+            cnt = Counter(labels[m] for m in nbrs[n])
+            new[n] = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+        labels = new
+    return labels
+
+
+def test_label_propagation_matches_python_reference(spark):
+    from cosmos_spark.operators.graph import label_propagation
+    # two triangles bridged by one edge, plus a duplicate + self-loop to
+    # exercise the symmetrize/dedup preamble
+    edges = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4),
+             (2, 3), (5, 5)]
+    sdf = spark.createDataFrame(edges, "src: long, dst: long")
+    for rounds in (1, 3):
+        got = {r.node: r.community
+               for r in label_propagation(sdf, rounds=rounds).collect()}
+        assert got == _lpa_ref(edges, rounds), rounds
+
+
+def test_fork_candidates_df_cap_and_exact_jaccard(spark):
+    from cosmos_spark.operators.repostats import fork_candidates
+    rows = [("r1", h) for h in ("h1", "h2", "h3", "h4")]
+    rows += [("r2", h) for h in ("h1", "h2", "hx", "hy")]
+    # hub hash in 3 repos: dropped from pair generation at max_df=2,
+    # but still counted in each repo's set size
+    rows += [(r, "hub") for r in ("r1", "r2", "r3")]
+    rows += [("r3", "h9"), ("r1", "h1")]  # duplicate row -> distinct first
+    df = spark.createDataFrame(rows, "repo: string, file_hash: string")
+    out = {(r.repo_a, r.repo_b): r
+           for r in fork_candidates(df, max_df=2, min_jaccard=0.1).collect()}
+    # r1-r3 / r2-r3 share ONLY the capped hub hash -> no pair emitted
+    assert set(out) == {("r1", "r2")}
+    p = out[("r1", "r2")]
+    assert (p.n_shared, p.n_a, p.n_b) == (2, 5, 5)
+    assert p.jaccard == round(2 / 8, 6)
+
+
+def test_detect_license_header_window_and_null(spark):
+    import pyspark.sql.functions as F
+    from cosmos_spark.operators.repostats import detect_license
+    rows = [
+        ("mit.py", "# Permission is hereby granted, free of charge\nx=1\n"),
+        # license phrase buried past the 400-char header window -> miss
+        ("deep.py", "x = 1\n" * 100 + "# Licensed under the Apache License"),
+        ("none.py", "print('hi')\n"),
+    ]
+    df = spark.createDataFrame(rows, "path: string, content: string")
+    got = {r.path: r.lic for r in df.select(
+        "path", detect_license(F.col("content")).alias("lic")).collect()}
+    assert got == {"mit.py": "MIT", "deep.py": None, "none.py": None}
+
+
+def test_bigram_lm_score_hand_computed(spark):
+    import math
+    from cosmos_spark.operators.repostats import bigram_lm_score
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a"), (3, "")], "doc_id: long, text: string")
+    out = {r.doc_id: r for r in bigram_lm_score(docs).collect()}
+    # corpus: c2(a,b)=2, c2(b,a)=1; c1(a)=2, c1(b)=1; V={a,b}=2
+    exp = round((2 * math.log(2.5 / 3.0) + math.log(1.5 / 2.0)) / 3, 6)
+    assert out[1].n_bigrams == 3 and out[1].avg_logp == exp
+    # <2 tokens: zero bigrams, NULL score, row still present
+    for d in (2, 3):
+        assert out[d].n_bigrams == 0 and out[d].avg_logp is None

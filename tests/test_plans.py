@@ -387,3 +387,43 @@ def test_pack_sequences_window_is_per_group(spark):
     plan = _plan(Q.q_pack_sequences(spark, SF_DIR))
     assert "SinglePartition" not in plan
     assert "Window" in plan
+
+
+def test_license_vote_broadcasts_repo_dim(spark):
+    """q_license_propagate: the per-repo license vote collapses to one
+    row per repo and must come back to the file relation as a broadcast
+    join; the only window is per-repo (hashpartitioning), never
+    global."""
+    plan = _plan(Q.q_license_propagate(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_fork_pairs_never_all_pairs(spark):
+    """q_fork_detect: repo pairs come from the inverted-index equi-join
+    on the content hash — no cartesian/nested-loop pair generation."""
+    plan = _plan(Q.q_fork_detect(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bigram_lm_model_joins_are_broadcast(spark):
+    """q_bigram_lm_score: both count relations (the 'model') join the
+    bigram stream as broadcasts — scoring is map-side against the
+    dimension-sized model."""
+    plan = _plan(Q.q_bigram_lm_score(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_label_prop_window_is_per_node(spark):
+    """label_propagation (materialize=False to expose the full lineage):
+    every window argmax partitions by node — no single-reducer window,
+    no SinglePartition exchange anywhere in 3 unrolled rounds."""
+    from cosmos_spark.operators.graph import label_propagation
+    from cosmos_spark.queries.graphq import _doc_edges
+    df = label_propagation(_doc_edges(spark, SF_DIR), rounds=3,
+                           materialize=False)
+    plan = _plan(df)
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "Window" in plan
