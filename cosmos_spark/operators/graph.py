@@ -523,3 +523,41 @@ def label_propagation(edges: DataFrame, rounds: int = 3,
     if materialize:
         und.unpersist()
     return out
+
+
+def bfs_distances(edges: DataFrame, seeds: DataFrame, max_hops: int = 3,
+                  broadcast_frontier: bool = True,
+                  materialize: bool = True) -> DataFrame:
+    """Multi-source BFS shortest hop distance: (node, dist) for every
+    node reachable from ``seeds`` (column ``node``) in <= ``max_hops``
+    directed hops; seeds themselves carry dist 0.
+
+    The distance-labeled sibling of :func:`k_hop`, same frontier
+    discipline: per round the (small, seed-anchored) frontier joins the
+    edge relation — broadcast so the big edge table never shuffles and
+    stays partition-local across all rounds — and newly reached nodes
+    (an anti-join against everything already labeled) become the next
+    frontier. BFS layering IS shortest-distance on unweighted graphs, so
+    no min-aggregation re-visit is ever needed; each node is labeled
+    exactly once. ``broadcast_frontier=False`` for hub-dense graphs
+    where a frontier can outgrow the broadcast threshold (AQE then picks
+    the join side per round); ``materialize=False`` exposes the full
+    lineage for plan tests."""
+    dist = (seeds.select("node").distinct()
+            .select("node", F.lit(0).alias("dist")))
+    if materialize:
+        dist = dist.localCheckpoint(eager=True)
+    frontier = dist
+    for h in range(1, max_hops + 1):
+        fr = frontier.select(F.col("node").alias("src"))
+        if broadcast_frontier:
+            fr = F.broadcast(fr)
+        nxt = (edges.join(fr, "src")
+               .select(F.col("dst").alias("node")).distinct()
+               .join(dist, "node", "left_anti")
+               .select("node", F.lit(h).alias("dist")))
+        if materialize:
+            nxt = nxt.localCheckpoint(eager=True)
+        dist = dist.unionByName(nxt)
+        frontier = nxt
+    return dist

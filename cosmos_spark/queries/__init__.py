@@ -188,6 +188,11 @@ QUERIES.update({
     "q_graph_label_prop": (q_graph_label_prop, SQL_GRAPH_LABEL_PROP),
 })
 
+QUERIES.update({
+    "q_gopher_quality": (q_gopher_quality, SQL_GOPHER_QUALITY),
+    "q_graph_distances": (q_graph_distances, SQL_GRAPH_DISTANCES),
+})
+
 # ---------------------------------------------------------------------------
 # driver-visibility ordering
 # ---------------------------------------------------------------------------
@@ -220,8 +225,8 @@ PRIORITY_QUERIES: list[str] = [
     "q_quota_sample",
     "q_pii_scrub",
     "q_bpe_train",
-    "q_bpe_token_count",
-    "q_decontaminate",
+    # q_bpe_token_count / q_decontaminate rotated OUT with the batch
+    # above (same rationale: r3-value-exact, untouched, locally mirrored)
     "q_doc_rollup",
     "q_search_docfilter",
     "q_entity_objects",
@@ -258,6 +263,8 @@ PRIORITY_QUERIES: list[str] = [
     "q_fork_detect",
     "q_bigram_lm_score",
     "q_graph_label_prop",
+    "q_gopher_quality",
+    "q_graph_distances",
 ]
 
 

@@ -229,3 +229,39 @@ l0 AS (SELECT DISTINCT src AS node, src AS label FROM und),
 {_SQL_LPA_ROUND.format(i=3, j=2)}
 SELECT node, label AS community FROM l3
 """
+
+
+def q_graph_distances(spark, sf_dir):
+    """Multi-source BFS shortest distances from the seed set (every 100th
+    doc) in <= 3 hops (operators/graph.py bfs_distances) — the
+    'how far is this entity from the seed concepts' query a KG consumer
+    runs; oracle = the 3 BFS layers unrolled as CTEs."""
+    from ..operators.graph import bfs_distances
+    docs = _t(spark, sf_dir, "documents")
+    seeds = (docs.filter(F.col("doc_id") % 100 == 0)
+             .select(F.col("doc_id").alias("node")))
+    return bfs_distances(_doc_edges(spark, sf_dir), seeds, max_hops=3)
+
+
+SQL_GRAPH_DISTANCES = f"""
+WITH {_SQL_DOC_EDGES},
+d0 AS (SELECT DISTINCT doc_id AS node, 0 AS dist FROM documents
+       WHERE doc_id % 100 = 0),
+f1 AS (SELECT DISTINCT e.dst AS node FROM edges e
+       JOIN d0 ON e.src = d0.node),
+d1 AS (SELECT node, 1 AS dist FROM f1
+       WHERE node NOT IN (SELECT node FROM d0)),
+f2 AS (SELECT DISTINCT e.dst AS node FROM edges e
+       JOIN d1 ON e.src = d1.node),
+d2 AS (SELECT node, 2 AS dist FROM f2
+       WHERE node NOT IN (SELECT node FROM d0 UNION ALL
+                          SELECT node FROM d1)),
+f3 AS (SELECT DISTINCT e.dst AS node FROM edges e
+       JOIN d2 ON e.src = d2.node),
+d3 AS (SELECT node, 3 AS dist FROM f3
+       WHERE node NOT IN (SELECT node FROM d0 UNION ALL
+                          SELECT node FROM d1 UNION ALL
+                          SELECT node FROM d2))
+SELECT node, dist FROM d0 UNION ALL SELECT node, dist FROM d1
+UNION ALL SELECT node, dist FROM d2 UNION ALL SELECT node, dist FROM d3
+"""

@@ -534,3 +534,81 @@ SELECT doc_id, source, n_tokens,
        CAST(s % 256 AS BIGINT) AS start_offset
 FROM c
 """
+
+
+def q_gopher_quality(spark, sf_dir):
+    """Gopher/FineWeb-style repetition filters — the quality gates real
+    pretraining recipes run beside stopword/length stats
+    (q_quality_score): per-doc duplicate-bigram fraction (1 - distinct/
+    total bigrams) and top-word fraction (most frequent word / words),
+    plus the keep decision at the recipe thresholds. A doc stuck in a
+    loop ("batch batch batch ...") fails both.
+
+    Scale shape: two exploded relations, each collapsed by map-side-
+    combinable aggs keyed by doc (bigram side: count + count_distinct;
+    word side: (doc, word) partial counts then per-doc max/sum), joined
+    back to the doc spine. No windows, no UDFs; the ratios are exact
+    rationals so the oracle matches bit-for-bit."""
+    docs = _t(spark, sf_dir, "documents")
+    ws = docs.select(
+        "doc_id",
+        F.expr(r"regexp_extract_all(lower(text), '\\S+', 0)").alias("w"))
+    bi = (ws.filter(F.size("w") >= 2)
+          .select("doc_id",
+                  F.expr("explode(transform(sequence(0, size(w)-2), "
+                         "i -> concat(w[i], ' ', w[i+1])))").alias("b")))
+    bi_agg = bi.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bi"),
+        F.count_distinct("b").alias("n_bi_distinct"))
+    wx = (ws.select("doc_id", F.explode("w").alias("word"))
+          .groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("c"))
+          .groupBy("doc_id").agg(F.max("c").alias("mx"),
+                                 F.sum("c").alias("tot")))
+    dup = F.round(F.coalesce(
+        F.lit(1.0) - F.col("n_bi_distinct").cast("double") / F.col("n_bi"),
+        F.lit(0.0)), 6)
+    twf = F.round(F.coalesce(
+        F.col("mx").cast("double") / F.col("tot"), F.lit(0.0)), 6)
+    return (docs.select("doc_id", F.size(
+                F.expr(r"regexp_extract_all(lower(text), '\\S+', 0)"))
+                .cast("bigint").alias("n_words"))
+            .join(bi_agg, "doc_id", "left")
+            .join(wx, "doc_id", "left")
+            .select("doc_id", "n_words",
+                    dup.alias("dup_bigram_frac"),
+                    twf.alias("top_word_frac"),
+                    ((dup <= 0.05) & (twf <= 0.12)).cast("int")
+                    .alias("keep")))
+
+
+SQL_GOPHER_QUALITY = r"""
+WITH ws AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS w FROM documents),
+bi AS (
+  SELECT doc_id,
+         count(*) AS n_bi,
+         count(DISTINCT b) AS n_bi_distinct
+  FROM (SELECT doc_id,
+               unnest(list_transform(range(1, len(w)),
+                                     i -> w[i] || ' ' || w[i+1])) AS b
+        FROM ws WHERE len(w) >= 2) x
+  GROUP BY doc_id),
+wx AS (
+  SELECT doc_id, max(c) AS mx, sum(c) AS tot
+  FROM (SELECT doc_id, word, count(*) AS c
+        FROM (SELECT doc_id, unnest(w) AS word FROM ws) u
+        GROUP BY 1, 2) y
+  GROUP BY doc_id),
+base AS (
+  SELECT s.doc_id, CAST(len(s.w) AS BIGINT) AS n_words,
+         round(coalesce(1.0 - CAST(b.n_bi_distinct AS DOUBLE) / b.n_bi,
+                        0.0), 6) AS dup_bigram_frac,
+         round(coalesce(CAST(w2.mx AS DOUBLE) / w2.tot, 0.0), 6)
+           AS top_word_frac
+  FROM ws s LEFT JOIN bi b USING (doc_id) LEFT JOIN wx w2 USING (doc_id))
+SELECT doc_id, n_words, dup_bigram_frac, top_word_frac,
+       CASE WHEN dup_bigram_frac <= CAST(0.05 AS DOUBLE)
+             AND top_word_frac <= CAST(0.12 AS DOUBLE)
+            THEN 1 ELSE 0 END AS keep
+FROM base
+"""

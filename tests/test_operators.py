@@ -1499,3 +1499,43 @@ def test_bigram_lm_score_hand_computed(spark):
     # <2 tokens: zero bigrams, NULL score, row still present
     for d in (2, 3):
         assert out[d].n_bigrams == 0 and out[d].avg_logp is None
+
+
+def test_bfs_distances_layers_and_overlap(spark):
+    from cosmos_spark.operators.graph import bfs_distances
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "src: long, dst: long")
+    seeds = spark.createDataFrame([(1,)], "node: long")
+    got = {r.node: r.dist
+           for r in bfs_distances(edges, seeds, max_hops=3).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}  # 5 is 4 hops away -> absent
+    # a node reachable at several depths keeps its SHORTEST distance
+    seeds2 = spark.createDataFrame([(1,), (3,)], "node: long")
+    got2 = {r.node: r.dist
+            for r in bfs_distances(edges, seeds2, max_hops=3).collect()}
+    assert got2 == {1: 0, 3: 0, 2: 1, 4: 1, 5: 2}
+
+
+def test_gopher_quality_hand_computed(spark, tmp_path):
+    import pandas as pd
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["a a a a",                                  # loop doc
+                 "a b c d",                                  # top 0.25
+                 "w1 w2 w3 w4 w5 w6 w7 w8 w9",               # clean
+                 ""],                                        # empty
+        "lang": ["en"] * 4, "source": ["s"] * 4, "n_chars": [7, 7, 26, 0]})
+    d = tmp_path / "sf"
+    d.mkdir()
+    spark.createDataFrame(pdf).write.parquet(str(d / "documents.parquet"))
+    from cosmos_spark.queries.textpipe import q_gopher_quality
+    got = {r.doc_id: r for r in q_gopher_quality(spark, str(d)).collect()}
+    r1 = got[1]
+    assert (r1.dup_bigram_frac, r1.top_word_frac, r1.keep) == (
+        round(1 - 1 / 3, 6), 1.0, 0)
+    assert (got[2].dup_bigram_frac, got[2].top_word_frac, got[2].keep) == (
+        0.0, 0.25, 0)
+    assert (got[3].dup_bigram_frac, round(got[3].top_word_frac, 6),
+            got[3].keep) == (0.0, round(1 / 9, 6), 1)
+    assert (got[4].n_words, got[4].dup_bigram_frac, got[4].top_word_frac,
+            got[4].keep) == (0, 0.0, 0.0, 1)

@@ -427,3 +427,28 @@ def test_label_prop_window_is_per_node(spark):
     plan = _plan(df)
     assert "Exchange SinglePartition" not in plan, plan
     assert "Window" in plan
+
+
+def test_gopher_quality_partial_aggs_no_single_partition(spark):
+    """q_gopher_quality: both exploded relations collapse through
+    map-side partial aggregation; no SinglePartition exchange."""
+    plan = _plan(Q.q_gopher_quality(spark, SF_DIR))
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_bfs_distances_frontier_is_broadcast(spark):
+    """bfs_distances (materialize=False): every BFS round joins the
+    broadcast frontier into the edge relation — the edge table never
+    shuffles."""
+    import pyspark.sql.functions as F
+    from cosmos_spark.operators.graph import bfs_distances
+    from cosmos_spark.queries.graphq import _doc_edges
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    seeds = (docs.filter(F.col("doc_id") % 100 == 0)
+             .select(F.col("doc_id").alias("node")))
+    df = bfs_distances(_doc_edges(spark, SF_DIR), seeds, max_hops=3,
+                       materialize=False)
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
