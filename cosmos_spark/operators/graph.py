@@ -28,6 +28,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
 
+def _symmetrize(edges: DataFrame, drop_self_loops: bool = False) -> DataFrame:
+    """Both directions of an edge relation, deduplicated — the shared
+    undirected-view preamble (connected_components keeps self-loops,
+    which are harmless under min-propagation; label_propagation drops
+    them so a node never votes for itself)."""
+    sym = edges.select("src", "dst").unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    if drop_self_loops:
+        sym = sym.filter(F.col("src") != F.col("dst"))
+    return sym.distinct()
+
+
 def connected_components(nodes: DataFrame, edges: DataFrame,
                          max_iters: int = 25) -> DataFrame:
     """nodes: (node), edges: (src, dst) undirected-as-given (symmetrized
@@ -35,9 +47,7 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
     component."""
     from pyspark import StorageLevel
 
-    sym = edges.select("src", "dst").unionByName(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    sym = _symmetrize(edges).persist(StorageLevel.MEMORY_AND_DISK)
 
     labels = nodes.select(
         F.col("node"), F.col("node").alias("component")
@@ -270,17 +280,15 @@ def k_hop(edges: DataFrame, seeds: DataFrame, k: int = 2,
     on a cluster the edge relation stays partition-local across all k
     rounds. For frontiers that outgrow the broadcast threshold (hub-dense
     graphs) pass ``broadcast_frontier=False`` and AQE picks the join
-    side per round instead of an unconditional (OOM-able) hint."""
-    visited = seeds.select("node").distinct()
-    frontier = visited
-    for _ in range(k):
-        fr = F.broadcast(frontier) if broadcast_frontier else frontier
-        frontier = (
-            edges.join(fr, edges["src"] == fr["node"])
-            .select(F.col("dst").alias("node")).distinct()
-        )
-        visited = visited.unionByName(frontier).distinct()
-    return visited
+    side per round instead of an unconditional (OOM-able) hint.
+
+    One frontier loop serves both traversal contracts: this is
+    :func:`bfs_distances` with the layer labels projected away (the
+    anti-join pruning there also stops re-expanding already-visited
+    nodes, which the old standalone loop paid every round)."""
+    return bfs_distances(edges, seeds, max_hops=k,
+                         broadcast_frontier=broadcast_frontier,
+                         materialize=False).select("node")
 
 
 def triangle_counts(edges: DataFrame) -> DataFrame:
@@ -501,10 +509,7 @@ def label_propagation(edges: DataFrame, rounds: int = 3,
     from pyspark import StorageLevel
     from pyspark.sql import Window
 
-    und = (edges.select("src", "dst")
-           .unionByName(edges.select(F.col("dst").alias("src"),
-                                     F.col("src").alias("dst")))
-           .filter(F.col("src") != F.col("dst")).distinct()
+    und = (_symmetrize(edges, drop_self_loops=True)
            .persist(StorageLevel.MEMORY_AND_DISK))
     labels = (und.select(F.col("src").alias("node")).distinct()
               .select("node", F.col("node").alias("label")))

@@ -127,7 +127,8 @@ def fork_candidates(files: DataFrame, repo_col: str = "repo",
 
 def bigram_lm_score(docs: DataFrame, id_col: str = "doc_id",
                     text_col: str = "text", k: float = 0.5,
-                    round_to: int = 6) -> DataFrame:
+                    round_to: int = 6,
+                    broadcast_model: bool = True) -> DataFrame:
     """Corpus-trained bigram LM score per document:
     (id, n_bigrams, avg_logp) where
     avg_logp = mean over the doc's bigrams of
@@ -139,10 +140,14 @@ def bigram_lm_score(docs: DataFrame, id_col: str = "doc_id",
 
     Scale shape: "training" is a map-side-combinable count over the
     exploded bigram relation; "inference" joins each document's bigrams
-    back to the two count relations. Here the vocabulary is small so
-    both joins broadcast (model tables are dimension tables); a
-    10^6-token vocabulary flips them to ordinary hash joins on the
-    bigram key with no plan change. Docs with < 2 tokens surface with
+    back to the two count relations. The count relations scale with the
+    DISTINCT bigram vocabulary, not the corpus — dimension-sized for
+    natural-language vocabularies, so they broadcast by default; for an
+    unbounded vocabulary (web-scale shingle soup) pass
+    ``broadcast_model=False`` and the same plan runs as ordinary hash
+    joins on the bigram key, AQE choosing strategies (the escape hatch
+    every unconditional-broadcast hint in this repo carries — the
+    neighbor_jaccard lesson). Docs with < 2 tokens surface with
     n_bigrams = 0 and NULL score via the final left join."""
     ws = docs.select(
         F.col(id_col),
@@ -160,8 +165,10 @@ def bigram_lm_score(docs: DataFrame, id_col: str = "doc_id",
              .agg(F.count_distinct("w").alias("v")))
     logp = F.log((F.col("n12") + F.lit(k))
                  / (F.col("n1") + F.lit(k) * F.col("v")))
-    scored = (bg.join(F.broadcast(c2), ["w1", "w2"])
-              .join(F.broadcast(c1), "w1")
+    if broadcast_model:
+        c2, c1 = F.broadcast(c2), F.broadcast(c1)
+    scored = (bg.join(c2, ["w1", "w2"])
+              .join(c1, "w1")
               .crossJoin(F.broadcast(vocab))
               .groupBy(id_col)
               .agg(F.count(F.lit(1)).alias("n_bigrams"),
