@@ -1539,3 +1539,82 @@ def test_gopher_quality_hand_computed(spark, tmp_path):
             got[3].keep) == (0.0, round(1 / 9, 6), 1)
     assert (got[4].n_words, got[4].dup_bigram_frac, got[4].top_word_frac,
             got[4].keep) == (0, 0.0, 0.0, 1)
+
+
+def test_label_propagation_random_graphs_match_reference(spark):
+    import random
+    from cosmos_spark.operators.graph import label_propagation
+    for seed in (7, 19, 23):
+        rng = random.Random(seed)
+        n = 14
+        edges = sorted({(rng.randrange(n), rng.randrange(n))
+                        for _ in range(25)})
+        sdf = spark.createDataFrame(edges, "src: long, dst: long")
+        got = {r.node: r.community
+               for r in label_propagation(sdf, rounds=2).collect()}
+        assert got == _lpa_ref(edges, 2), seed
+
+
+def test_fork_candidates_random_match_bruteforce(spark):
+    import itertools
+    import random
+    from collections import defaultdict
+    from cosmos_spark.operators.repostats import fork_candidates
+    for seed in (3, 11):
+        rng = random.Random(seed)
+        rows = sorted({(f"r{i}", f"h{rng.randrange(12)}")
+                       for i in range(6) for _ in range(rng.randrange(2, 9))})
+        max_df, minj = 3, 0.01
+        sets = defaultdict(set)
+        for r, h in rows:
+            sets[r].add(h)
+        dfc = defaultdict(int)
+        for _, h in rows:
+            dfc[h] += 1
+        rare = {h for h, c in dfc.items() if c <= max_df}
+        exp = {}
+        for a, b in itertools.combinations(sorted(sets), 2):
+            sh = len(sets[a] & sets[b] & rare)
+            if sh:
+                j = round(sh / (len(sets[a]) + len(sets[b]) - sh), 6)
+                if j >= minj:
+                    exp[(a, b)] = (sh, len(sets[a]), len(sets[b]), j)
+        sdf = spark.createDataFrame(rows, "repo: string, file_hash: string")
+        got = {(r.repo_a, r.repo_b): (r.n_shared, r.n_a, r.n_b, r.jaccard)
+               for r in fork_candidates(sdf, max_df=max_df,
+                                        min_jaccard=minj).collect()}
+        assert got == exp, seed
+
+
+def test_bigram_lm_random_docs_match_reference(spark):
+    import math
+    import random
+    from collections import Counter
+    from cosmos_spark.operators.repostats import bigram_lm_score
+    rng = random.Random(5)
+    vocab = ["aa", "bb", "cc", "dd"]
+    docs = [(i, " ".join(rng.choice(vocab)
+                         for _ in range(rng.randrange(0, 12))))
+            for i in range(12)]
+    bgs, c2, c1, uni = {}, Counter(), Counter(), set()
+    for i, t in docs:
+        w = t.split()
+        uni.update(w)
+        b = [(w[j], w[j + 1]) for j in range(len(w) - 1)]
+        bgs[i] = b
+        c2.update(b)
+        c1.update(x[0] for x in b)
+    v = len(uni)
+    exp = {}
+    for i, _ in docs:
+        b = bgs[i]
+        if not b:
+            exp[i] = (0, None)
+        else:
+            s = sum(math.log((c2[x] + 0.5) / (c1[x[0]] + 0.5 * v))
+                    for x in b)
+            exp[i] = (len(b), round(s / len(b), 6))
+    sdf = spark.createDataFrame(docs, "doc_id: long, text: string")
+    got = {r.doc_id: (r.n_bigrams, r.avg_logp)
+           for r in bigram_lm_score(sdf).collect()}
+    assert got == exp
