@@ -10,6 +10,12 @@ at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
      "queries": {...per-query sec...}, "sf": <sf>,
      "kg": {"n_source_files": N, "n_triples": N, "triples_per_sec": N}}
 
+The line is kept under ~1.6 KB (the recording harness retains only the
+last ~2000 chars of output — the round-3 full-registry dict overflowed
+that window and went unparsed): when the per-query dict would overflow,
+the printed "queries" keeps the slowest entries and the COMPLETE payload
+is written to BENCH/bench_last_full.json.
+
 Scaling evidence (BASELINE.md: efficiency >= 0.8 between N and 4N cores) is
 produced by scripts/scaling_bench.py, which invokes this file at two
 parallelism levels.
@@ -101,23 +107,48 @@ def main() -> None:
         times[name] = round(time.monotonic() - t0, 3)
 
     total = round(sum(times.values()), 3)
-    print(json.dumps({
+    kg = {
+        "n_source_files": n_files,
+        "n_triples": n_triples,
+        "triples_per_sec": round(n_triples / kg_sec, 1) if kg_sec else None,
+        "kg_sec": round(kg_sec, 3),
+        "sink_sec": round(sink_sec, 3),
+        "triples_per_sec_with_sink": round(
+            n_triples / (kg_sec + sink_sec), 1),
+    }
+    # The consumer of this line keeps only the LAST ~2000 chars of stdout
+    # (BENCH_r03.json: the 93-query dict overflowed that window and the
+    # line went unparsed). The full per-query dict therefore goes to a
+    # FILE, and the printed line carries the headline numbers plus the
+    # slowest queries, truncated to always fit the window.
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH", "bench_last_full.json")
+    payload = {
         "metric": "kg pipeline + operator suite wall time",
         "value": total,
         "unit": "sec",
         "queries": times,
         "sf": sf,
         "cpus": cpus,
-        "kg": {
-            "n_source_files": n_files,
-            "n_triples": n_triples,
-            "triples_per_sec": round(n_triples / kg_sec, 1) if kg_sec else None,
-            "kg_sec": round(kg_sec, 3),
-            "sink_sec": round(sink_sec, 3),
-            "triples_per_sec_with_sink": round(
-                n_triples / (kg_sec + sink_sec), 1),
-        },
-    }))
+        "n_queries": len(times),
+        "kg": kg,
+        "full": os.path.relpath(full_path,
+                                os.path.dirname(os.path.abspath(__file__))),
+    }
+    try:
+        with open(full_path, "w") as fh:
+            json.dump(payload, fh)
+    except OSError:
+        pass  # read-only checkout: the printed line still carries the top-k
+    line = json.dumps(payload)
+    if len(line) > 1600:
+        slowest = dict(sorted(times.items(), key=lambda kv: -kv[1]))
+        while len(line) > 1600 and slowest:
+            slowest.popitem()
+            line = json.dumps({**payload, "queries": slowest,
+                               "queries_omitted":
+                                   len(times) - len(slowest)})
+    print(line)
     spark.stop()
 
 
