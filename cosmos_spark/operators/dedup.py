@@ -212,8 +212,13 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
         >= F.lit(threshold)).otherwise(F.lit(threshold <= 0.0))
     return (
         candidates.join(a, "id_a").join(b, "id_b")
-        .withColumn("n_a", F.size("sh_a"))
-        .withColumn("n_b", F.size("sh_b"))
+        # clamp to >= 0: under spark.sql.legacy.sizeOfNull=true a null
+        # shingle array sizes to -1, which would make the ratio test
+        # drop pairs the downstream jaccard=0.0 convention keeps at
+        # threshold <= 0 — the clamp keeps the prefilter lossless under
+        # either conf
+        .withColumn("n_a", F.greatest(F.size("sh_a"), F.lit(0)))
+        .withColumn("n_b", F.greatest(F.size("sh_b"), F.lit(0)))
         .filter(ratio_ok)
         .drop("n_a", "n_b")
         .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
@@ -435,7 +440,10 @@ def dup_ngram_spans(df: DataFrame, id_col: str = "doc_id",
 
         out: list[list[int] | None] = []
         for t in text:
-            toks = ("" if t is None else t).lower().split()
+            # TOKEN_RE, not str.split(): str.split() treats more unicode
+            # controls as separators than \S+ does — window counts would
+            # diverge from the SQL oracle and the rest of the family
+            toks = re.findall(TOKEN_RE, ("" if t is None else t).lower())
             m = len(toks) - n + 1
             if m <= 0:
                 out.append(None)

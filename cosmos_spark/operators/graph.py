@@ -338,8 +338,9 @@ def pagerank(edges: DataFrame, iters: int = 5,
     - ``dangling``: redistribute each round's dangling mass (rank held
       by nodes with no out-edges) uniformly — the textbook correction;
       with it, total rank is conserved at exactly |V| in the fixed
-      point, which the pytest asserts. Costs one 1-row agg collect per
-      round (a bounded probe).
+      point, which the pytest asserts. Costs one 1-row agg collect plus
+      one localCheckpoint per round (the probe must scan a materialized
+      round, not re-execute the lineage since the last checkpoint).
 
     Scale shape: the (src, dst, out_deg) relation is joined on ``src``
     once, persisted in that shuffle layout, and reused every iteration —
@@ -405,7 +406,12 @@ def pagerank(edges: DataFrame, iters: int = 5,
                 break
             continue
         ranks = new_ranks
-        if (i + 1) % 8 == 0:
+        # dangling mode checkpoints EVERY round: the next round's sink-
+        # mass probe collects over ranks, and an uncheckpointed lineage
+        # would make that probe re-execute all rounds since the last
+        # checkpoint (up to 7 extra join+agg rounds under the default
+        # cadence)
+        if dangling or (i + 1) % 8 == 0:
             ranks = ranks.localCheckpoint()
     # materialize the result, then release the loop's caches — repeated
     # harness calls must not accumulate cached nodes/adj relations (same

@@ -357,11 +357,19 @@ def semantic_dedup(emb: DataFrame, n_clusters: int = 16,
                            F.col(vec_col).alias("v"))
                 .join(assign, "vec_id")
                 .withColumnRenamed("centroid_id", "cluster_id"))
+    # count-first cap: decide pairability from cluster SIZES before any
+    # collect_list builds a cluster-sized row — filtering after the agg
+    # would materialize the degenerate multi-GB cluster it is supposed
+    # to skip (the count-then-collect shape the LSH max_bucket path uses)
+    pairable = (assigned.groupBy("cluster_id")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .filter((F.col("n") > 1) & (F.col("n") <= max_cluster))
+                .select("cluster_id"))
     grouped = (
-        assigned.groupBy("cluster_id")
+        assigned.join(pairable, "cluster_id", "left_semi")
+        .groupBy("cluster_id")
         .agg(F.sort_array(
-            F.collect_list(F.struct("vec_id", "v"))).alias("rows"))
-        .filter((F.size("rows") > 1) & (F.size("rows") <= max_cluster)))
+            F.collect_list(F.struct("vec_id", "v"))).alias("rows")))
     pairs = grouped.select(F.explode(F.expr(
         "flatten(transform(rows, (x, i) -> "
         "transform(slice(rows, i + 2, size(rows) - i - 1), "

@@ -191,6 +191,7 @@ QUERIES.update({
 QUERIES.update({
     "q_gopher_quality": (q_gopher_quality, SQL_GOPHER_QUALITY),
     "q_graph_distances": (q_graph_distances, SQL_GRAPH_DISTANCES),
+    "q_model_scores": (q_model_scores, SQL_MODEL_SCORES),
 })
 
 # ---------------------------------------------------------------------------
@@ -217,7 +218,8 @@ PRIORITY_QUERIES: list[str] = [
     # r3 driver run, semantics untouched since, still mirrored locally
     # every test run) to keep ALL never-driver-verified queries inside
     # the front-50 cap
-    "q_winnow_fingerprints",
+    # q_winnow_fingerprints rotated OUT late-r4 for q_model_scores
+    # (r3-value-exact, kernel untouched, locally mirrored every run)
     "q_kmv_distinct",
     "q_kmv_set_ops",
     "q_cms_heavy_hitters",
@@ -265,6 +267,7 @@ PRIORITY_QUERIES: list[str] = [
     "q_graph_label_prop",
     "q_gopher_quality",
     "q_graph_distances",
+    "q_model_scores",
 ]
 
 

@@ -204,3 +204,67 @@ SELECT d.doc_id, CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
        s.avg_logp
 FROM documents d LEFT JOIN scored s USING (doc_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# model-hook scoring (M7 executor-singleton with real state)
+# ---------------------------------------------------------------------------
+
+_MODEL_ARTIFACT_MEMO: dict = {}
+
+#: dyadic weights (i+1)/16: every per-doc sum is an exact multiple of
+#: 1/16, representable and order-independently summable in doubles, so
+#: the Spark kernel and the DuckDB oracle agree bit-for-bit.
+_MODEL_DIM = 8
+
+
+def _model_artifact(spark) -> str:
+    """Ship the deterministic .npz weight artifact once per application
+    (addFile rejects re-adding a changed path under one basename)."""
+    import os
+
+    import numpy as np
+
+    from ._shared import _memo_scope, _tmpdir
+    key = (spark.sparkContext.applicationId,)
+    _memo_scope(_MODEL_ARTIFACT_MEMO, spark)
+    if key not in _MODEL_ARTIFACT_MEMO:
+        path = os.path.join(_tmpdir("cosmos_modelw_"), "q_model_w.npz")
+        np.savez(path, w=np.arange(1, _MODEL_DIM + 1, dtype="float64") / 16.0)
+        spark.sparkContext.addFile(path)
+        _MODEL_ARTIFACT_MEMO[key] = path
+    return _MODEL_ARTIFACT_MEMO[key]
+
+
+def q_model_scores(spark, sf_dir):
+    """The M7 model hook scoring the corpus through REAL executor state:
+    a numpy weight artifact shipped via addFile, np.load-ed once per
+    Python worker (retrieval._load_model singleton — the reference's
+    Dask worker-preload pattern, `preload_plugins/linking_setup.py:9-16`),
+    scores = hashed bag-of-words over the engine-portable hash60. The
+    oracle replays the model exactly in SQL, so the driver value-checks
+    the whole executor-side load->score path."""
+    from .. import retrieval
+    _model_artifact(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return (retrieval.model_scores(docs, "q_model_w.npz")
+            .select("doc_id", "model_score"))
+
+
+_W_CASE = " ".join(
+    f"WHEN {i} THEN CAST({(i + 1) / 16.0!r} AS DOUBLE)"
+    for i in range(_MODEL_DIM))
+
+SQL_MODEL_SCORES = rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+  FROM documents),
+scored AS (
+  SELECT doc_id,
+         sum(CASE CAST(('0x' || substr(md5(tok), 1, 15))::UBIGINT
+                       % {_MODEL_DIM} AS INTEGER)
+             {_W_CASE} END) AS s
+  FROM toks GROUP BY doc_id)
+SELECT d.doc_id, round(coalesce(s.s, 0.0), 6) AS model_score
+FROM documents d LEFT JOIN scored s USING (doc_id)
+"""

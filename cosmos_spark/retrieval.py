@@ -219,10 +219,13 @@ def model_scores(df: DataFrame, weights_file: str,
     :func:`qa_extract` keep deterministic lexical kernels.
 
     The artifact is an ``.npz`` with a 1-D float64 array ``w``; each
-    text scores ``round(sum_tok w[crc32(tok) % dim], 6)`` — a hashed
-    bag-of-words linear model, recomputable driver-side for exact
-    assertion. ``debug=True`` additionally emits the worker pid and the
-    observed load count so tests can pin one-load-per-executor.
+    text scores ``round(sum_tok w[hash60(tok) % dim], 6)`` — a hashed
+    bag-of-words linear model over the repo's engine-portable hash
+    (portable_hash.hash60_py; DuckDB mirror
+    ``('0x' || substr(md5(tok), 1, 15))::UBIGINT % dim``), so the score
+    is recomputable driver-side AND SQL-side for exact assertion
+    (`q_model_scores`). ``debug=True`` additionally emits the worker pid
+    and the observed load count so tests can pin one-load-per-executor.
 
     Adds ``model_score`` (+ ``model_loads``, ``worker_pid`` in debug)."""
     import numpy as np
@@ -239,20 +242,30 @@ def model_scores(df: DataFrame, weights_file: str,
     @F.pandas_udf("model_score double, model_loads int, worker_pid int")
     def _score(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
         import os as _os
-        import zlib
 
         # go through the MODULE, not the closure: cloudpickle snapshots
         # closure-referenced globals BY VALUE at plan time (a fresh {}
         # per task), while the importable module holds the real
         # per-worker-process state — the actual singleton.
         from cosmos_spark import retrieval as _R
+        from cosmos_spark.portable_hash import hash60_py as _h60
         w = _R._load_model(key, _loader)
         dim = len(w)
+        memo: dict[str, float] = {}  # token -> weight (md5 memoized)
+
+        def _wt(tok: str) -> float:
+            v = memo.get(tok)
+            if v is None:
+                if len(memo) >= (1 << 20):
+                    memo.clear()
+                v = float(w[_h60(tok) % dim])
+                memo[tok] = v
+            return v
+
         for s in it:
             toks = s.fillna("").str.lower().str.findall(TOKEN_RE)
-            score = toks.map(lambda t: float(np.floor(sum(
-                w[zlib.crc32(x.encode()) % dim] for x in t) * 1e6 + 0.5))
-                / 1e6)
+            score = toks.map(lambda t: float(np.floor(
+                sum(_wt(x) for x in t) * 1e6 + 0.5)) / 1e6)
             yield pd.DataFrame({
                 "model_score": score,
                 "model_loads": _R._MODEL_LOAD_COUNTS.get(key, 0),

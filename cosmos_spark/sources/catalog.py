@@ -692,7 +692,12 @@ class Catalog:
         kept = [a for a in arms if a is not None]
         if not kept:
             # every arm pruned away: an empty frame in the newest live
-            # snapshot's schema (filter-false read — footers only)
+            # snapshot's schema (filter-false read — footers only).
+            # Schema-exact by construction: _union_evolved's governing
+            # schema IS the newest live snapshot's columns (dropped
+            # columns never appear, added columns always do), so pruning
+            # can only ever change the row count, never the schema —
+            # pinned by test_all_pruned_read_keeps_evolved_schema
             kept = [self._read_snap(table, live[-1], snapshot_col,
                                     prune_buckets, spec)
                     .where(F_lit(False))]

@@ -631,11 +631,11 @@ def test_model_singleton_loads_real_weights_once(spark, tmp_path):
     once per Python worker across many Arrow batches, and the scores
     match an exact driver-side numpy recompute."""
     import re
-    import zlib
 
     import numpy as np
 
     from cosmos_spark import retrieval
+    from cosmos_spark.portable_hash import hash60_py
 
     rng = np.random.default_rng(42)
     w = np.round(rng.standard_normal(64), 3)
@@ -658,8 +658,37 @@ def test_model_singleton_loads_real_weights_once(spark, tmp_path):
     def ref(t):
         toks = re.findall(retrieval.TOKEN_RE, (t or "").lower())
         return float(np.floor(
-            sum(w[zlib.crc32(x.encode()) % 64] for x in toks)
+            sum(float(w[hash60_py(x) % 64]) for x in toks)
             * 1e6 + 0.5)) / 1e6
 
     exp = out["text"].map(ref)
     assert (out["model_score"] == exp).all()
+
+
+def test_all_pruned_read_keeps_evolved_schema(spark, tmp_path):
+    """Full file-stats pruning must not change the SCHEMA under either
+    direction of evolution: the newest live snapshot's columns govern
+    every read (_union_evolved contract — dropped columns never appear,
+    added columns always do), and the everything-pruned empty fallback
+    reads exactly that snapshot, so pruning only ever changes the row
+    count."""
+    import pyspark.sql.functions as F
+    from cosmos_spark.sources import Catalog
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    # drop direction: newest snapshot lacks x -> x gone from every read
+    a = spark.range(0, 10).select(F.col("id").alias("k"),
+                                  (F.col("id") * 2).alias("x"))
+    cat.commit_group([cat.stage(a, "t.e", stats_by=("k",))])
+    cat.append(spark.range(10, 20).select(F.col("id").alias("k")), "t.e")
+    full = cat.read_at("t.e")
+    assert full.columns == ["k"]
+    empty = cat.read_at("t.e", where={"k": (10_000, 10_001)})
+    assert empty.count() == 0 and empty.columns == full.columns
+    # add direction: newest snapshot gains y -> y present (null-backfilled)
+    cat.append(spark.range(20, 30).select(F.col("id").alias("k"),
+                                          F.lit("v").alias("y")), "t.e")
+    full2 = cat.read_at("t.e")
+    assert sorted(full2.columns) == ["k", "y"]
+    empty2 = cat.read_at("t.e", where={"k": (10_000, 10_001)})
+    assert empty2.count() == 0
+    assert sorted(empty2.columns) == sorted(full2.columns)
