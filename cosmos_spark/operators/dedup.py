@@ -469,3 +469,74 @@ def dup_ngram_spans(df: DataFrame, id_col: str = "doc_id",
         .withColumn("dup_ratio",
                     F.round(F.col("dup_windows").cast("double")
                             / F.col("n_windows"), round_to)))
+
+
+def cdc_chunks(df: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text", k: int = 8,
+               divisor: int = 64) -> DataFrame:
+    """Content-defined chunking (the rolling-hash boundary scheme of
+    LBFS/rsync-style dedup, applied to training corpora for sub-document
+    duplicate detection): a chunk boundary falls after every position
+    whose trailing character ``k``-gram hashes to 0 mod ``divisor``, so
+    boundaries move WITH the content — an insertion near the top of a
+    file re-chunks only its neighborhood, and every untouched chunk
+    re-hashes to the same id (the property fixed-width chunking lacks).
+    Expected chunk length ~= ``divisor`` characters.
+
+    Returns one row per chunk: ``(id, chunk_idx, start, length,
+    chunk_hash)`` — ``start`` 1-based, ``chunk_hash`` the engine-portable
+    hash60 of the chunk text (fits a BIGINT). Documents shorter than
+    ``k`` form a single whole-document chunk; empty documents emit
+    nothing. Deterministic: a pure function of the text, replayable in
+    SQL (md5 per window position + per-doc cut-point window).
+
+    Scale shape: one row-local Arrow kernel pass per document (md5 per
+    position, gram-memoized like :func:`winnow_fingerprints`) followed
+    by one explode — no shuffle; cross-corpus chunk-duplication stats
+    are one groupBy on ``chunk_hash`` away (see ``q_cdc_chunks``)."""
+    from ..portable_hash import hash60_py
+
+    out_t = T.ArrayType(T.StructType([
+        T.StructField("chunk_idx", T.LongType()),
+        T.StructField("start", T.LongType()),
+        T.StructField("length", T.LongType()),
+        T.StructField("chunk_hash", T.LongType()),
+    ]))
+
+    @F.pandas_udf(out_t)
+    def _chunks(text: pd.Series) -> pd.Series:
+        cache: dict[str, int] = {}
+
+        def _h(g: str) -> int:
+            v = cache.get(g)
+            if v is None:
+                if len(cache) >= (1 << 20):
+                    cache.clear()
+                v = hash60_py(g)
+                cache[g] = v
+            return v
+
+        out: list[list[tuple] | None] = []
+        for t in text.fillna(""):
+            n = len(t)
+            if n == 0:
+                out.append(None)
+                continue
+            # cut i = chunk ends AFTER 1-based position i
+            cuts = [i for i in range(k, n + 1)
+                    if _h(t[i - k:i]) % divisor == 0]
+            if not cuts or cuts[-1] != n:
+                cuts.append(n)
+            rows, prev = [], 0
+            for idx, c in enumerate(cuts, start=1):
+                rows.append((idx, prev + 1, c - prev, _h(t[prev:c])))
+                prev = c
+            out.append(rows)
+        return pd.Series(out, index=text.index)
+
+    return (df.select(F.col(id_col).alias("id"),
+                      _chunks(F.col(text_col)).alias("cs"))
+            .filter(F.col("cs").isNotNull())
+            .select("id", F.explode("cs").alias("c"))
+            .select("id", "c.chunk_idx", "c.start", "c.length",
+                    "c.chunk_hash"))

@@ -192,6 +192,7 @@ QUERIES.update({
     "q_gopher_quality": (q_gopher_quality, SQL_GOPHER_QUALITY),
     "q_graph_distances": (q_graph_distances, SQL_GRAPH_DISTANCES),
     "q_model_scores": (q_model_scores, SQL_MODEL_SCORES),
+    "q_cdc_chunks": (q_cdc_chunks, SQL_CDC_CHUNKS),
 })
 
 # ---------------------------------------------------------------------------
@@ -225,7 +226,8 @@ PRIORITY_QUERIES: list[str] = [
     "q_cms_heavy_hitters",
     "q_training_mix",
     "q_quota_sample",
-    "q_pii_scrub",
+    # q_pii_scrub rotated OUT late-r4 for q_cdc_chunks (r3-value-exact,
+    # untouched, locally mirrored every run)
     "q_bpe_train",
     # q_bpe_token_count / q_decontaminate rotated OUT with the batch
     # above (same rationale: r3-value-exact, untouched, locally mirrored)
@@ -268,6 +270,7 @@ PRIORITY_QUERIES: list[str] = [
     "q_gopher_quality",
     "q_graph_distances",
     "q_model_scores",
+    "q_cdc_chunks",
 ]
 
 

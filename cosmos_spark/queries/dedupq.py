@@ -406,3 +406,43 @@ SELECT w.doc_id,
 FROM w JOIN d USING (gram)
 GROUP BY w.doc_id
 """
+
+
+def q_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking over the corpus (operators/dedup.py
+    cdc_chunks): rolling-hash boundaries every ~64 chars, one row per
+    chunk with its engine-portable chunk hash — the sub-document dedup
+    primitive whose boundaries survive insertions (unlike fixed-width
+    chunking). The oracle replays the same md5-per-window boundary rule
+    and per-doc cut-point window in SQL."""
+    from ..operators.dedup import cdc_chunks
+    docs = _t(spark, sf_dir, "documents")
+    return cdc_chunks(docs).withColumnRenamed("id", "doc_id")
+
+
+SQL_CDC_CHUNKS = """
+WITH nz AS (SELECT doc_id, text FROM documents WHERE len(text) > 0),
+b AS (
+  SELECT doc_id, i
+  FROM (SELECT doc_id, text, unnest(range(8, len(text) + 1)) AS i
+        FROM nz) p
+  WHERE ('0x' || substr(md5(substr(text, i - 7, 8)), 1, 15))::UBIGINT
+        % 64 = 0),
+cuts AS (
+  SELECT DISTINCT doc_id, i FROM (
+    SELECT doc_id, i FROM b
+    UNION ALL SELECT doc_id, len(text) FROM nz) u),
+ch AS (
+  SELECT doc_id, i AS cend,
+         coalesce(lag(i) OVER (PARTITION BY doc_id ORDER BY i), 0) + 1
+           AS cstart,
+         row_number() OVER (PARTITION BY doc_id ORDER BY i) AS chunk_idx
+  FROM cuts)
+SELECT ch.doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(cstart AS BIGINT) AS start,
+       CAST(cend - cstart + 1 AS BIGINT) AS length,
+       CAST(('0x' || substr(md5(substr(nz.text, cstart,
+                                       cend - cstart + 1)), 1, 15))::UBIGINT
+            AS BIGINT) AS chunk_hash
+FROM ch JOIN nz USING (doc_id)
+"""

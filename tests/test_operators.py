@@ -1618,3 +1618,43 @@ def test_bigram_lm_random_docs_match_reference(spark):
     got = {r.doc_id: (r.n_bigrams, r.avg_logp)
            for r in bigram_lm_score(sdf).collect()}
     assert got == exp
+
+
+def test_cdc_chunks_tiling_and_insertion_survival(spark):
+    import random
+    from cosmos_spark.operators.dedup import cdc_chunks
+    rng = random.Random(13)
+    base = "".join(rng.choice("abcdefgh ") for _ in range(600))
+    docs = spark.createDataFrame(
+        [(1, base),
+         (2, "XYZ-inserted-" + base),  # perturbation at the very top
+         (3, "short"),                 # < k: one whole-doc chunk
+         (4, "")],                     # empty: no rows
+        "doc_id: long, text: string")
+    rows = cdc_chunks(docs).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r.id, []).append(r)
+    for d in by:
+        by[d].sort(key=lambda r: r.chunk_idx)
+    # chunks tile each doc exactly: contiguous, lengths sum to len(text)
+    for d, text in ((1, base), (2, "XYZ-inserted-" + base)):
+        pos = 1
+        for r in by[d]:
+            assert r.start == pos and r.length >= 1
+            pos += r.length
+        assert pos - 1 == len(text)
+    assert len(by[3]) == 1 and by[3][0].length == len("short")
+    assert 4 not in by
+    # content-defined property: the insertion re-chunks only its
+    # neighborhood — the hash multisets share all but a few head chunks
+    h1 = [r.chunk_hash for r in by[1]]
+    h2 = [r.chunk_hash for r in by[2]]
+    shared = len(set(h1) & set(h2))
+    assert shared >= len(h1) - 2, (len(h1), len(h2), shared)
+    # and a FIXED-width chunking of the same pair would share nothing:
+    # the insertion shifts every 64-char frame
+    fw1 = {base[i:i + 64] for i in range(0, len(base), 64)}
+    fw2 = {("XYZ-inserted-" + base)[i:i + 64]
+           for i in range(0, len("XYZ-inserted-" + base), 64)}
+    assert len(fw1 & fw2) <= 1
