@@ -49,6 +49,26 @@ def _tokens(col: str) -> str:
     return TOKENS.format(c=col)
 
 
+def memoized(fn, max_size: int = 1 << 20):
+    """Bounded per-call memo for the hash-per-gram Arrow kernels: grams
+    repeat heavily in text and code, so ~all hashing becomes dict hits;
+    the bound keeps an adversarial high-entropy corpus from growing the
+    dict past ~128 MB. One definition shared by winnow_fingerprints /
+    dup_ngram_spans / cdc_chunks here and retrieval.model_scores."""
+    cache: dict = {}
+
+    def h(g):
+        v = cache.get(g)
+        if v is None:
+            if len(cache) >= max_size:
+                cache.clear()
+            v = fn(g)
+            cache[g] = v
+        return v
+
+    return h
+
+
 def _bucket_pairs(banded: DataFrame, bucket_cols: list[str],
                   max_bucket: int) -> DataFrame:
     """(id, *bucket_cols) -> distinct (id_a < id_b) pairs within each
@@ -359,20 +379,9 @@ def winnow_fingerprints(df: DataFrame, id_col: str, text_col: str,
 
     @F.pandas_udf(T.ArrayType(T.StringType()))
     def _wf(text: pd.Series) -> pd.Series:
-        # Per-batch gram->md5 memo: k-grams repeat heavily in natural text
-        # and code (sf0.1 corpus: 2k distinct grams / 1.5M positions), so
-        # this converts ~all of the hashing into dict hits. Bounded so an
-        # adversarial high-entropy corpus can't grow it past ~128 MB.
-        cache: dict[str, str] = {}
-
-        def _h(g: str) -> str:
-            v = cache.get(g)
-            if v is None:
-                if len(cache) >= (1 << 20):
-                    cache.clear()
-                v = hashlib.md5(g.encode("utf-8")).hexdigest()
-                cache[g] = v
-            return v
+        # sf0.1 corpus: 2k distinct grams / 1.5M positions -> the memo
+        # converts ~all of the hashing into dict hits
+        _h = memoized(lambda g: hashlib.md5(g.encode("utf-8")).hexdigest())
 
         out: list[list[str] | None] = []
         for t in text.fillna(""):
@@ -427,16 +436,7 @@ def dup_ngram_spans(df: DataFrame, id_col: str = "doc_id",
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def _win_hashes(text: pd.Series) -> pd.Series:
-        cache: dict[str, int] = {}
-
-        def _h(g: str) -> int:
-            v = cache.get(g)
-            if v is None:
-                if len(cache) >= (1 << 20):
-                    cache.clear()
-                v = hash60_py(g)
-                cache[g] = v
-            return v
+        _h = memoized(hash60_py)
 
         out: list[list[int] | None] = []
         for t in text:
@@ -505,16 +505,7 @@ def cdc_chunks(df: DataFrame, id_col: str = "doc_id",
 
     @F.pandas_udf(out_t)
     def _chunks(text: pd.Series) -> pd.Series:
-        cache: dict[str, int] = {}
-
-        def _h(g: str) -> int:
-            v = cache.get(g)
-            if v is None:
-                if len(cache) >= (1 << 20):
-                    cache.clear()
-                v = hash60_py(g)
-                cache[g] = v
-            return v
+        _h = memoized(hash60_py)
 
         out: list[list[tuple] | None] = []
         for t in text.fillna(""):

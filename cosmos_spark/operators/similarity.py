@@ -360,8 +360,10 @@ def semantic_dedup(emb: DataFrame, n_clusters: int = 16,
     # count-first cap: decide pairability from cluster SIZES before any
     # collect_list builds a cluster-sized row — filtering after the agg
     # would materialize the degenerate multi-GB cluster it is supposed
-    # to skip (the count-then-collect shape the LSH max_bucket path uses)
-    pairable = (assigned.groupBy("cluster_id")
+    # to skip (the count-then-collect shape the LSH max_bucket path
+    # uses). Counted off the bare assignment relation (one row per
+    # vec_id already) so the emb-join chain isn't evaluated a third time.
+    pairable = (assign.groupBy(F.col("centroid_id").alias("cluster_id"))
                 .agg(F.count(F.lit(1)).alias("n"))
                 .filter((F.col("n") > 1) & (F.col("n") <= max_cluster))
                 .select("cluster_id"))

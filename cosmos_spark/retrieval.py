@@ -248,19 +248,11 @@ def model_scores(df: DataFrame, weights_file: str,
         # per task), while the importable module holds the real
         # per-worker-process state — the actual singleton.
         from cosmos_spark import retrieval as _R
+        from cosmos_spark.operators.dedup import memoized
         from cosmos_spark.portable_hash import hash60_py as _h60
         w = _R._load_model(key, _loader)
         dim = len(w)
-        memo: dict[str, float] = {}  # token -> weight (md5 memoized)
-
-        def _wt(tok: str) -> float:
-            v = memo.get(tok)
-            if v is None:
-                if len(memo) >= (1 << 20):
-                    memo.clear()
-                v = float(w[_h60(tok) % dim])
-                memo[tok] = v
-            return v
+        _wt = memoized(lambda tok: float(w[_h60(tok) % dim]))
 
         for s in it:
             toks = s.fillna("").str.lower().str.findall(TOKEN_RE)

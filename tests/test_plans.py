@@ -452,3 +452,12 @@ def test_bfs_distances_frontier_is_broadcast(spark):
     plan = _plan(df)
     assert plan.count("BroadcastHashJoin") >= 3
     assert "SortMergeJoin" not in plan
+
+
+def test_cdc_chunks_is_narrow_no_shuffle(spark):
+    """q_cdc_chunks: one row-local Arrow kernel pass + explode — the
+    whole plan is narrow: zero Exchange of any kind."""
+    plan = _plan(Q.q_cdc_chunks(spark, SF_DIR))
+    assert "Exchange" not in plan, plan
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan or \
+        "PythonUDF" in plan  # the kernel is really there
