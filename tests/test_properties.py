@@ -156,3 +156,40 @@ def test_trigram_jaccard_properties(a, b):
     assert ab == ba            # symmetric
     assert 0.0 <= ab <= 1.0    # bounded
     assert aa == 1.0           # reflexive
+
+
+# ---------------------------------------------------------------------------
+# portable_hash: the four surfaces stay pinned to one definition
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=150, deadline=None)
+@given(st.text(max_size=40))
+def test_hash60_python_matches_duckdb(s):
+    """hash60_py == the documented DuckDB mirror fragment for arbitrary
+    unicode — the invariant every bit-exact oracle rides on."""
+    import duckdb
+    from cosmos_spark.portable_hash import hash60_py
+    got = duckdb.execute(
+        "SELECT CAST(('0x' || substr(md5(?), 1, 15))::UBIGINT AS BIGINT)",
+        [s]).fetchone()[0]
+    assert got == hash60_py(s), s
+
+
+def test_hash60_spark_surfaces_match_python(spark):
+    """Column / SQL-string / Python forms agree on tricky inputs
+    (unicode, ligatures, emoji, long, empty, pipes, quotes)."""
+    import pyspark.sql.functions as F
+    from cosmos_spark.portable_hash import hash60, hash60_py, hash60_sql
+    vals = ["", "a", "a|b", "ﬁle", "naïve", "线程", "🙂x", "'quote'",
+            " \t\n", "x" * 500]
+    df = spark.createDataFrame([(v,) for v in vals], "s: string")
+    rows = df.select(
+        "s", hash60("s").alias("h_col"),
+        F.expr(hash60_sql("s")).alias("h_sql")).collect()
+    for r in rows:
+        exp = hash60_py(r.s)
+        assert r.h_col == exp and r.h_sql == exp, r.s
+    # salted family: Column form == python over the documented framing
+    salted = df.select("s", hash60("s", salt="mix").alias("h")).collect()
+    for r in salted:
+        assert r.h == hash60_py("mix|" + r.s), r.s
