@@ -105,3 +105,75 @@ def train_bpe(spark: SparkSession, df: DataFrame, text_col: str,
                .localCheckpoint())
     return spark.createDataFrame(
         merges, "rank int, left string, right string, freq long")
+
+
+def bpe_tokenize(df: DataFrame, merges, text_col: str = "text",
+                 id_col: str = "doc_id",
+                 pattern: str = DEFAULT_PATTERN) -> DataFrame:
+    """Apply a learned merge table — the tokenizer-APPLICATION half that
+    completes the story (count -> train -> apply -> pack): per document,
+    pretoken and BPE token counts plus tokens-per-pretoken, the number a
+    data pipeline feeds to budget accounting and
+    ``sampling.pack_sequences`` (its ``token_count_col``).
+
+    Contract: SEQUENTIAL rank-order application (one greedy
+    left-to-right pass per merge) — exactly the transformation
+    :func:`train_bpe` applied to its dim while learning, so encoding the
+    training corpus reproduces the training-time segmentation and the
+    SQL oracle is the train oracle's replace() chain extended one CTE.
+    (Priority-queue encoders are an optimization of this contract for
+    causally-ordered tables, not a different semantics.)
+
+    ``merges``: list[(left, right)] in rank order, or the
+    DataFrame[rank, left, right, ...] ``train_bpe`` returns — collected
+    once, bounded by ``num_merges``: the merge table IS the model
+    artifact, shipped in the kernel closure (same discipline as
+    ``retrieval._load_model``).
+
+    Scale shape: each DISTINCT pretoken is encoded once (the
+    vocabulary dim, one Arrow kernel pass), then token counts join back
+    to the exploded corpus — vocabulary-sized, so a plain hash join
+    (AQE broadcasts it when it fits; no unconditional hint) — and
+    per-doc sums are map-side-combinable. 100 TB of text pays one
+    explode + one join + one partial agg."""
+    if isinstance(merges, DataFrame):
+        rows = merges.orderBy("rank").collect()  # the model: bounded
+        merges = [(r["left"], r["right"]) for r in rows]
+    mlist = [tuple(m) for m in merges]
+
+    @F.pandas_udf(T.IntegerType())
+    def _ntok(words: pd.Series) -> pd.Series:
+        out = []
+        for w in words:
+            syms = list(w)
+            for l, r in mlist:
+                lr = l + r
+                res, i, n = [], 0, len(syms)
+                while i < n:
+                    if i < n - 1 and syms[i] == l and syms[i + 1] == r:
+                        res.append(lr)
+                        i += 2
+                    else:
+                        res.append(syms[i])
+                        i += 1
+                syms = res
+            out.append(len(syms))
+        return pd.Series(out, index=words.index)
+
+    toks = F.regexp_extract_all(text_col, F.lit(pattern), 0)
+    ex = df.select(F.col(id_col).alias("id"), F.explode(toks).alias("word"))
+    wt = ex.select("word").distinct().withColumn("n_tok", _ntok("word"))
+    agg = (ex.join(wt, "word")
+           .groupBy("id")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_pretokens"),
+                F.sum("n_tok").cast("bigint").alias("n_tokens")))
+    return (df.select(F.col(id_col).alias("id")).join(agg, "id", "left")
+            .select("id",
+                    F.coalesce("n_pretokens", F.lit(0)).cast("bigint")
+                    .alias("n_pretokens"),
+                    F.coalesce("n_tokens", F.lit(0)).cast("bigint")
+                    .alias("n_tokens"),
+                    F.round(F.coalesce("n_tokens", F.lit(0)).cast("double")
+                            / F.greatest(F.coalesce("n_pretokens",
+                                                    F.lit(0)), F.lit(1)),
+                            6).alias("tokens_per_pretoken")))

@@ -193,6 +193,7 @@ QUERIES.update({
     "q_graph_distances": (q_graph_distances, SQL_GRAPH_DISTANCES),
     "q_model_scores": (q_model_scores, SQL_MODEL_SCORES),
     "q_cdc_chunks": (q_cdc_chunks, SQL_CDC_CHUNKS),
+    "q_bpe_tokenize": (q_bpe_tokenize, SQL_BPE_TOKENIZE),
 })
 
 # ---------------------------------------------------------------------------
@@ -224,7 +225,9 @@ PRIORITY_QUERIES: list[str] = [
     "q_kmv_distinct",
     "q_kmv_set_ops",
     "q_cms_heavy_hitters",
-    "q_training_mix",
+    # q_training_mix rotated OUT late-r4 for q_bpe_tokenize
+    # (r3-value-exact; the sampling null-filter fix is output-neutral on
+    # null-free testdata and locally mirrored every run)
     "q_quota_sample",
     # q_pii_scrub rotated OUT late-r4 for q_cdc_chunks (r3-value-exact,
     # untouched, locally mirrored every run)
@@ -271,6 +274,7 @@ PRIORITY_QUERIES: list[str] = [
     "q_graph_distances",
     "q_model_scores",
     "q_cdc_chunks",
+    "q_bpe_tokenize",
 ]
 
 

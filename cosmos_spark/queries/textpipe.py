@@ -383,6 +383,25 @@ FROM s GROUP BY source
 """
 
 
+_BPE_MERGES_MEMO: dict = {}
+
+
+def _trained_merges(spark, sf_dir):
+    """One 10-merge training pass per (application, sf_dir), shared by
+    q_bpe_train and q_bpe_tokenize (training is 10 sequential argmax
+    jobs — the expensive half; re-deriving it per consumer would double
+    the bench wall for no coverage)."""
+    from ..operators import bpe
+    from ._shared import _memo_scope
+    key = (spark.sparkContext.applicationId, sf_dir)
+    _memo_scope(_BPE_MERGES_MEMO, spark)
+    if key not in _BPE_MERGES_MEMO:
+        docs = _t(spark, sf_dir, "documents")
+        _BPE_MERGES_MEMO[key] = bpe.train_bpe(spark, docs, "text",
+                                              num_merges=10)
+    return _BPE_MERGES_MEMO[key]
+
+
 def q_bpe_train(spark, sf_dir):
     """BPE tokenizer training (operators/bpe.py): learn the first 10
     merges from the documents corpus. The corpus collapses to the
@@ -391,9 +410,21 @@ def q_bpe_train(spark, sf_dir):
     the driver since r4: the oracle unrolls the 10 rounds as DuckDB
     CTEs (see :func:`_sql_bpe_train`); pytest additionally pins parity
     against an independent driver-side reference implementation."""
-    from ..operators import bpe
+    return _trained_merges(spark, sf_dir)
+
+
+def q_bpe_tokenize(spark, sf_dir):
+    """Tokenizer APPLICATION (operators/bpe.py bpe_tokenize): encode the
+    corpus with the learned 10-merge table — per-doc pretoken/BPE-token
+    counts and tokens-per-pretoken, the accounting a data pipeline feeds
+    to budgeting and sequence packing. Each distinct pretoken is encoded
+    once; counts hash-join back to the exploded corpus; per-doc sums are
+    map-side-combinable. The oracle extends the training replace() chain
+    with one per-word token-count CTE and a per-doc join."""
+    from ..operators.bpe import bpe_tokenize
     docs = _t(spark, sf_dir, "documents")
-    return bpe.train_bpe(spark, docs, "text", num_merges=10)
+    return (bpe_tokenize(docs, _trained_merges(spark, sf_dir))
+            .withColumnRenamed("id", "doc_id"))
 
 
 def _sql_bpe_train(k: int = 10) -> str:
@@ -454,6 +485,68 @@ w{i} AS MATERIALIZED (
 
 
 SQL_BPE_TRAIN = _sql_bpe_train(10)
+
+
+def _sql_bpe_tokenize(k: int = 10) -> str:
+    """DuckDB oracle for ``q_bpe_tokenize``: the train oracle's
+    replace() chain (same boundary-string trick and MATERIALIZED
+    discipline — see :func:`_sql_bpe_train`) with ``word`` carried
+    through the w-CTEs so the final encoding maps back to the
+    vocabulary, plus one per-word token-count CTE ((#separators)//2 —
+    ``//`` because DuckDB integer ``/`` is float division) and the
+    per-doc join/sum."""
+    pat = ("'''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+"
+           "| ?[^\\sA-Za-z0-9]+|\\s+'")
+    parts = [f"""WITH wf AS MATERIALIZED (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+    SELECT unnest(regexp_extract_all(text, {pat})) AS word
+    FROM documents) GROUP BY word),
+w0 AS MATERIALIZED (
+  SELECT word, freq,
+         regexp_replace(word, '([\\s\\S])', chr(1) || '\\1' || chr(1), 'g')
+           AS enc
+  FROM wf)"""]
+    for i in range(1, k + 1):
+        parts.append(f"""s{i} AS MATERIALIZED (
+  SELECT freq, string_split(trim(enc, chr(1)), chr(1) || chr(1)) AS syms
+  FROM w{i - 1}),
+p{i} AS MATERIALIZED (
+  SELECT l, r, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+    SELECT freq, unnest(syms[1:len(syms) - 1]) AS l,
+           unnest(syms[2:len(syms)]) AS r
+    FROM s{i} WHERE len(syms) >= 2)
+  GROUP BY l, r),
+b{i} AS MATERIALIZED (SELECT l, r, cnt FROM p{i}
+                      ORDER BY cnt DESC, l, r LIMIT 1),
+w{i} AS MATERIALIZED (
+  SELECT word, freq, replace(enc,
+    coalesce((SELECT chr(1) || l || chr(1) || chr(1) || r || chr(1)
+              FROM b{i}), chr(2)),
+    coalesce((SELECT chr(1) || l || r || chr(1) FROM b{i}), chr(2)))
+    AS enc
+  FROM w{i - 1})""")
+    parts.append(f"""wt AS MATERIALIZED (
+  SELECT word,
+         (len(enc) - len(replace(enc, chr(1), ''))) // 2 AS n_tok
+  FROM w{k}),
+d AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, {pat})) AS word
+  FROM documents),
+pd AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pretokens,
+         CAST(sum(n_tok) AS BIGINT) AS n_tokens
+  FROM d JOIN wt USING (word) GROUP BY doc_id)""")
+    return (",\n".join(parts) + """
+SELECT dd.doc_id,
+       coalesce(pd.n_pretokens, 0) AS n_pretokens,
+       coalesce(pd.n_tokens, 0) AS n_tokens,
+       round(CAST(coalesce(pd.n_tokens, 0) AS DOUBLE)
+             / greatest(coalesce(pd.n_pretokens, 0), 1), 6)
+         AS tokens_per_pretoken
+FROM documents dd LEFT JOIN pd USING (doc_id)""")
+
+
+SQL_BPE_TOKENIZE = _sql_bpe_tokenize(10)
 
 
 def q_quota_sample(spark, sf_dir):

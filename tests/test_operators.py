@@ -1658,3 +1658,59 @@ def test_cdc_chunks_tiling_and_insertion_survival(spark):
     fw2 = {("XYZ-inserted-" + base)[i:i + 64]
            for i in range(0, len("XYZ-inserted-" + base), 64)}
     assert len(fw1 & fw2) <= 1
+
+
+def test_bpe_tokenize_hand_computed(spark):
+    from cosmos_spark.operators.bpe import bpe_tokenize
+    docs = spark.createDataFrame(
+        [(1, "aaab aaab"), (2, "ab"), (3, "")],
+        "doc_id: long, text: string")
+    # merges in rank order: (a,a)->aa then (aa,b)? sequential contract:
+    merges = [("a", "a"), ("aa", "b")]
+    out = {r.id: r for r in bpe_tokenize(docs, merges).collect()}
+    # GPT-2 pretokens of "aaab aaab": ["aaab", " aaab"] (space prefixed).
+    # "aaab" -> (a,a) greedy LTR [aa, a, b]; (aa,b) finds no adjacent
+    # pair (aa,a | a,b) -> 3 tokens. " aaab" -> [' ', aa, a, b] -> 4.
+    assert out[1].n_pretokens == 2 and out[1].n_tokens == 7
+    assert out[1].tokens_per_pretoken == 3.5
+    # "ab": [a, b] -> no merge applies -> 2 tokens
+    assert (out[2].n_pretokens, out[2].n_tokens) == (1, 2)
+    # empty doc: zero everything, row still present
+    assert (out[3].n_pretokens, out[3].n_tokens,
+            out[3].tokens_per_pretoken) == (0, 0, 0.0)
+
+
+def test_bpe_tokenize_reproduces_training_segmentation(spark):
+    """Encoding the training corpus with the learned table reproduces
+    the training-time dim segmentation: total tokens == sum over the
+    word-freq dim of freq * |final syms| from an independent python
+    replay of the training rounds."""
+    import re
+    from collections import Counter
+    from cosmos_spark.operators.bpe import (DEFAULT_PATTERN, bpe_tokenize,
+                                            train_bpe)
+    texts = ["the cat sat", "the bat", "a cat", "the the cat"]
+    docs = spark.createDataFrame(list(enumerate(texts)),
+                                 "doc_id: long, text: string")
+    merges_df = train_bpe(spark, docs, "text", num_merges=4)
+    merges = [(r["left"], r["right"])
+              for r in merges_df.orderBy("rank").collect()]
+    wf = Counter(w for t in texts for w in re.findall(DEFAULT_PATTERN, t))
+
+    def enc(word):
+        syms = list(word)
+        for l, r in merges:
+            res, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == l and syms[i + 1] == r:
+                    res.append(l + r)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            syms = res
+        return syms
+
+    exp_total = sum(f * len(enc(w)) for w, f in wf.items())
+    got = bpe_tokenize(docs, merges_df).collect()
+    assert sum(r.n_tokens for r in got) == exp_total

@@ -461,3 +461,13 @@ def test_cdc_chunks_is_narrow_no_shuffle(spark):
     assert "Exchange" not in plan, plan
     assert "ArrowEvalPython" in plan or "MapInPandas" in plan or \
         "PythonUDF" in plan  # the kernel is really there
+
+
+def test_bpe_tokenize_join_is_equi_not_allpairs(spark):
+    """q_bpe_tokenize: the vocabulary-dim token counts come back to the
+    exploded corpus via an equi-join on the pretoken — no cartesian, no
+    nested-loop, and per-doc sums partial-aggregate."""
+    plan = _plan(Q.q_bpe_tokenize(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashAggregate" in plan
