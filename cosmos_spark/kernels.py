@@ -73,6 +73,27 @@ MENTION_COLUMNS = ["repo", "path", "commit", "content_sha256", "seg_id",
                    "link_rep"]
 
 
+def memoized(fn, max_size: int = 1 << 20):
+    """Bounded per-call memo for hash-per-gram Arrow kernels: grams
+    repeat heavily in text and code, so ~all hashing becomes dict hits;
+    the bound keeps an adversarial high-entropy corpus from growing the
+    dict past ~128 MB. Shared by operators/dedup.py (winnow /
+    dup_ngram_spans / cdc_chunks) and retrieval.model_scores — lives
+    here because kernels.py is the engine's shared-kernel module."""
+    cache: dict = {}
+
+    def h(g):
+        v = cache.get(g)
+        if v is None:
+            if len(cache) >= max_size:
+                cache.clear()
+            v = fn(g)
+            cache[g] = v
+        return v
+
+    return h
+
+
 def sha256_hex(s: str) -> str:
     return hashlib.sha256(s.encode("utf-8")).hexdigest()
 

@@ -31,6 +31,8 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import types as T
 
+from ..kernels import memoized  # noqa: F401  (shared util home; re-exported)
+
 # THE tokenizer — one pattern for the SQL shingle expression and the
 # Arrow-kernel re.findall sites below (and sketch/retrieval reuse it):
 # candidate GENERATION and Jaccard VERIFICATION must tokenize
@@ -47,26 +49,6 @@ PAIR_EXPLODE = ("flatten(transform(ids, (x, i) -> "
 
 def _tokens(col: str) -> str:
     return TOKENS.format(c=col)
-
-
-def memoized(fn, max_size: int = 1 << 20):
-    """Bounded per-call memo for the hash-per-gram Arrow kernels: grams
-    repeat heavily in text and code, so ~all hashing becomes dict hits;
-    the bound keeps an adversarial high-entropy corpus from growing the
-    dict past ~128 MB. One definition shared by winnow_fingerprints /
-    dup_ngram_spans / cdc_chunks here and retrieval.model_scores."""
-    cache: dict = {}
-
-    def h(g):
-        v = cache.get(g)
-        if v is None:
-            if len(cache) >= max_size:
-                cache.clear()
-            v = fn(g)
-            cache[g] = v
-        return v
-
-    return h
 
 
 def _bucket_pairs(banded: DataFrame, bucket_cols: list[str],

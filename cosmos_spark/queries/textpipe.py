@@ -427,9 +427,14 @@ def q_bpe_tokenize(spark, sf_dir):
             .withColumnRenamed("id", "doc_id"))
 
 
-def _sql_bpe_train(k: int = 10) -> str:
-    """DuckDB oracle for ``q_bpe_train``: the K argmax rounds unrolled
-    as CTE chains.
+_BPE_SQL_PAT = ("'''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+"
+                "| ?[^\\sA-Za-z0-9]+|\\s+'")
+
+
+def _bpe_chain(k: int) -> list:
+    """The shared K-round unrolled CTE chain both BPE oracles assemble
+    from (ONE definition, so the train and tokenize oracles can never
+    learn different merges).
 
     Boundary-string trick: each symbol is wrapped in its OWN pair of
     \\x01 separators (sym -> SEP+sym+SEP; word = concat of wrapped
@@ -448,55 +453,10 @@ def _sql_bpe_train(k: int = 10) -> str:
     b{i}), so DuckDB's default CTE inlining would expand ~3^K plans.
     ``coalesce(..., chr(2))`` keeps replace() a no-op instead of
     NULLing the corpus if merges ever exhaust before round K, matching
-    the Spark loop's early break."""
-    pat = ("'''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+"
-           "| ?[^\\sA-Za-z0-9]+|\\s+'")
-    parts = [f"""WITH wf AS MATERIALIZED (
-  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
-    SELECT unnest(regexp_extract_all(text, {pat})) AS word
-    FROM documents) GROUP BY word),
-w0 AS MATERIALIZED (
-  SELECT freq,
-         regexp_replace(word, '([\\s\\S])', chr(1) || '\\1' || chr(1), 'g')
-           AS enc
-  FROM wf)"""]
-    for i in range(1, k + 1):
-        parts.append(f"""s{i} AS MATERIALIZED (
-  SELECT freq, string_split(trim(enc, chr(1)), chr(1) || chr(1)) AS syms
-  FROM w{i - 1}),
-p{i} AS MATERIALIZED (
-  SELECT l, r, CAST(sum(freq) AS BIGINT) AS cnt FROM (
-    SELECT freq, unnest(syms[1:len(syms) - 1]) AS l,
-           unnest(syms[2:len(syms)]) AS r
-    FROM s{i} WHERE len(syms) >= 2)
-  GROUP BY l, r),
-b{i} AS MATERIALIZED (SELECT l, r, cnt FROM p{i}
-                      ORDER BY cnt DESC, l, r LIMIT 1),
-w{i} AS MATERIALIZED (
-  SELECT freq, replace(enc,
-    coalesce((SELECT chr(1) || l || chr(1) || chr(1) || r || chr(1)
-              FROM b{i}), chr(2)),
-    coalesce((SELECT chr(1) || l || r || chr(1) FROM b{i}), chr(2)))
-    AS enc
-  FROM w{i - 1})""")
-    unions = [f'SELECT {i - 1} AS "rank", l AS "left", r AS "right", '
-              f"cnt AS freq FROM b{i}" for i in range(1, k + 1)]
-    return ",\n".join(parts) + "\n" + "\nUNION ALL ".join(unions)
-
-
-SQL_BPE_TRAIN = _sql_bpe_train(10)
-
-
-def _sql_bpe_tokenize(k: int = 10) -> str:
-    """DuckDB oracle for ``q_bpe_tokenize``: the train oracle's
-    replace() chain (same boundary-string trick and MATERIALIZED
-    discipline — see :func:`_sql_bpe_train`) with ``word`` carried
-    through the w-CTEs so the final encoding maps back to the
-    vocabulary, plus one per-word token-count CTE ((#separators)//2 —
-    ``//`` because DuckDB integer ``/`` is float division) and the
-    per-doc join/sum."""
-    pat = ("'''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+"
-           "| ?[^\\sA-Za-z0-9]+|\\s+'")
+    the Spark loop's early break. ``word`` rides through the w-CTEs so
+    the tokenize oracle can map encodings back to the vocabulary (the
+    train oracle simply never references it)."""
+    pat = _BPE_SQL_PAT
     parts = [f"""WITH wf AS MATERIALIZED (
   SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
     SELECT unnest(regexp_extract_all(text, {pat})) AS word
@@ -525,12 +485,32 @@ w{i} AS MATERIALIZED (
     coalesce((SELECT chr(1) || l || r || chr(1) FROM b{i}), chr(2)))
     AS enc
   FROM w{i - 1})""")
+    return parts
+
+
+def _sql_bpe_train(k: int = 10) -> str:
+    """DuckDB oracle for ``q_bpe_train``: the K argmax rounds of
+    :func:`_bpe_chain`, each round's winning pair unioned out."""
+    unions = [f'SELECT {i - 1} AS "rank", l AS "left", r AS "right", '
+              f"cnt AS freq FROM b{i}" for i in range(1, k + 1)]
+    return ",\n".join(_bpe_chain(k)) + "\n" + "\nUNION ALL ".join(unions)
+
+
+SQL_BPE_TRAIN = _sql_bpe_train(10)
+
+
+def _sql_bpe_tokenize(k: int = 10) -> str:
+    """DuckDB oracle for ``q_bpe_tokenize``: the SAME :func:`_bpe_chain`
+    plus one per-word token-count CTE ((#separators)//2 — ``//``
+    because DuckDB integer ``/`` is float division) and the per-doc
+    join/sum."""
+    parts = _bpe_chain(k)
     parts.append(f"""wt AS MATERIALIZED (
   SELECT word,
          (len(enc) - len(replace(enc, chr(1), ''))) // 2 AS n_tok
   FROM w{k}),
 d AS (
-  SELECT doc_id, unnest(regexp_extract_all(text, {pat})) AS word
+  SELECT doc_id, unnest(regexp_extract_all(text, {_BPE_SQL_PAT})) AS word
   FROM documents),
 pd AS (
   SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pretokens,

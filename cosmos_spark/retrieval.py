@@ -248,7 +248,7 @@ def model_scores(df: DataFrame, weights_file: str,
         # per task), while the importable module holds the real
         # per-worker-process state — the actual singleton.
         from cosmos_spark import retrieval as _R
-        from cosmos_spark.operators.dedup import memoized
+        from cosmos_spark.kernels import memoized
         from cosmos_spark.portable_hash import hash60_py as _h60
         w = _R._load_model(key, _loader)
         dim = len(w)
