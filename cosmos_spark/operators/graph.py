@@ -515,8 +515,13 @@ def label_propagation(edges: DataFrame, rounds: int = 3,
     from pyspark import StorageLevel
     from pyspark.sql import Window
 
-    und = (_symmetrize(edges, drop_self_loops=True)
-           .persist(StorageLevel.MEMORY_AND_DISK))
+    und = _symmetrize(edges, drop_self_loops=True)
+    if materialize:
+        # persist only when we'll also unpersist below: materialize=False
+        # callers (plan tests, repeated harness calls) would otherwise
+        # accumulate cached relations — the leak the pagerank docstring
+        # warns about.
+        und = und.persist(StorageLevel.MEMORY_AND_DISK)
     labels = (und.select(F.col("src").alias("node")).distinct()
               .select("node", F.col("node").alias("label")))
     w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("label"))

@@ -148,7 +148,17 @@ def bigram_lm_score(docs: DataFrame, id_col: str = "doc_id",
     joins on the bigram key, AQE choosing strategies (the escape hatch
     every unconditional-broadcast hint in this repo carries — the
     neighbor_jaccard lesson). Docs with < 2 tokens surface with
-    n_bigrams = 0 and NULL score via the final left join."""
+    n_bigrams = 0 and NULL score via the final left join.
+
+    Exactness: alongside ``avg_logp`` the relation carries
+    ``sum_num = Σ(n12 + k)`` and ``sum_den = Σ(n1 + k·V)`` — for the
+    default dyadic k every term is an exact multiple of 0.5, so the
+    double sums are exact and order-independent below 2^53 (the
+    q_model_scores dyadic-weights argument). These are the columns an
+    engine-portable value comparison should hash; ``avg_logp`` is a
+    round(avg(ln(...)), 6) of irrational doubles whose 6th decimal can
+    differ across engines when a mean lands within an ulp of a 0.5e-6
+    boundary (partition-ordered partial sums + libm ln differences)."""
     ws = docs.select(
         F.col(id_col),
         F.expr(rf"regexp_extract_all(lower({text_col}), '\\S+', 0)")
@@ -172,9 +182,12 @@ def bigram_lm_score(docs: DataFrame, id_col: str = "doc_id",
               .crossJoin(F.broadcast(vocab))
               .groupBy(id_col)
               .agg(F.count(F.lit(1)).alias("n_bigrams"),
-                   F.round(F.avg(logp), round_to).alias("avg_logp")))
+                   F.round(F.avg(logp), round_to).alias("avg_logp"),
+                   F.sum(F.col("n12") + F.lit(k)).alias("sum_num"),
+                   F.sum(F.col("n1") + F.lit(k) * F.col("v"))
+                   .alias("sum_den")))
     return (docs.select(id_col).join(scored, id_col, "left")
             .select(id_col,
                     F.coalesce("n_bigrams", F.lit(0)).cast("bigint")
                     .alias("n_bigrams"),
-                    "avg_logp"))
+                    "avg_logp", "sum_num", "sum_den"))

@@ -221,7 +221,10 @@ PRIORITY_QUERIES: list[str] = [
     # every test run) to keep ALL never-driver-verified queries inside
     # the front-50 cap
     # q_winnow_fingerprints rotated OUT late-r4 for q_model_scores
-    # (r3-value-exact, kernel untouched, locally mirrored every run)
+    # (r3-value-exact; its per-batch hash memo was re-homed onto
+    # kernels.memoized in the same diff — a behavior-identical refactor,
+    # locally oracle-mirrored every test run, and memoized itself is
+    # driver-covered via q_dup_spans / q_cdc_chunks)
     "q_kmv_distinct",
     "q_kmv_set_ops",
     "q_cms_heavy_hitters",

@@ -176,9 +176,18 @@ def q_bigram_lm_score(spark, sf_dir):
     corpus (one map-side-combinable count job), score every document's
     mean token log-probability by joining its bigrams to the broadcast
     count relations. Low scorers are the gibberish/boilerplate a
-    pretraining recipe drops."""
+    pretraining recipe drops.
+
+    The driver-hashed relation carries the exact dyadic sums
+    (sum_num, sum_den) rather than avg_logp: round(avg(ln(...)), 6) of
+    irrational doubles is not bit-exact by construction across engines
+    (partition-ordered partial sums + libm ln ulps can flip the 6th
+    decimal), while the sums are exact multiples of 0.5 — see the
+    bigram_lm_score docstring. avg_logp stays in the operator API and is
+    pinned against a pure-python reference in tests/test_operators.py."""
     from ..operators.repostats import bigram_lm_score
-    return bigram_lm_score(_t(spark, sf_dir, "documents"))
+    return (bigram_lm_score(_t(spark, sf_dir, "documents"))
+            .select("doc_id", "n_bigrams", "sum_num", "sum_den"))
 
 
 SQL_BIGRAM_LM_SCORE = r"""
@@ -195,13 +204,13 @@ v AS (SELECT count(DISTINCT ux) AS v
       FROM (SELECT unnest(w) AS ux FROM ws) u),
 scored AS (
   SELECT doc_id, count(*) AS n_bigrams,
-         round(avg(ln((CAST(n12 AS DOUBLE) + 0.5)
-                      / (CAST(n1 AS DOUBLE) + 0.5 * CAST(v AS DOUBLE)))), 6)
-           AS avg_logp
+         CAST(sum(CAST(n12 AS DOUBLE) + 0.5) AS DOUBLE) AS sum_num,
+         CAST(sum(CAST(n1 AS DOUBLE) + 0.5 * CAST(v AS DOUBLE)) AS DOUBLE)
+           AS sum_den
   FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
   GROUP BY doc_id)
 SELECT d.doc_id, CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
-       s.avg_logp
+       s.sum_num, s.sum_den
 FROM documents d LEFT JOIN scored s USING (doc_id)
 """
 

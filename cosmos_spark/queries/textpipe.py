@@ -642,8 +642,13 @@ def q_gopher_quality(spark, sf_dir):
         F.lit(0.0)), 6)
     twf = F.round(F.coalesce(
         F.col("mx").cast("double") / F.col("tot"), F.lit(0.0)), 6)
-    return (docs.select("doc_id", F.size(
-                F.expr(r"regexp_extract_all(lower(text), '\\S+', 0)"))
+    # greatest(coalesce(size, 0), 0): size() is NULL for NULL text under
+    # the default conf but -1 under spark.sql.legacy.sizeOfNull — clamp
+    # both to 0 so the relation is conf-independent (same hazard fixed in
+    # ngram_jaccard_pairs; the oracle mirrors with coalesce(len, 0)).
+    return (docs.select("doc_id", F.greatest(F.coalesce(F.size(
+                F.expr(r"regexp_extract_all(lower(text), '\\S+', 0)")),
+                F.lit(0)), F.lit(0))
                 .cast("bigint").alias("n_words"))
             .join(bi_agg, "doc_id", "left")
             .join(wx, "doc_id", "left")
@@ -673,7 +678,7 @@ wx AS (
         GROUP BY 1, 2) y
   GROUP BY doc_id),
 base AS (
-  SELECT s.doc_id, CAST(len(s.w) AS BIGINT) AS n_words,
+  SELECT s.doc_id, CAST(coalesce(len(s.w), 0) AS BIGINT) AS n_words,
          round(coalesce(1.0 - CAST(b.n_bi_distinct AS DOUBLE) / b.n_bi,
                         0.0), 6) AS dup_bigram_frac,
          round(coalesce(CAST(w2.mx AS DOUBLE) / w2.tot, 0.0), 6)

@@ -1496,9 +1496,14 @@ def test_bigram_lm_score_hand_computed(spark):
     # corpus: c2(a,b)=2, c2(b,a)=1; c1(a)=2, c1(b)=1; V={a,b}=2
     exp = round((2 * math.log(2.5 / 3.0) + math.log(1.5 / 2.0)) / 3, 6)
     assert out[1].n_bigrams == 3 and out[1].avg_logp == exp
+    # exact dyadic sums (the driver-hashed columns): per bigram instance
+    # num = n12 + 0.5, den = n1 + 0.5*V with V=2
+    assert out[1].sum_num == 2.5 + 1.5 + 2.5 == 6.5
+    assert out[1].sum_den == 3.0 + 2.0 + 3.0 == 8.0
     # <2 tokens: zero bigrams, NULL score, row still present
     for d in (2, 3):
         assert out[d].n_bigrams == 0 and out[d].avg_logp is None
+        assert out[d].sum_num is None and out[d].sum_den is None
 
 
 def test_bfs_distances_layers_and_overlap(spark):
