@@ -328,8 +328,9 @@ def embedding_cosine_dup_pairs(emb: DataFrame, threshold: float = 0.95,
 def semantic_dedup(emb: DataFrame, n_clusters: int = 16,
                    iterations: int = 1, threshold: float = 0.45,
                    id_col: str = "vec_id", vec_col: str = "embedding",
-                   max_cluster: int = 100_000,
-                   round_to: int = 6) -> DataFrame:
+                   max_cluster: int = 20_000,
+                   round_to: int = 6,
+                   assign: DataFrame | None = None) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023): k-means
     cluster the embedding space, compare pairs only WITHIN a cluster, and
     drop every vector that has a lower-id near-duplicate (cosine >=
@@ -347,12 +348,26 @@ def semantic_dedup(emb: DataFrame, n_clusters: int = 16,
     sum(|cluster|^2), bounded by raising ``n_clusters`` (SemDeDup's own
     knob) and hard-capped by ``max_cluster`` (oversized clusters skip
     pairing — degenerate embedding mass, same spirit as the LSH
-    ``max_bucket``); nothing all-pairs. Dot products stay JVM-side."""
-    cents = ivf_centroids(emb, n_clusters, id_col, vec_col)
-    assign = ivf_assign(emb, cents, id_col, vec_col, round_to=round_to)
-    for _ in range(iterations):
-        cents = refined_centroids(ivf_refine(emb, assign, id_col, vec_col))
+    ``max_bucket``); nothing all-pairs. Pair generation is a
+    cluster-keyed self-join with ``id_a < id_b`` — rows stay
+    pair-sized, the shuffle streams, and AQE's skew split can fan a fat
+    cluster across tasks. (The previous collect_list +
+    flatten(transform(...)) shape materialized a whole cluster in ONE
+    row and expanded |c|^2/2 pair-structs inside ONE task — a
+    straggler/OOM cliff at scale; the only collect_list left in this
+    plan is the k-bounded centroid pivot.) Dot products stay JVM-side.
+
+    ``assign`` injects a precomputed ``(vec_id, centroid_id)``
+    assignment and skips the Lloyd loop — the cluster-once/dedup-many
+    pattern, and the deterministic hook the cap tests use."""
+    if assign is None:
+        cents = ivf_centroids(emb, n_clusters, id_col, vec_col)
         assign = ivf_assign(emb, cents, id_col, vec_col, round_to=round_to)
+        for _ in range(iterations):
+            cents = refined_centroids(
+                ivf_refine(emb, assign, id_col, vec_col))
+            assign = ivf_assign(emb, cents, id_col, vec_col,
+                                round_to=round_to)
     assigned = (emb.select(F.col(id_col).alias("vec_id"),
                            F.col(vec_col).alias("v"))
                 .join(assign, "vec_id")
@@ -367,16 +382,18 @@ def semantic_dedup(emb: DataFrame, n_clusters: int = 16,
                 .agg(F.count(F.lit(1)).alias("n"))
                 .filter((F.col("n") > 1) & (F.col("n") <= max_cluster))
                 .select("cluster_id"))
-    grouped = (
-        assigned.join(pairable, "cluster_id", "left_semi")
-        .groupBy("cluster_id")
-        .agg(F.sort_array(
-            F.collect_list(F.struct("vec_id", "v"))).alias("rows")))
-    pairs = grouped.select(F.explode(F.expr(
-        "flatten(transform(rows, (x, i) -> "
-        "transform(slice(rows, i + 2, size(rows) - i - 1), "
-        "y -> struct(x.vec_id as id_a, y.vec_id as id_b, "
-        "x.v as va, y.v as vb))))")).alias("p")).select("p.*")
+    side = assigned.join(pairable, "cluster_id", "left_semi")
+    # within-cluster self-join, id_a < id_b: identical pair set to the
+    # old sorted-collect_list expansion (vec_ids are unique, so struct
+    # sort order IS vec_id order) but each row carries ONE pair, never a
+    # whole cluster.
+    pairs = (side.select("cluster_id", F.col("vec_id").alias("id_a"),
+                         F.col("v").alias("va"))
+             .join(side.select("cluster_id",
+                               F.col("vec_id").alias("id_b"),
+                               F.col("v").alias("vb")),
+                   "cluster_id")
+             .filter(F.col("id_a") < F.col("id_b")))
     dot = _DOT.format(a="va", b="vb")
     na = _NORM.format(a="va")
     nb = _NORM.format(a="vb")

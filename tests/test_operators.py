@@ -1345,6 +1345,23 @@ def test_semantic_dedup_max_cluster_skips_pairing(spark):
         emb, n_clusters=1, iterations=0, threshold=0.5,
         max_cluster=3).toPandas()
     assert out["kept"].all()
+    # mixed input via an injected assignment: the self-join pairing must
+    # survive one OVERSIZED cluster alongside a small one — cluster 0
+    # (4 members > max_cluster of 3) is semi-join-filtered out of
+    # pairing (all kept), while cluster 1 still pairs and drops its
+    # higher-id duplicate
+    rows2 = ([(i, [1.0, 0.0]) for i in range(4)]
+             + [(10, [0.0, 1.0]), (11, [0.0, 1.0])])
+    emb2 = spark.createDataFrame(rows2,
+                                 "vec_id long, embedding array<float>")
+    inj = spark.createDataFrame(
+        [(i, 0) for i in range(4)] + [(10, 1), (11, 1)],
+        "vec_id long, centroid_id long")
+    out2 = similarity.semantic_dedup(
+        emb2, threshold=0.99, max_cluster=3, assign=inj).toPandas()
+    kept2 = dict(zip(out2["vec_id"], out2["kept"]))
+    assert all(kept2[i] for i in range(4))  # oversized: pairing skipped
+    assert kept2[10] and not kept2[11]      # small cluster still dedups
 
 
 def test_match_pattern_bindings_and_guards(spark):

@@ -365,11 +365,17 @@ def test_semantic_dedup_broadcast_centroids_no_single_partition(spark):
     """The k-row centroid side of each assignment crossJoin must be the
     broadcast side (BroadcastNestedLoopJoin is the intended shape for a
     k x N scoring pass), and no stage funnels through SinglePartition
-    except none at all."""
+    except none at all. Pair generation must be the cluster-keyed
+    SELF-JOIN, never a cluster-sized collected row: `sort_array` (the
+    old collect_list-pairing marker) must be gone — the only
+    collect_list allowed in this plan is the k-bounded centroid pivot
+    (array_sort(collect_list(struct(dim, val))))."""
     plan = _plan(Q.q_semantic_dedup(spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" in plan
     assert "SinglePartition" not in plan
     assert "CartesianProduct" not in plan
+    assert "sort_array" not in plan
+    assert "(id_a" in plan or "id_a#" in plan  # the self-join pairing
 
 
 def test_kg_pattern_equi_joins_no_cartesian(spark):
