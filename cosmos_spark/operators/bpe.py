@@ -82,15 +82,116 @@ def _merge_round(l: str, r: str):
     return fn
 
 
+#: dim-size cutover for the driver-side merge loop: 200k distinct
+#: pretokens of short symbol arrays is tens of MB collected — the same
+#: bounded-probe discipline as pipeline.canonicalize's
+#: CANON_DRIVER_DIM_MAX cascade.
+BPE_DRIVER_DIM_MAX = 200_000
+
+
+def _driver_bpe_loop(rows: list, num_merges: int) -> list[tuple]:
+    """In-memory greedy merge loop over a collected (freq, syms) dim —
+    bit-identical semantics to the distributed round: the SAME positional
+    adjacent-pair counts (every adjacent index, overlaps included, freq-
+    weighted), the SAME (cnt desc, left asc, right asc) argmax total
+    order (python tuple order == Spark's orderBy: UTF-8 byte order and
+    code-point order agree for valid strings), and the SAME greedy
+    left-to-right rewrite as :func:`_merge_round`.
+
+    Incremental bookkeeping (pair->count, pair->word-index, lazy-deletion
+    heap for the argmax) makes a production-sized vocabulary (30-50k
+    merges) a driver loop over the dim, not 50k Spark jobs — each round
+    touches only the words containing the winning pair."""
+    import heapq
+    from collections import Counter, defaultdict
+
+    words = [list(r["syms"]) for r in rows]
+    freqs = [int(r["freq"]) for r in rows]
+    pc: Counter = Counter()
+    where: defaultdict = defaultdict(set)
+    for idx, syms in enumerate(words):
+        f = freqs[idx]
+        for i in range(len(syms) - 1):
+            p = (syms[i], syms[i + 1])
+            pc[p] += f
+            where[p].add(idx)
+    heap = [(-c, p[0], p[1]) for p, c in pc.items()]
+    heapq.heapify(heap)
+    merges: list[tuple] = []
+    for rank in range(num_merges):
+        # lazy-deletion argmax: a heap entry is live iff it matches the
+        # CURRENT count (every count change pushed a fresh entry)
+        while heap:
+            nc, l, r = heap[0]
+            if pc.get((l, r), 0) == -nc and -nc > 0:
+                break
+            heapq.heappop(heap)
+        if not heap:
+            break
+        cnt = -heap[0][0]
+        merges.append((rank, l, r, int(cnt)))
+        lr = l + r
+        for idx in where.pop((l, r), set()):
+            syms = words[idx]
+            if not any(syms[i] == l and syms[i + 1] == r
+                       for i in range(len(syms) - 1)):
+                continue  # stale index entry (word rewritten since)
+            f = freqs[idx]
+            changed = set()
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pc[p] -= f
+                changed.add(p)
+            res, i, n = [], 0, len(syms)
+            while i < n:
+                if i < n - 1 and syms[i] == l and syms[i + 1] == r:
+                    res.append(lr)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            words[idx] = res
+            for i in range(len(res) - 1):
+                p = (res[i], res[i + 1])
+                pc[p] += f
+                where[p].add(idx)
+                changed.add(p)
+            for p in changed:
+                if pc[p] <= 0:
+                    del pc[p]
+                    where.pop(p, None)
+                else:
+                    heapq.heappush(heap, (-pc[p], p[0], p[1]))
+        pc.pop((l, r), None)
+    return merges
+
+
 def train_bpe(spark: SparkSession, df: DataFrame, text_col: str,
               num_merges: int = 16,
-              pattern: str = DEFAULT_PATTERN) -> DataFrame:
+              pattern: str = DEFAULT_PATTERN,
+              driver_dim_max: int = BPE_DRIVER_DIM_MAX) -> DataFrame:
     """Learn the first ``num_merges`` BPE merges from a text column.
     Returns DataFrame[rank int, left string, right string, freq long] —
-    the merge table in learned order."""
+    the merge table in learned order.
+
+    Adaptive cascade (the canonicalize discipline, pipeline.py:504):
+    the word-frequency dim is probed with ``limit(dim_max+1)``; when it
+    fits the driver (default 200k distinct pretokens) the ENTIRE merge
+    loop runs in-memory over the one collected relation — bit-identical
+    greedy semantics (:func:`_driver_bpe_loop`), zero per-merge Spark
+    jobs, so a 30-50k-merge production vocabulary is feasible. Oversized
+    dims keep the distributed per-round loop (argmax LIMIT-1 collect +
+    Arrow rewrite kernel, localCheckpoint per round). The collected dim
+    is the SPARK-split symbol relation, so the char-split convention is
+    identical in both branches."""
     words = word_freq_table(df, text_col, pattern)
     cur = (words.select("freq", F.split("word", "").alias("syms"))
            .localCheckpoint())
+    head = cur.limit(driver_dim_max + 1).collect()
+    if len(head) <= driver_dim_max:
+        merges = _driver_bpe_loop(head, num_merges)
+        return spark.createDataFrame(
+            merges, "rank int, left string, right string, freq long")
     merges: list[tuple] = []
     for rank in range(num_merges):
         best = (cur.select("freq", F.explode(F.expr(_PAIRS)).alias("p"))
