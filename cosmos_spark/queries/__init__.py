@@ -103,7 +103,7 @@ QUERIES.update({
     "q_greedy_assoc": (q_greedy_assoc, SQL_GREEDY_ASSOC),
     "q_search_pagination": (q_search_pagination, SQL_SEARCH_PAGINATION),
     "q_stream_kind_counts": (q_stream_kind_counts, SQL_STREAM_KIND_COUNTS),
-    "q_stream_first_seen": (q_stream_first_seen, None),
+    "q_stream_first_seen": (q_stream_first_seen, SQL_STREAM_FIRST_SEEN),
 })
 
 QUERIES.update({

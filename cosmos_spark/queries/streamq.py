@@ -131,8 +131,15 @@ GROUP BY kind
 def q_stream_first_seen(spark, sf_dir):
     """Custom stateful streaming operator (applyInPandasWithState): per-repo
     first-seen/duplicate counters with group state carried across
-    micro-batches — streaming lifecycle, rows-only driver check (state
-    semantics are pytest-asserted in tests/test_streaming.py)."""
+    micro-batches. The drained append stream is one row per (repo,
+    micro-batch) — a batch-boundary-DEPENDENT shape — so the verified
+    relation is the keyed FINAL state instead, which is invariant to how
+    availableNow slices the input: per repo, sum(n_new) counts each
+    distinct content hash exactly once (its first-seen batch, whichever
+    that was), sum(n_dup) = rows - distinct, and max(n_seen_total) is the
+    final state-store cardinality. That makes the whole lifecycle
+    SQL-decidable; per-batch/state-expiry semantics remain pytest-pinned
+    in tests/test_streaming.py."""
     from ..streaming.ingest import stream_first_seen
 
     src_dir = _tmpdir("stream_fs_src_")
@@ -148,7 +155,24 @@ def q_stream_first_seen(spark, sf_dir):
         .start()
     )
     q.awaitTermination()
-    return spark.table(name)
+    return (spark.table(name).groupBy("repo")
+            .agg(F.sum("n_new").cast("bigint").alias("n_new"),
+                 F.sum("n_dup").cast("bigint").alias("n_dup"),
+                 F.max("n_seen_total").cast("bigint")
+                 .alias("n_seen_total")))
+
+
+# final first-seen state is order- and batch-invariant: n_new counts
+# every distinct content exactly once, n_dup the rest (sha256 of text is
+# content-injective on the corpus), n_seen_total = final distinct count
+SQL_STREAM_FIRST_SEEN = """
+SELECT source AS repo,
+       CAST(count(DISTINCT text) AS BIGINT) AS n_new,
+       CAST(count(*) - count(DISTINCT text) AS BIGINT) AS n_dup,
+       CAST(count(DISTINCT text) AS BIGINT) AS n_seen_total
+FROM documents
+GROUP BY source
+"""
 
 
 def q_stream_triples(spark, sf_dir):
