@@ -34,6 +34,7 @@ class CommitConflict(RuntimeError):
 
 
 _BUCKET_COL = "_bucket"
+_MANIFEST_DIR = "_manifest"
 
 
 def _bucket_of(key_col, n_buckets: int):
@@ -435,40 +436,93 @@ class Catalog:
 
     # -- file-level column statistics (the Iceberg manifest analog) ----
 
+    #: manifest shards larger than this prune via a distributed Spark
+    #: filter instead of the driver's pyarrow batch stream
+    MANIFEST_DRIVER_MAX_BYTES = 64 << 20
+
     def _write_manifest(self, snapdir: str, cols: tuple[str, ...]) -> None:
-        """Collect per-file min/max for ``cols`` (footers only, read by a
-        distributed job over the file list) and write the snapshot's
-        ``_manifest.json``. The collect is manifest-sized — one row per
-        data file, the same cardinality Iceberg hands its planner — and
-        the underscore name keeps Spark/Hadoop readers from treating it
-        as data."""
+        """Per-file min/max for ``cols`` (footers only, read by a
+        distributed job over the file list), written as a SHARDED parquet
+        side-table at ``<snapdir>/_manifest/`` — the stats relation never
+        funnels through the driver (Iceberg shards its manifests for the
+        same reason: at millions of files per snapshot a single collected
+        JSON is a driver memory/IO bottleneck and a giant parse on every
+        pruned read). The underscore name keeps Spark/Hadoop readers from
+        treating it as data."""
         files = []
         for root, _dirs, fs in os.walk(snapdir):
             files.extend(os.path.join(root, f) for f in fs
                          if f.endswith(".parquet"))
-        entries: list[dict] = []
+        man_dir = os.path.join(snapdir, _MANIFEST_DIR)
+        kern = _file_stats_kernel(tuple(cols))
+
+        def rel_kern(its):
+            for pdf in kern(its):
+                pdf = pdf.copy()
+                pdf["abs_path"] = [os.path.relpath(p, snapdir)
+                                   for p in pdf["abs_path"]]
+                yield pdf.rename(columns={"abs_path": "path"})
+
+        schema = "path string, rows long, stats string"
         if files:
             src = self.spark.createDataFrame([(p,) for p in files],
                                              "abs_path string")
             n = min(len(files),
                     self.spark.sparkContext.defaultParallelism)
-            rows = (src.repartition(n)
-                    .mapInPandas(_file_stats_kernel(tuple(cols)),
-                                 "abs_path string, rows long, stats string")
-                    .collect())
-            entries = sorted(
-                ({"path": os.path.relpath(r["abs_path"], snapdir),
-                  "rows": r["rows"], "stats": json.loads(r["stats"])}
-                 for r in rows), key=lambda e: e["path"])
-        with open(os.path.join(snapdir, "_manifest.json"), "w") as f:
-            json.dump({"stats_by": list(cols), "files": entries}, f)
+            (src.repartition(n).mapInPandas(rel_kern, schema)
+             .write.mode("overwrite").parquet(man_dir))
+        else:
+            (self.spark.createDataFrame([], schema)
+             .write.mode("overwrite").parquet(man_dir))
+
+    def _manifest_location(self, table: str, snap: dict):
+        """-> ('parquet', dir) | ('json', path) | None. The JSON arm
+        reads manifests written before the sharded-parquet layout."""
+        base = os.path.join(self._vdir(table), snap["dir"])
+        pq = os.path.join(base, _MANIFEST_DIR)
+        if os.path.isdir(pq):
+            return ("parquet", pq)
+        js = os.path.join(base, "_manifest.json")
+        if os.path.exists(js):
+            return ("json", js)
+        return None
+
+    @staticmethod
+    def _manifest_shards(man_dir: str) -> list[str]:
+        return sorted(os.path.join(root, f)
+                      for root, _d, fs in os.walk(man_dir)
+                      for f in fs if f.endswith(".parquet"))
+
+    def _iter_manifest_entries(self, loc):
+        """Stream manifest entries ({path, rows, stats}) from either
+        layout — pyarrow record batches for the parquet shards (bounded
+        memory, never one giant parse), the legacy list for JSON."""
+        kind, p = loc
+        if kind == "json":
+            with open(p) as f:
+                yield from json.load(f)["files"]
+            return
+        import pyarrow.dataset as ds
+        shards = self._manifest_shards(p)
+        if not shards:
+            return
+        for batch in ds.dataset(shards, format="parquet").to_batches():
+            for path, rows, stats in zip(batch.column("path").to_pylist(),
+                                         batch.column("rows").to_pylist(),
+                                         batch.column("stats").to_pylist()):
+                yield {"path": path, "rows": rows,
+                       "stats": json.loads(stats)}
 
     def _read_manifest(self, table: str, snap: dict) -> dict | None:
-        p = os.path.join(self._vdir(table), snap["dir"], "_manifest.json")
-        if not os.path.exists(p):
+        """Materialize a snapshot's whole manifest as the legacy dict —
+        introspection/test surface only; the prune path streams or
+        distributes instead (:meth:`_select_files_for`)."""
+        loc = self._manifest_location(table, snap)
+        if loc is None:
             return None
-        with open(p) as f:
-            return json.load(f)
+        return {"stats_by": snap.get("stats_by"),
+                "files": sorted(self._iter_manifest_entries(loc),
+                                key=lambda e: e["path"])}
 
     @staticmethod
     def _normalize_where(where: dict) -> dict:
@@ -487,29 +541,76 @@ class Catalog:
         return out
 
     @staticmethod
-    def _select_files(manifest: dict, where: dict) -> list[str]:
-        """Files whose stats ranges can intersect EVERY predicate; files
-        with missing/uncomparable stats are always kept (conservative —
-        pruning may over-select, never under-select; the residual row
-        filter in read_at guarantees exactness either way)."""
-        keep: list[str] = []
-        for fe in manifest["files"]:
-            ok = True
-            for c, (lo, hi) in where.items():
-                st = fe["stats"].get(c)
-                if st is None or st[0] is None:
-                    continue  # no stats for this column: cannot prune
-                mn, mx = st
-                try:
-                    if (lo is not None and mx < lo) or \
-                       (hi is not None and mn > hi):
-                        ok = False
-                        break
-                except TypeError:
-                    continue  # uncomparable bound type: keep the file
-            if ok:
-                keep.append(fe["path"])
-        return keep
+    def _stats_match(stats: dict, where: dict) -> bool:
+        """Can a file with these [min, max] bounds intersect EVERY
+        predicate? Missing/uncomparable stats keep the file
+        (conservative — pruning may over-select, never under-select;
+        the residual row filter in read_at guarantees exactness)."""
+        for c, (lo, hi) in where.items():
+            st = stats.get(c)
+            if st is None or st[0] is None:
+                continue  # no stats for this column: cannot prune
+            mn, mx = st
+            try:
+                if (lo is not None and mx < lo) or \
+                   (hi is not None and mn > hi):
+                    return False
+            except TypeError:
+                continue  # uncomparable bound type: keep the file
+        return True
+
+    def _select_files_for(self, table: str, snap: dict,
+                          where: dict):
+        """-> (kept_paths, n_total), or None when the snapshot carries no
+        manifest. The manifest is consumed as a RELATION: small shard
+        sets stream through the driver as pyarrow batches; past
+        ``MANIFEST_DRIVER_MAX_BYTES`` the predicate intersection runs as
+        a distributed Spark filter and only the SURVIVING file list
+        (predicate-bounded, the same list any planner must hand the
+        scan) is collected."""
+        loc = self._manifest_location(table, snap)
+        if loc is None:
+            return None
+        if loc[0] == "parquet":
+            shards = self._manifest_shards(loc[1])
+            sz = sum(os.path.getsize(s) for s in shards)
+            if sz > self.MANIFEST_DRIVER_MAX_BYTES:
+                return self._select_files_spark(shards, where)
+        kept, total = [], 0
+        for fe in self._iter_manifest_entries(loc):
+            total += 1
+            if self._stats_match(fe["stats"], where):
+                kept.append(fe["path"])
+        return kept, total
+
+    def _select_files_spark(self, shards: list[str], where: dict):
+        """Distributed manifest prune: one Spark job filters the stats
+        relation; the driver sees per-partition (kept, counted) batches,
+        never one row per data file."""
+        match = Catalog._stats_match
+
+        def kern(its):
+            import json as _json
+            for pdf in its:
+                mask = pdf["stats"].map(
+                    lambda s: match(_json.loads(s), where))
+                out = pdf.loc[mask, ["path"]].copy()
+                out["n_scanned"] = 0
+                if len(pdf):
+                    # one counter row per batch carries the total
+                    import pandas as _pd
+                    out = _pd.concat(
+                        [out, _pd.DataFrame(
+                            [{"path": None, "n_scanned": len(pdf)}])],
+                        ignore_index=True)
+                yield out
+
+        rel = self.spark.read.parquet(*shards)
+        rows = (rel.mapInPandas(kern, "path string, n_scanned long")
+                .collect())
+        kept = [r["path"] for r in rows if r["path"] is not None]
+        total = sum(r["n_scanned"] for r in rows)
+        return kept, total
 
     def commit_group(self, staged: list[dict],
                      expect: dict[str, int | None] | None = None
@@ -621,16 +722,17 @@ class Catalog:
         base = os.path.join(self._vdir(table), snap["dir"])
         df = None
         if where:
-            man = self._read_manifest(table, snap)
-            if man is not None:
-                sel = self._select_files(man, where)
-                if not sel:
+            sel = self._select_files_for(table, snap, where)
+            if sel is not None:
+                kept, total = sel
+                if not kept:
                     return None
-                if len(sel) < len(man["files"]):
+                if len(kept) < total:
                     # basePath keeps partition-dir columns (_bucket,
                     # user partitions) on the explicit-file-list read
                     df = (self.spark.read.option("basePath", base)
-                          .parquet(*[os.path.join(base, p) for p in sel]))
+                          .parquet(*[os.path.join(base, p)
+                                     for p in kept]))
         if df is None:
             df = self.spark.read.parquet(base)
         if prune_buckets is not None:

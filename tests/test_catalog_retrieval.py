@@ -625,6 +625,58 @@ def test_file_stats_edge_cases(spark, tmp_path):
         cat.read_at("t.tt", where={"k": (1, 2, 3)})
 
 
+def test_manifest_sharded_no_per_file_driver_collect(spark, tmp_path):
+    """VERDICT r4 #5: stats manifests are a sharded parquet SIDE-TABLE,
+    not one collected driver JSON. A many-file snapshot (a) stages its
+    manifest with ZERO DataFrame.collect calls (the stats job writes
+    parquet shards directly), (b) leaves a parquet manifest relation on
+    disk (no _manifest.json), and (c) prunes identically through the
+    pyarrow streaming path and the forced DISTRIBUTED Spark path."""
+    import os
+
+    from pyspark.sql import DataFrame as _DF
+
+    wh = str(tmp_path / "wh")
+    cat = Catalog(spark, wh)
+    df = spark.range(0, 6400).select(
+        F.col("id").alias("k"), (F.col("id") % 13).alias("v"))
+
+    calls = []
+    orig = _DF.collect
+
+    def counting(self, *a, **kw):
+        calls.append(1)
+        return orig(self, *a, **kw)
+
+    _DF.collect = counting
+    try:
+        staged = cat.stage(df.repartitionByRange(32, "k"), "t.many",
+                           stats_by=("k",))
+    finally:
+        _DF.collect = orig
+    cat.commit_group([staged])
+    assert not calls, "stage(stats_by=) must not collect per-file rows"
+
+    snap = cat.snapshots("t.many")[-1]
+    base = os.path.join(cat._vdir("t.many"), snap["dir"])
+    assert not os.path.exists(os.path.join(base, "_manifest.json"))
+    shards = cat._manifest_shards(os.path.join(base, "_manifest"))
+    assert len(shards) >= 1  # a parquet relation, shardable by writers
+
+    want = sorted(r["k"] for r in
+                  cat.read_at("t.many", where={"k": (600, 799)}).collect())
+    assert want == list(range(600, 800))
+    full = cat.read_at("t.many")
+    sel = cat.read_at("t.many", where={"k": (600, 799)})
+    assert len(sel.inputFiles()) < len(full.inputFiles())
+
+    # force the distributed prune arm and require the identical answer
+    cat.MANIFEST_DRIVER_MAX_BYTES = 0
+    got = sorted(r["k"] for r in
+                 cat.read_at("t.many", where={"k": (600, 799)}).collect())
+    assert got == want
+
+
 def test_model_singleton_loads_real_weights_once(spark, tmp_path):
     """M7/M8 worker-preload pattern with REAL state (VERDICT r3 #4):
     a numpy weight artifact ships via addFile, np.load runs exactly
