@@ -203,6 +203,16 @@ QUERIES.update({
 # is larger; queries listed here are rotated to the FRONT of the exported
 # registry so the driver verifies them this round (the round-2 file covered
 # the other 50 — the two rounds' union covers every query).
+#
+# r5 rotation check: every query whose implementation changed in round 5
+# already sits in this front-50 — q_semantic_dedup (self-join pairing),
+# q_bpe_train / q_bpe_tokenize (adaptive driver merge loop),
+# q_stream_first_seen (batch-invariant final-state oracle), q_stats_prune
+# (sharded stats manifests), q_bigram_lm_score (exact dyadic-sum
+# columns), q_gopher_quality (n_words clamp), q_graph_label_prop
+# (persist-leak fix), and the catalog/update family behind
+# q_incremental_kg / q_merge_upsert / q_time_travel / q_snapshot_changes
+# (update_graph serial-term rework). No rotation needed this round.
 PRIORITY_QUERIES: list[str] = [
     "q_graph_degree",
     "q_graph_2hop",
