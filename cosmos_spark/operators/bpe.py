@@ -59,24 +59,31 @@ def word_freq_table(df: DataFrame, text_col: str,
             .groupBy("word").agg(F.count(F.lit(1)).alias("freq")))
 
 
+def _greedy_merge(syms: list, l: str, r: str, lr: str) -> list:
+    """ONE greedy left-to-right pass merging adjacent (l, r) -> lr — THE
+    rewrite contract shared bit-identically by the distributed Arrow
+    round (:func:`_merge_round`), the driver merge loop
+    (:func:`_driver_bpe_loop`) and the tokenizer application
+    (:func:`bpe_tokenize`); keeping it in one place keeps the
+    driver/distributed/apply parity the pytests pin."""
+    res, i, n = [], 0, len(syms)
+    while i < n:
+        if i < n - 1 and syms[i] == l and syms[i + 1] == r:
+            res.append(lr)
+            i += 2
+        else:
+            res.append(syms[i])
+            i += 1
+    return res
+
+
 def _merge_round(l: str, r: str):
     """Arrow kernel: greedy left-to-right merge of adjacent (l, r)."""
     lr = l + r
 
     @F.pandas_udf(T.ArrayType(T.StringType()))
     def fn(syms: pd.Series) -> pd.Series:
-        out = []
-        for arr in syms:
-            a = list(arr)
-            res, i, n = [], 0, len(a)
-            while i < n:
-                if i < n - 1 and a[i] == l and a[i + 1] == r:
-                    res.append(lr)
-                    i += 2
-                else:
-                    res.append(a[i])
-                    i += 1
-            out.append(res)
+        out = [_greedy_merge(list(arr), l, r, lr) for arr in syms]
         return pd.Series(out, index=syms.index)
 
     return fn
@@ -142,14 +149,7 @@ def _driver_bpe_loop(rows: list, num_merges: int) -> list[tuple]:
                 p = (syms[i], syms[i + 1])
                 pc[p] -= f
                 changed.add(p)
-            res, i, n = [], 0, len(syms)
-            while i < n:
-                if i < n - 1 and syms[i] == l and syms[i + 1] == r:
-                    res.append(lr)
-                    i += 2
-                else:
-                    res.append(syms[i])
-                    i += 1
+            res = _greedy_merge(syms, l, r, lr)
             words[idx] = res
             for i in range(len(res) - 1):
                 p = (res[i], res[i + 1])
@@ -187,9 +187,12 @@ def train_bpe(spark: SparkSession, df: DataFrame, text_col: str,
     words = word_freq_table(df, text_col, pattern)
     cur = (words.select("freq", F.split("word", "").alias("syms"))
            .localCheckpoint())
-    head = cur.limit(driver_dim_max + 1).collect()
-    if len(head) <= driver_dim_max:
-        merges = _driver_bpe_loop(head, num_merges)
+    # count-only probe first: collecting the probe rows themselves would
+    # ship up to dim_max full symbol arrays to the driver just to be
+    # discarded whenever the distributed branch wins (the at-scale path)
+    n_dim = cur.limit(driver_dim_max + 1).count()
+    if n_dim <= driver_dim_max:
+        merges = _driver_bpe_loop(cur.collect(), num_merges)
         return spark.createDataFrame(
             merges, "rank int, left string, right string, freq long")
     merges: list[tuple] = []
@@ -248,16 +251,7 @@ def bpe_tokenize(df: DataFrame, merges, text_col: str = "text",
         for w in words:
             syms = list(w)
             for l, r in mlist:
-                lr = l + r
-                res, i, n = [], 0, len(syms)
-                while i < n:
-                    if i < n - 1 and syms[i] == l and syms[i + 1] == r:
-                        res.append(lr)
-                        i += 2
-                    else:
-                        res.append(syms[i])
-                        i += 1
-                syms = res
+                syms = _greedy_merge(syms, l, r, l + r)
             out.append(len(syms))
         return pd.Series(out, index=words.index)
 

@@ -348,7 +348,12 @@ def q_semantic_dedup(spark, sf_dir):
     centroids clusters the embedding space, then every vector with a
     lower-id near-duplicate (cosine >= 0.45, rounded) in its own cluster
     is dropped. The oracle re-derives the full (vec_id, cluster_id,
-    kept) relation — clustering AND the greedy dedup policy."""
+    kept) relation — clustering AND the greedy dedup policy. (The
+    oracle carries no ``max_cluster`` arm: at sf<=0.1 the largest
+    cluster is ~hundreds of members, orders of magnitude under the
+    operator's 20k cap, so capped and uncapped semantics coincide on
+    every driver input; the cap itself is pinned by the oversized-
+    cluster pytest.)"""
     from ..operators import similarity
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.semantic_dedup(emb, n_clusters=16, iterations=1,
