@@ -377,3 +377,26 @@ def test_update_conflicts_on_concurrent_commit_during_planning(
     inc.update_graph(spark, cat, corpus_to_spark(spark, v1_pdf),
                      run_id="u2", collect_stats=False)
     assert cat.current_snapshot("inc.triples") != tri_snap
+
+
+def test_aqe_scope_is_reentrant_and_one_shot(spark):
+    """Overlapping update_graph calls share one depth-counted AQE scope:
+    the ORIGINAL session value comes back only when the LAST scope exits,
+    and each restore callable is one-shot (update_graph invokes it both
+    before its write group and in its finally)."""
+    key = inc._AQE_KEY
+    orig = spark.conf.get(key)
+    try:
+        r1 = inc._aqe_push(spark)
+        r2 = inc._aqe_push(spark)  # overlapping second scope
+        assert spark.conf.get(key) == "false"
+        r1()
+        # inner scope still open: a naive save/restore pair would have
+        # restored r2's captured "false" here and leaked AQE-off
+        assert spark.conf.get(key) == "false"
+        r2()
+        assert spark.conf.get(key) == orig
+        r2()  # one-shot: double invocation must not re-pop
+        assert spark.conf.get(key) == orig
+    finally:
+        spark.conf.set(key, orig)
