@@ -399,4 +399,7 @@ def test_aqe_scope_is_reentrant_and_one_shot(spark):
         r2()  # one-shot: double invocation must not re-pop
         assert spark.conf.get(key) == orig
     finally:
+        # an assert failure above must not leak an open scope into the
+        # shared session (later update_graph pushes would never drain it)
+        inc._AQE_SCOPES.pop(id(spark), None)
         spark.conf.set(key, orig)
