@@ -43,7 +43,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
-from ..portable_hash import HASH_SPACE, hash60, hash60_py
+from ..portable_hash import HASH_BITS, HASH_SPACE, hash60, hash60_py
 
 
 def _merge_kmin(k: int, grp_field: str):
@@ -353,6 +353,66 @@ def cms_estimate(cms: DataFrame, probes: DataFrame, value_col: str,
     return (joined.groupBy(value_col)
             .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))
                  .alias("est_count")))
+
+
+HLL_P = 8                      # 2^8 = 256 registers per group
+HLL_M = 1 << HLL_P
+HLL_W = HASH_BITS - HLL_P      # 52 low bits feed the rank
+# alpha_m * m^2 * 2^(w+1), the raw-estimator numerator, as ONE double
+# literal shared verbatim with the DuckDB oracle: est = NUM / sum_scaled
+# where sum_scaled = sum_j 2^(w+1-M_j) is an exact BIGINT (registers are
+# 0..w+1, so each term is 2^0..2^(w+1) and the sum is < m * 2^(w+1) <
+# 2^61). One IEEE division of exacts -> bit-identical across engines.
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+HLL_NUM = HLL_ALPHA * HLL_M * HLL_M * float(1 << (HLL_W + 1))
+
+
+def hll_sketch(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """Per-group HyperLogLog register file + raw estimate (Flajolet et
+    al. 2007) — the O(m)-state cardinality leg beside KMV: a KMV sketch
+    answers set ops too (kmv_pair_overlap), HLL holds 256 byte-sized
+    registers per group and merges by element-wise max, the shape
+    engines keep per partition/file for streaming distinct counts.
+
+    Entirely JVM-side and engine-portably EXACT: bucket = top 8 bits of
+    the portable 60-bit hash, rank = 52-bit-width leading-zero count
+    computed as ``53 - length(bin(low52))`` (integer/string ops — no
+    float log2 whose boundary rounding could differ across engines),
+    registers = ``max(rank)`` per (group, bucket) — one partially
+    aggregated groupBy whose shuffle carries at most
+    partitions x groups x 256 rows, then one groups-sized rollup. The
+    raw estimate divides the fixed double numerator ``HLL_NUM`` by the
+    exact integer ``sum_scaled``; the standard small-range
+    linear-counting correction ``m * ln(m / n_zero)`` is left to the
+    caller (``ln`` is transcendental — engines' libm may differ in the
+    last ulp, the same hazard the bigram-LM oracle avoids; ``n_zero``
+    and ``m`` are emitted so the correction is one client-side
+    expression).
+
+    Returns (group_col, n_zero int, sum_scaled bigint, est_raw double).
+    Null values are skipped (COUNT(DISTINCT) semantics)."""
+    h = hash60(value_col)
+    low = h.bitwiseAND(F.lit((1 << HLL_W) - 1))
+    rho = (F.when(low == 0, F.lit(HLL_W + 1))
+           .otherwise(F.lit(HLL_W + 1) - F.length(F.bin(low))))
+    regs = (df.where(F.col(value_col).isNotNull())
+            .select(F.col(group_col),
+                    F.shiftright(h, HLL_W).alias("bucket"),
+                    rho.alias("rho"))
+            .groupBy(group_col, "bucket")
+            .agg(F.max("rho").alias("m_reg")))
+    per_grp = regs.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("m_used"),
+        F.sum(F.expr(f"shiftleft(cast(1 as bigint), {HLL_W + 1} - m_reg)"))
+        .alias("sum_present"))
+    n_zero = F.lit(HLL_M) - F.col("m_used")
+    sum_scaled = (F.col("sum_present")
+                  + n_zero * F.lit(1 << (HLL_W + 1)))
+    return per_grp.select(
+        group_col,
+        n_zero.cast("int").alias("n_zero"),
+        sum_scaled.cast("long").alias("sum_scaled"),
+        (F.lit(HLL_NUM) / sum_scaled.cast("double")).alias("est_raw"))
 
 
 def kmv_pair_overlap(sk: DataFrame, group_col: str, k: int) -> DataFrame:

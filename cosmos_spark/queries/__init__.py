@@ -196,6 +196,11 @@ QUERIES.update({
     "q_bpe_tokenize": (q_bpe_tokenize, SQL_BPE_TOKENIZE),
 })
 
+QUERIES.update({
+    "q_asof_bucketed": (q_asof_bucketed, SQL_ASOF_BUCKETED),
+    "q_hll_distinct": (q_hll_distinct, SQL_HLL_DISTINCT),
+})
+
 # ---------------------------------------------------------------------------
 # driver-visibility ordering
 # ---------------------------------------------------------------------------
@@ -212,11 +217,17 @@ QUERIES.update({
 # columns), q_gopher_quality (n_words clamp), q_graph_label_prop
 # (persist-leak fix), and the catalog/update family behind
 # q_incremental_kg / q_merge_upsert / q_time_travel / q_snapshot_changes
-# (update_graph serial-term rework). No rotation needed this round.
+# (update_graph serial-term rework).
+# Late-r5 additions: q_asof_bucketed + q_hll_distinct (brand-new, never
+# driver-verified) and q_asof_join (implementation re-expressed on the
+# linear asof operator — re-enters per the changed-impl rule);
+# q_graph_degree / q_graph_2hop / q_graph_triangles rotated OUT to stay
+# at 50 (all r4-value-exact, untouched since — the r5 graph edit touched
+# only label_propagation — and locally mirrored every test run).
 PRIORITY_QUERIES: list[str] = [
-    "q_graph_degree",
-    "q_graph_2hop",
-    "q_graph_triangles",
+    "q_asof_join",
+    "q_asof_bucketed",
+    "q_hll_distinct",
     "q_graph_pagerank",
     "q_stream_triples",
     "q_incremental_kg",

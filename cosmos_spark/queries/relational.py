@@ -254,18 +254,26 @@ SELECT o_orderkey, o_totalprice, rn FROM (
 
 def q_asof_join(spark, sf_dir):
     """J3/J10 analog (nearest-neighbor/as-of): for each error event, the
-    most recent prior signup ts of the same user."""
+    most recent prior signup ts of the same user. r5: re-expressed on
+    operators/asof.py's linear union+window plan — the original
+    range-join + argmax formulation materialized every
+    (error, earlier-signup) pair, quadratic per user (the exact
+    anti-pattern the operator exists to avoid); same oracle, identical
+    output. Ordering travels as unix micros (exact integers, full ts
+    precision); the payload is the signup timestamp itself, so any
+    equal-ts tie carries an identical value and no tiebreak is
+    needed."""
+    from ..operators.asof import asof_join
     ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
     err = ev.filter(F.col("event_type") == "error").select(
-        "event_id", "user_id", F.col("ts").alias("err_ts"))
+        "event_id", "user_id", us.alias("ts_us"))
     sign = ev.filter(F.col("event_type") == "signup").select(
-        F.col("user_id").alias("s_user"), F.col("ts").alias("s_ts"))
-    return (
-        err.join(sign, (err["user_id"] == sign["s_user"])
-                 & (sign["s_ts"] <= err["err_ts"]), "left")
-        .groupBy("event_id", "user_id")
-        .agg(F.max("s_ts").alias("last_signup_ts"))
-    )
+        "user_id", us.alias("ts_us"), F.col("ts").alias("s_ts"))
+    return asof_join(
+        err, sign, on=["user_id"], ts_col="ts_us", payload_cols=["s_ts"],
+    ).select("event_id", "user_id",
+             F.col("asof_s_ts").alias("last_signup_ts"))
 
 
 SQL_ASOF_JOIN = """
@@ -522,4 +530,56 @@ SELECT lang, count(*) AS n_docs,
          AS avg_chars,
        round(stddev_pop(CAST(n_chars AS DOUBLE)), 3) AS sd_chars
 FROM documents GROUP BY lang
+"""
+
+
+def q_asof_bucketed(spark, sf_dir):
+    """As-of join (operators/asof.py): align each click to the LATEST
+    preceding purchase of the same user within 7 days — the
+    nearest-earlier temporal join a range join would quadratify. Runs
+    the skew-parallel BUCKETED plan (3-day buckets over the 30-day
+    event span, so bucket-head rows genuinely need the cross-bucket
+    carry) — the property test pins it equal to the plain windowed
+    plan, and this oracle value-checks it against DuckDB's native ASOF
+    LEFT JOIN, an independent implementation of the semantics.
+    Timestamps travel as unix millis (exact integers; the q_lead_lag
+    convention). The purchase side is pre-deduplicated to one row per
+    (user, ms) — max event_id wins — so ties are engine-independent."""
+    from ..operators.asof import asof_join
+    ev = _t(spark, sf_dir, "events")
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    clicks = (ev.where(F.col("event_type") == "click")
+              .select("event_id", "user_id", ms.alias("ts_ms")))
+    purchases = (ev.where(F.col("event_type") == "purchase")
+                 .select("user_id", ms.alias("ts_ms"),
+                         F.struct("event_id", "value").alias("s"))
+                 .groupBy("user_id", "ts_ms")
+                 .agg(F.max("s").alias("s"))
+                 .select("user_id", "ts_ms",
+                         F.col("s.event_id").alias("p_event"),
+                         F.col("s.value").alias("p_value")))
+    return asof_join(
+        clicks, purchases, on=["user_id"], ts_col="ts_ms",
+        payload_cols=["p_event", "p_value"],
+        tolerance=7 * 86_400_000, right_tiebreak="p_event",
+        bucket_width=3 * 86_400_000)
+
+
+SQL_ASOF_BUCKETED = """
+WITH l AS (
+  SELECT event_id, user_id, epoch_ms(ts)::BIGINT AS ts_ms
+  FROM events WHERE event_type = 'click'),
+r AS (
+  SELECT user_id, epoch_ms(ts)::BIGINT AS ts_ms,
+         max(event_id) AS p_event, arg_max(value, event_id) AS p_value
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+SELECT l.event_id, l.user_id, l.ts_ms,
+       CASE WHEN l.ts_ms - r.ts_ms <= 604800000 THEN r.ts_ms END
+         AS asof_ts_ms,
+       CASE WHEN l.ts_ms - r.ts_ms <= 604800000 THEN r.p_event END
+         AS asof_p_event,
+       CASE WHEN l.ts_ms - r.ts_ms <= 604800000 THEN r.p_value END
+         AS asof_p_value
+FROM l ASOF LEFT JOIN r
+  ON l.user_id = r.user_id AND l.ts_ms >= r.ts_ms
 """

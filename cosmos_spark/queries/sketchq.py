@@ -217,3 +217,67 @@ FROM ranked,
              (CAST(0.75 AS DOUBLE)), (CAST(0.9 AS DOUBLE))) AS qv(q)
 WHERE vr = greatest(1, CAST(ceil(q * m) AS INT))
 """
+
+
+def q_hll_distinct(spark, sf_dir):
+    """Per-(language x gram-order) distinct n-gram cardinality via a
+    HyperLogLog register file (operators/sketch.hll_sketch) — the
+    O(m)-state leg beside the KMV sketch over the SAME corpus statistic
+    (q_kmv_distinct), so the two estimators cross-check each other.
+    Entirely JVM-side: explode + md5 + bit ops + two partially
+    aggregated groupBys (shuffle rows bounded by groups x 256
+    registers, never the value stream). The light per-element HOF here
+    only concatenates adjacent tokens (no hashing/regex in the lambda —
+    that stays in codegen'd md5 post-explode; the fused-kernel form in
+    kmv_sketch_ngrams is the 100 TB fast path, this is the composable
+    one). Registers, zero counts and the raw-estimator division are
+    integer/IEEE-exact, so DuckDB reproduces every row bit-for-bit;
+    the ln-based small-range correction is intentionally left
+    client-side (transcendental — the bigram-LM ulp hazard)."""
+    from ..operators import sketch
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "lang",
+        F.expr(r"regexp_extract_all(lower(text), '\\S+', 0)").alias("toks"))
+    uni = base.select(
+        F.concat("lang", F.lit("|uni")).alias("grp"),
+        F.explode("toks").alias("tok"))
+    bi = (base.where(F.size("toks") >= 2)
+          .select(F.concat("lang", F.lit("|bi")).alias("grp"),
+                  F.explode(F.expr(
+                      "transform(sequence(1, size(toks) - 1), "
+                      "i -> concat(toks[i - 1], ' ', toks[i]))"))
+                  .alias("tok")))
+    return sketch.hll_sketch(uni.unionByName(bi), "grp", "tok")
+
+
+SQL_HLL_DISTINCT = """
+WITH t AS (SELECT lang, regexp_extract_all(lower(text), '\\S+') AS toks
+           FROM documents),
+vals AS (
+  SELECT lang || '|uni' AS grp, unnest(toks) AS tok FROM t
+  UNION ALL
+  SELECT lang || '|bi' AS grp,
+         unnest(list_transform(range(1, greatest(len(toks), 1)),
+                i -> array_to_string(list_slice(toks, i, i + 1), ' ')))
+           AS tok
+  FROM t WHERE len(toks) >= 2),
+h AS (SELECT grp, ('0x' || substr(md5(tok), 1, 15))::UBIGINT::BIGINT AS h
+      FROM vals),
+r AS (SELECT grp, h >> 52 AS bucket,
+             CASE WHEN (h & 4503599627370495) = 0 THEN 53
+                  ELSE 53 - length(printf('%b', h & 4503599627370495))
+             END AS rho
+      FROM h),
+regs AS (SELECT grp, bucket, max(rho) AS m_reg FROM r GROUP BY 1, 2),
+agg AS (SELECT grp, count(*) AS m_used,
+               sum(1::BIGINT << (53 - m_reg)) AS sum_present
+        FROM regs GROUP BY 1)
+SELECT grp, CAST(256 - m_used AS INT) AS n_zero,
+       CAST(sum_present + (256 - m_used) * (1::BIGINT << 53) AS BIGINT)
+         AS sum_scaled,
+       4.2399330249068963e+20
+         / CAST(sum_present + (256 - m_used) * (1::BIGINT << 53) AS DOUBLE)
+         AS est_raw
+FROM agg
+"""

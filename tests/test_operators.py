@@ -1776,3 +1776,88 @@ def test_bpe_tokenize_reproduces_training_segmentation(spark):
     exp_total = sum(f * len(enc(w)) for w, f in wf.items())
     got = bpe_tokenize(docs, merges_df).collect()
     assert sum(r.n_tokens for r in got) == exp_total
+
+
+def test_asof_bucketed_matches_plain_and_bruteforce(spark):
+    """operators/asof.py: the skew-parallel bucketed plan must equal the
+    plain windowed plan — and both must equal a brute-force
+    nearest-earlier reference — on a randomized input with equal-ts
+    ties on both sides, several bucket widths (forcing carries across
+    empty and populated buckets), and a tolerance cutoff."""
+    import numpy as np
+    from cosmos_spark.operators.asof import asof_join
+    rng = np.random.default_rng(7)
+    n_l, n_r = 200, 120
+    lrows = [(int(k), int(t), i) for i, (k, t) in enumerate(
+        zip(rng.integers(0, 5, n_l), rng.integers(0, 400, n_l)))]
+    rrows = [(int(k), int(t), float(i), i + 1000) for i, (k, t) in enumerate(
+        zip(rng.integers(0, 5, n_r), rng.integers(0, 400, n_r)))]
+    # key 4 gets no right rows at all (pure-null path)
+    rrows = [r for r in rrows if r[0] != 4]
+    left = spark.createDataFrame(lrows, "k: long, ts: long, lid: long")
+    right = spark.createDataFrame(
+        rrows, "k: long, ts: long, payload: double, rid: long")
+
+    def brute(tol):
+        exp = {}
+        for k, t, lid in lrows:
+            cands = [(rt, rid, p) for (rk, rt, p, rid) in rrows
+                     if rk == k and rt <= t
+                     and (tol is None or t - rt <= tol)]
+            exp[lid] = max(cands)[:3] if cands else None
+        return exp
+
+    for tol in (None, 50):
+        want = brute(tol)
+        plain = asof_join(left, right, ["k"], "ts", ["payload", "rid"],
+                          tolerance=tol, right_tiebreak="rid")
+        for bw in (1, 7, 100, 10_000):
+            got = asof_join(left, right, ["k"], "ts", ["payload", "rid"],
+                            tolerance=tol, right_tiebreak="rid",
+                            bucket_width=bw)
+            for df in ((plain,) if bw == 1 else ()) + (got,):
+                rows = {r["lid"]: (None if r["asof_ts"] is None else
+                                   (r["asof_ts"], r["asof_rid"],
+                                    r["asof_payload"]))
+                        for r in df.collect()}
+                assert rows == want, (tol, bw)
+
+
+def test_asof_equal_ts_is_inclusive_and_tiebreaks(spark):
+    """A right row AT the left row's ts matches (inclusive >=), and
+    among equal-ts right rows the greatest tiebreak wins — in both
+    plans."""
+    from cosmos_spark.operators.asof import asof_join
+    left = spark.createDataFrame([(1, 10, 0)], "k: long, ts: long, lid: long")
+    right = spark.createDataFrame(
+        [(1, 10, 1.0, 1), (1, 10, 2.0, 2), (1, 9, 9.0, 9)],
+        "k: long, ts: long, payload: double, rid: long")
+    for bw in (None, 4):
+        out = asof_join(left, right, ["k"], "ts", ["payload", "rid"],
+                        right_tiebreak="rid", bucket_width=bw).collect()
+        assert [(r["asof_ts"], r["asof_rid"], r["asof_payload"])
+                for r in out] == [(10, 2, 2.0)]
+
+
+def test_hll_sketch_accuracy_and_partition_invariance(spark):
+    """operators/sketch.hll_sketch: the raw estimate lands within the
+    standard-error envelope (~1.04/sqrt(256) = 6.5%; allow 4 sigma) on
+    a register-saturating group, duplicates never change the registers
+    (max is idempotent), and the output is partitioning-invariant."""
+    vals = [("big", f"v{i}") for i in range(20_000)]
+    vals += [("big", f"v{i}") for i in range(500)]          # duplicates
+    vals += [("small", f"s{i}") for i in range(40) for _ in (0, 1)]
+    from cosmos_spark.operators.sketch import hll_sketch
+    df = spark.createDataFrame(vals, "grp: string, v: string")
+    out = {r["grp"]: r for r in hll_sketch(df, "grp", "v").collect()}
+    assert abs(out["big"]["est_raw"] - 20_000) / 20_000 < 4 * 1.04 / 16
+    # small group: mostly-empty register file, n_zero near m
+    assert out["small"]["n_zero"] >= 256 - 40
+    re_out = {r["grp"]: r
+              for r in hll_sketch(df.repartition(13, "v"), "grp", "v")
+              .collect()}
+    for g in out:
+        assert (out[g]["n_zero"], out[g]["sum_scaled"],
+                out[g]["est_raw"]) == (
+            re_out[g]["n_zero"], re_out[g]["sum_scaled"],
+            re_out[g]["est_raw"])

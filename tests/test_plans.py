@@ -477,3 +477,39 @@ def test_bpe_tokenize_join_is_equi_not_allpairs(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "HashAggregate" in plan
+
+
+def test_asof_join_no_pair_blowup_no_single_partition(spark):
+    """q_asof_join (r5: re-expressed on operators/asof.py): the
+    nearest-earlier match must be ONE per-key window over the tagged
+    union — never the old range-join + argmax (which materialized every
+    (left, earlier-right) pair: a per-key quadratic join), and never a
+    global window."""
+    plan = _plan(Q.q_asof_join(spark, SF_DIR))
+    assert "Window" in plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_bucketed_windows_are_bucket_partitioned(spark):
+    """q_asof_bucketed: both windows hash-partition (the event window by
+    (key, bucket), the carry window by key over bucket-count-sized
+    partitions) — no SinglePartition exchange, no pair-materializing
+    join anywhere in the skew plan."""
+    plan = _plan(Q.q_asof_bucketed(spark, SF_DIR))
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "_b" in plan  # the bucket column actually reaches the plan
+
+
+def test_hll_sketch_partial_agg_bounded_shuffle(spark):
+    """q_hll_distinct: the register build must plan partial (map-side)
+    max below the shuffle — so at most partitions x groups x 256
+    register rows cross it, never the token stream — and the rollup a
+    partial sum/count; no SinglePartition anywhere."""
+    plan = _plan(Q.q_hll_distinct(spark, SF_DIR))
+    assert "partial_max" in plan
+    assert "partial_sum" in plan or "partial_count" in plan
+    assert "Exchange SinglePartition" not in plan, plan
