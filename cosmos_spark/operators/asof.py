@@ -18,24 +18,34 @@ an argmax materializes every (left, earlier-right) pair — quadratic per
 key. The scalable shapes used here:
 
 - **plain** (default): tag sides, union, ONE shuffle on the key, and a
-  running ``last(..., ignorenulls=True)`` window ordered by
-  ``(ts, side, tiebreak)`` with right rows sorted before left rows at
-  equal ts (that ordering IS the inclusive `>=` match semantics).
+  running ``last(<right-row struct>, ignorenulls=True)`` window ordered
+  by ``(ts, side, tiebreak)`` with right rows sorted before left rows
+  at equal ts (that ordering IS the inclusive `>=` match semantics).
+  The matched row travels as ONE struct — per-column last() would
+  stitch values from different right rows when a payload is null.
   Linear work, no pair materialization; the per-key window is the same
   shape as every sessionize/section operator in the engine.
 - **bucketed** (``bucket_width=``): the skew escape hatch for a
   pathological hot key (one entity with 10^8 events would serialize the
-  plain window on one task). Rows are split into
-  ``floor(ts / bucket_width)`` time buckets; the same running window
-  runs per (key, bucket) — parallel across buckets of the hot key —
-  and misses at the head of a bucket are repaired with a bucket-level
-  carry relation: per (key, bucket) the max-(ts, tiebreak) right row,
-  cumulatively maxed over strictly-earlier buckets on a spine of
-  key x active-bucket rows (data-size-independent: one row per active
-  bucket, not per event). Exactly-equal results pinned by a
-  property test (`tests/test_operators.py`).
+  plain window on one task; measured 23 s -> 6 s at 16M rows/1 key on
+  8 cores, NOTES_r5). Rows are split into ``floor(ts / bucket_width)``
+  time buckets; the same running window runs per (key, bucket) —
+  parallel across buckets of the hot key — and misses at the head of a
+  bucket are repaired with a bucket-level carry: per (key, bucket) the
+  max-(ts, tiebreak) right struct, cumulatively maxed over strictly
+  earlier buckets on a spine of key x active-bucket rows
+  (data-size-independent: one row per active bucket, not per event).
+  Plan shape (pinned): the carry branch re-reads the union with its
+  columns pruned to key/ts/tiebreak/payload, its partial (key, bucket)
+  max collapses map-side so only spine-sized rows cross its shuffles,
+  and the spine comes back to the event relation as a BROADCAST join —
+  the full-width event stream is shuffled exactly once. Exactly-equal
+  results pinned by a property test (`tests/test_operators.py`).
 
-Determinism: ties among right rows at the same (key, ts) are broken by
+SQL semantics are honored at the edges: NULL join keys never match
+(``ON l.k = r.k`` is never true for NULLs — null-keyed left rows come
+back with null asof columns, null-keyed right rows match nothing), and
+ties among right rows at the same (key, ts) are broken by
 ``right_tiebreak`` (greatest wins); callers that need cross-engine
 parity pre-deduplicate or pass a unique tiebreak (q_asof_join does).
 """
@@ -45,21 +55,23 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
+_RESERVED = ("_side", "_tb", "_b", "_m", "_best", "_carry")
 
-def _matched(ts_col: str, payload: list[str], order_cols: list):
-    """Running nearest-earlier-right-row expressions over a window
-    ordered by (ts, side, tiebreak): last non-null right value up to and
-    including the current row."""
-    w = (Window.partitionBy(*order_cols)
+
+def _right_struct(ts_col: str, payload: list[str]):
+    """The matched-row candidate: null on left rows, the full right row
+    (ordering value, tiebreak, every payload) as ONE struct otherwise —
+    so a running last(ignorenulls) picks whole rows atomically."""
+    return F.when(F.col("_side") == 0, F.struct(
+        F.col(ts_col).alias("ts"), F.col("_tb").alias("tb"),
+        *[F.col(f"_p_{p}").alias(p) for p in payload]))
+
+
+def _running_match(ts_col: str, payload: list[str], part_cols: list):
+    w = (Window.partitionBy(*part_cols)
          .orderBy(F.col(ts_col), F.col("_side"), F.col("_tb"))
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    is_r = F.col("_side") == 0
-    exprs = {"_m_ts": F.last(F.when(is_r, F.col(ts_col)),
-                             ignorenulls=True).over(w)}
-    for p in payload:
-        exprs[f"_m_{p}"] = F.last(F.when(is_r, F.col(f"_p_{p}")),
-                                  ignorenulls=True).over(w)
-    return exprs
+    return F.last(_right_struct(ts_col, payload), ignorenulls=True).over(w)
 
 
 def asof_join(left: DataFrame, right: DataFrame, on: list[str],
@@ -70,7 +82,8 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
     """Nearest-earlier join: every ``left`` row gains ``asof_<ts_col>``
     plus ``asof_<p>`` for each payload column — the values of the last
     ``right`` row per ``on`` key with ``right.ts <= left.ts``
-    (inclusive), nulls when none (left-join semantics).
+    (inclusive), nulls when none (left-join semantics; NULL keys match
+    nothing, as in SQL).
 
     ``ts_col`` must be a numeric ordering column present on both sides
     (epoch millis is the house convention — exact integers, no
@@ -81,6 +94,13 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
     the skew-parallel bucketed plan (identical results)."""
     if right_tiebreak is not None and right_tiebreak not in payload_cols:
         raise ValueError("right_tiebreak must be one of payload_cols")
+    clash = [c for c in {*left.columns, *right.columns}
+             if c in _RESERVED or c.startswith("_p_")]
+    if clash:
+        raise ValueError(
+            f"asof_join: column names {clash} collide with the "
+            "operator's internal columns (reserved: "
+            f"{list(_RESERVED)} and the '_p_' prefix)")
     shared = [*on, ts_col]
     left_extra = [c for c in left.columns if c not in shared]
     r_types = {p: right.schema[p].dataType for p in payload_cols}
@@ -91,16 +111,20 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
         *shared, *left_extra, F.lit(1).alias("_side"),
         *[F.lit(None).cast(r_types[p]).alias(f"_p_{p}")
           for p in payload_cols])
+    # null-keyed right rows can never satisfy an equality key — drop
+    # them before they reach (and bloat) the null-key window partition
     rt = right.select(
         *shared,
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
           for c in left_extra],
         F.lit(0).alias("_side"),
         *[F.col(p).alias(f"_p_{p}") for p in payload_cols])
+    for k in on:
+        rt = rt.where(F.col(k).isNotNull())
     u = lt.unionByName(rt).withColumn("_tb", tb)
 
     if bucket_width is None:
-        out = u.withColumns(_matched(ts_col, payload_cols, on))
+        out = u.withColumn("_m", _running_match(ts_col, payload_cols, on))
     else:
         # exact floor-division bucket (integer-only: safe for any sign)
         bw = int(bucket_width)
@@ -108,39 +132,36 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
             f"CAST((`{ts_col}` - pmod(`{ts_col}`, {bw})) DIV {bw} "
             "AS BIGINT)")
         u = u.withColumn("_b", bucket)
-        within = u.withColumns(_matched(ts_col, payload_cols,
-                                        [*on, "_b"]))
+        within = u.withColumn(
+            "_m", _running_match(ts_col, payload_cols, [*on, "_b"]))
         # bucket-level carry: per (key, bucket) the max-(ts, tiebreak)
-        # right row, then a cumulative max over STRICTLY earlier buckets
-        # on the key x active-bucket spine (one row per active bucket —
-        # the second window's partitions are bucket-count-sized, never
-        # event-sized)
-        r_struct = F.struct(F.col(ts_col).alias("ts"),
-                            F.col("_tb").alias("tb"),
-                            *[F.col(f"_p_{p}").alias(p)
-                              for p in payload_cols])
-        per_bucket = (u.groupBy(*on, "_b")
-                      .agg(F.max(F.when(F.col("_side") == 0, r_struct))
+        # right struct, then a cumulative max over STRICTLY earlier
+        # buckets on the key x active-bucket spine (one row per active
+        # bucket — the second window's partitions are bucket-count-
+        # sized, never event-sized). Derived from `within`, not `u`, so
+        # the (key, bucket) exchange is planned once and reused.
+        per_bucket = (within.groupBy(*on, "_b")
+                      .agg(F.max(_right_struct(ts_col, payload_cols))
                            .alias("_best")))
         wprev = (Window.partitionBy(*on).orderBy("_b")
                  .rowsBetween(Window.unboundedPreceding, -1))
         carry = per_bucket.select(
             *on, "_b", F.max("_best").over(wprev).alias("_carry"))
-        out = within.join(carry, [*on, "_b"], "left")
-        # a bucket-local miss falls back to the carried earlier-bucket row
-        miss = F.col("_m_ts").isNull()
-        out = out.withColumns({
-            "_m_ts": F.when(miss, F.col("_carry.ts"))
-                      .otherwise(F.col("_m_ts")),
-            **{f"_m_{p}": F.when(miss, F.col(f"_carry.{p}"))
-                           .otherwise(F.col(f"_m_{p}"))
-               for p in payload_cols}})
+        out = (within.join(carry, [*on, "_b"], "left")
+               # a bucket-local miss falls back to the carried row
+               .withColumn("_m", F.coalesce(F.col("_m"), F.col("_carry"))))
 
     out = out.where(F.col("_side") == 1)
-    in_tol = (F.lit(True) if tolerance is None else
-              (F.col(ts_col) - F.col("_m_ts")) <= F.lit(int(tolerance)))
+    # NULL keys never equality-match: null the asof columns for
+    # null-keyed left rows (their window partition is discarded here)
+    valid = F.lit(True)
+    for k in on:
+        valid = valid & F.col(k).isNotNull()
+    if tolerance is not None:
+        valid = valid & (
+            (F.col(ts_col) - F.col("_m.ts")) <= F.lit(int(tolerance)))
     sel = [*shared, *left_extra,
-           F.when(in_tol, F.col("_m_ts")).alias(f"asof_{ts_col}")]
-    sel += [F.when(in_tol, F.col(f"_m_{p}")).alias(f"asof_{p}")
+           F.when(valid, F.col("_m.ts")).alias(f"asof_{ts_col}")]
+    sel += [F.when(valid, F.col(f"_m.{p}")).alias(f"asof_{p}")
             for p in payload_cols]
     return out.select(*sel)

@@ -270,10 +270,14 @@ def q_asof_join(spark, sf_dir):
         "event_id", "user_id", us.alias("ts_us"))
     sign = ev.filter(F.col("event_type") == "signup").select(
         "user_id", us.alias("ts_us"), F.col("ts").alias("s_ts"))
-    return asof_join(
-        err, sign, on=["user_id"], ts_col="ts_us", payload_cols=["s_ts"],
-    ).select("event_id", "user_id",
-             F.col("asof_s_ts").alias("last_signup_ts"))
+    # final groupBy mirrors the oracle's GROUP BY e.event_id, e.user_id
+    # structurally (duplicate (event_id, user_id) error rows would
+    # collapse identically on both sides; max of identical matches is a
+    # no-op on unique ids)
+    return (asof_join(
+        err, sign, on=["user_id"], ts_col="ts_us", payload_cols=["s_ts"])
+        .groupBy("event_id", "user_id")
+        .agg(F.max("asof_s_ts").alias("last_signup_ts")))
 
 
 SQL_ASOF_JOIN = """

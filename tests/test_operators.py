@@ -1794,6 +1794,12 @@ def test_asof_bucketed_matches_plain_and_bruteforce(spark):
         zip(rng.integers(0, 5, n_r), rng.integers(0, 400, n_r)))]
     # key 4 gets no right rows at all (pure-null path)
     rrows = [r for r in rrows if r[0] != 4]
+    # NULL payloads on matched rows (the per-column-last() chimera trap:
+    # a stitched answer would take ts from these and payload from an
+    # older row) and NULL keys on both sides (SQL: never match)
+    rrows += [(0, 390, None, 5000), (1, 395, None, 5001),
+              (None, 100, 9.9, 6000)]
+    lrows += [(None, 300, 900), (None, 100, 901)]
     left = spark.createDataFrame(lrows, "k: long, ts: long, lid: long")
     right = spark.createDataFrame(
         rrows, "k: long, ts: long, payload: double, rid: long")
@@ -1802,7 +1808,7 @@ def test_asof_bucketed_matches_plain_and_bruteforce(spark):
         exp = {}
         for k, t, lid in lrows:
             cands = [(rt, rid, p) for (rk, rt, p, rid) in rrows
-                     if rk == k and rt <= t
+                     if k is not None and rk == k and rt <= t
                      and (tol is None or t - rt <= tol)]
             exp[lid] = max(cands)[:3] if cands else None
         return exp
@@ -1820,7 +1826,10 @@ def test_asof_bucketed_matches_plain_and_bruteforce(spark):
                                    (r["asof_ts"], r["asof_rid"],
                                     r["asof_payload"]))
                         for r in df.collect()}
-                assert rows == want, (tol, bw)
+                assert rows == want, (
+                    tol, bw,
+                    {k: (rows.get(k), want.get(k))
+                     for k in want if rows.get(k) != want.get(k)})
 
 
 def test_asof_equal_ts_is_inclusive_and_tiebreaks(spark):
@@ -1861,3 +1870,15 @@ def test_hll_sketch_accuracy_and_partition_invariance(spark):
                 out[g]["est_raw"]) == (
             re_out[g]["n_zero"], re_out[g]["sum_scaled"],
             re_out[g]["est_raw"])
+
+
+def test_asof_reserved_column_guard(spark):
+    """Caller columns colliding with asof_join's internals must fail
+    loudly at plan time, not silently corrupt output."""
+    import pytest as _pytest
+    from cosmos_spark.operators.asof import asof_join
+    left = spark.createDataFrame([(1, 1, 2)], "k: long, ts: long, _b: long")
+    right = spark.createDataFrame([(1, 1, 1.0)],
+                                  "k: long, ts: long, payload: double")
+    with _pytest.raises(ValueError, match="_b"):
+        asof_join(left, right, ["k"], "ts", ["payload"], bucket_width=10)

@@ -496,12 +496,17 @@ def test_asof_bucketed_windows_are_bucket_partitioned(spark):
     """q_asof_bucketed: both windows hash-partition (the event window by
     (key, bucket), the carry window by key over bucket-count-sized
     partitions) — no SinglePartition exchange, no pair-materializing
-    join anywhere in the skew plan."""
+    join. The carry branch must collapse map-side (partial_max of the
+    right-row struct, so only spine-sized rows cross its shuffles) and
+    return as a BROADCAST join — the full-width event stream is
+    shuffled exactly once."""
     plan = _plan(Q.q_asof_bucketed(spark, SF_DIR))
     assert "Exchange SinglePartition" not in plan, plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "_b" in plan  # the bucket column actually reaches the plan
+    assert "partial_max" in plan  # carry spine collapses map-side
+    assert "BroadcastHashJoin" in plan  # spine joins back broadcast
 
 
 def test_hll_sketch_partial_agg_bounded_shuffle(spark):
