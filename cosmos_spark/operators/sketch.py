@@ -367,41 +367,49 @@ HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
 HLL_NUM = HLL_ALPHA * HLL_M * HLL_M * float(1 << (HLL_W + 1))
 
 
-def hll_sketch(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
-    """Per-group HyperLogLog register file + raw estimate (Flajolet et
-    al. 2007) — the O(m)-state cardinality leg beside KMV: a KMV sketch
-    answers set ops too (kmv_pair_overlap), HLL holds 256 byte-sized
-    registers per group and merges by element-wise max, the shape
-    engines keep per partition/file for streaming distinct counts.
-
-    Entirely JVM-side and engine-portably EXACT: bucket = top 8 bits of
-    the portable 60-bit hash, rank = 52-bit-width leading-zero count
+def hll_registers(df: DataFrame, group_col: str,
+                  value_col: str) -> DataFrame:
+    """Per-group HyperLogLog register RELATION (group, bucket, m_reg) —
+    the sketch's mergeable state in sparse form: at most 256 rows per
+    group regardless of input size, and merging any number of register
+    relations (across corpora, partitions, snapshots, days) is just
+    ``unionByName`` — :func:`hll_finalize` re-maxes duplicate buckets,
+    which IS the HLL merge operation. Bucket = top 8 bits of the
+    portable 60-bit hash; rank = 52-bit-width leading-zero count
     computed as ``53 - length(bin(low52))`` (integer/string ops — no
-    float log2 whose boundary rounding could differ across engines),
-    registers = ``max(rank)`` per (group, bucket) — one partially
-    aggregated groupBy whose shuffle carries at most
-    partitions x groups x 256 rows, then one groups-sized rollup. The
-    raw estimate divides the fixed double numerator ``HLL_NUM`` by the
-    exact integer ``sum_scaled``; the standard small-range
-    linear-counting correction ``m * ln(m / n_zero)`` is left to the
-    caller (``ln`` is transcendental — engines' libm may differ in the
-    last ulp, the same hazard the bigram-LM oracle avoids; ``n_zero``
-    and ``m`` are emitted so the correction is one client-side
-    expression).
-
-    Returns (group_col, n_zero int, sum_scaled bigint, est_raw double).
-    Null values are skipped (COUNT(DISTINCT) semantics)."""
+    float log2 whose boundary rounding could differ across engines);
+    one partially aggregated groupBy, shuffle bounded by
+    partitions x groups x 256 rows. Null values are skipped
+    (COUNT(DISTINCT) semantics)."""
     h = hash60(value_col)
     low = h.bitwiseAND(F.lit((1 << HLL_W) - 1))
     rho = (F.when(low == 0, F.lit(HLL_W + 1))
            .otherwise(F.lit(HLL_W + 1) - F.length(F.bin(low))))
-    regs = (df.where(F.col(value_col).isNotNull())
+    return (df.where(F.col(value_col).isNotNull())
             .select(F.col(group_col),
                     F.shiftright(h, HLL_W).alias("bucket"),
                     rho.alias("rho"))
             .groupBy(group_col, "bucket")
             .agg(F.max("rho").alias("m_reg")))
-    per_grp = regs.groupBy(group_col).agg(
+
+
+def hll_finalize(regs: DataFrame, group_col: str) -> DataFrame:
+    """Estimate from a register relation (merging duplicate buckets
+    first, so a bare union of register relations is a valid input). The
+    raw estimate divides the fixed double numerator ``HLL_NUM`` by the
+    exact integer ``sum_scaled`` — one IEEE division of exacts,
+    bit-identical across engines; the standard small-range
+    linear-counting correction ``m * ln(m / n_zero)`` is left to the
+    caller (``ln`` is transcendental — engines' libm may differ in the
+    last ulp, the same hazard the bigram-LM oracle avoids; ``n_zero``
+    and the constant m = 256 are emitted so the correction is one
+    client-side expression).
+
+    Returns (group_col, n_zero int, sum_scaled bigint, est_raw
+    double)."""
+    merged = (regs.groupBy(group_col, "bucket")
+              .agg(F.max("m_reg").alias("m_reg")))
+    per_grp = merged.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("m_used"),
         F.sum(F.expr(f"shiftleft(cast(1 as bigint), {HLL_W + 1} - m_reg)"))
         .alias("sum_present"))
@@ -413,6 +421,20 @@ def hll_sketch(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
         n_zero.cast("int").alias("n_zero"),
         sum_scaled.cast("long").alias("sum_scaled"),
         (F.lit(HLL_NUM) / sum_scaled.cast("double")).alias("est_raw"))
+
+
+def hll_sketch(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """Per-group HyperLogLog cardinality estimate (Flajolet et al.
+    2007) — the O(m)-state leg beside KMV: a KMV sketch answers set ops
+    too (kmv_pair_overlap), HLL holds 256 byte-sized registers per
+    group and merges by element-wise max, the shape engines keep per
+    partition/file for streaming distinct counts. Composition of
+    :func:`hll_registers` (the mergeable state) and
+    :func:`hll_finalize` (the estimator); merge-associativity — union
+    of per-part register relations finalizes identically to one
+    whole-corpus sketch — is pinned by pytest. Entirely JVM-side and
+    engine-portably exact (q_hll_distinct)."""
+    return hll_finalize(hll_registers(df, group_col, value_col), group_col)
 
 
 def kmv_pair_overlap(sk: DataFrame, group_col: str, k: int) -> DataFrame:

@@ -1882,3 +1882,30 @@ def test_asof_reserved_column_guard(spark):
                                   "k: long, ts: long, payload: double")
     with _pytest.raises(ValueError, match="_b"):
         asof_join(left, right, ["k"], "ts", ["payload"], bucket_width=10)
+
+
+def test_hll_merge_associativity(spark):
+    """HLL mergeability: splitting a corpus into arbitrary parts,
+    sketching each part's registers independently, unioning the
+    register relations and finalizing must equal the whole-corpus
+    sketch EXACTLY — the property that lets register files be kept per
+    partition/file/day and rolled up later."""
+    from cosmos_spark.operators.sketch import (hll_finalize, hll_registers,
+                                               hll_sketch)
+    vals = [("a", f"v{i}") for i in range(3000)]
+    vals += [("b", f"w{i % 700}") for i in range(2000)]
+    df = spark.createDataFrame(vals, "grp: string, v: string")
+    whole = {r["grp"]: r for r in hll_sketch(df, "grp", "v").collect()}
+    parts = [df.where(F.crc32(F.col("v")) % 3 == i) for i in range(3)]
+    merged_regs = parts[0].transform(
+        lambda d: hll_registers(d, "grp", "v"))
+    for p in parts[1:]:
+        merged_regs = merged_regs.unionByName(hll_registers(p, "grp", "v"))
+    merged = {r["grp"]: r
+              for r in hll_finalize(merged_regs, "grp").collect()}
+    assert set(whole) == set(merged)
+    for g in whole:
+        assert (whole[g]["n_zero"], whole[g]["sum_scaled"],
+                whole[g]["est_raw"]) == (
+            merged[g]["n_zero"], merged[g]["sum_scaled"],
+            merged[g]["est_raw"])
