@@ -44,7 +44,10 @@ key. The scalable shapes used here:
 
 SQL semantics are honored at the edges: NULL join keys never match
 (``ON l.k = r.k`` is never true for NULLs — null-keyed left rows come
-back with null asof columns, null-keyed right rows match nothing), and
+back with null asof columns, null-keyed right rows match nothing),
+NULL ordering values never match either (``r.ts <= l.ts`` is never
+true for NULL — null-ts right rows are dropped, null-ts left rows get
+null asof columns), and
 ties among right rows at the same (key, ts) are broken by
 ``right_tiebreak`` (greatest wins); callers that need cross-engine
 parity pre-deduplicate or pass a unique tiebreak (q_asof_join does).
@@ -61,10 +64,14 @@ _RESERVED = ("_side", "_tb", "_b", "_m", "_best", "_carry")
 def _right_struct(ts_col: str, payload: list[str]):
     """The matched-row candidate: null on left rows, the full right row
     (ordering value, tiebreak, every payload) as ONE struct otherwise —
-    so a running last(ignorenulls) picks whole rows atomically."""
+    so a running last(ignorenulls) picks whole rows atomically. Payload
+    fields are named positionally (p0, p1, ...) so a caller payload
+    literally named 'ts'/'tb' can't collide with the struct's own
+    fields."""
     return F.when(F.col("_side") == 0, F.struct(
         F.col(ts_col).alias("ts"), F.col("_tb").alias("tb"),
-        *[F.col(f"_p_{p}").alias(p) for p in payload]))
+        *[F.col(f"_p_{p}").alias(f"p{i}")
+          for i, p in enumerate(payload)]))
 
 
 def _running_match(ts_col: str, payload: list[str], part_cols: list):
@@ -94,6 +101,8 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
     the skew-parallel bucketed plan (identical results)."""
     if right_tiebreak is not None and right_tiebreak not in payload_cols:
         raise ValueError("right_tiebreak must be one of payload_cols")
+    if len(set(payload_cols)) != len(payload_cols):
+        raise ValueError("payload_cols must be distinct")
     clash = [c for c in {*left.columns, *right.columns}
              if c in _RESERVED or c.startswith("_p_")]
     if clash:
@@ -111,15 +120,18 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
         *shared, *left_extra, F.lit(1).alias("_side"),
         *[F.lit(None).cast(r_types[p]).alias(f"_p_{p}")
           for p in payload_cols])
-    # null-keyed right rows can never satisfy an equality key — drop
-    # them before they reach (and bloat) the null-key window partition
+    # null-keyed right rows can never satisfy an equality key, and a
+    # null-ORDERED right row can never satisfy r.ts <= l.ts (SQL: the
+    # comparison is never true for NULL) — drop both before the union;
+    # nulls-first window ordering would otherwise pick a null-ts right
+    # struct as a phantom match
     rt = right.select(
         *shared,
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
           for c in left_extra],
         F.lit(0).alias("_side"),
         *[F.col(p).alias(f"_p_{p}") for p in payload_cols])
-    for k in on:
+    for k in [*on, ts_col]:
         rt = rt.where(F.col(k).isNotNull())
     u = lt.unionByName(rt).withColumn("_tb", tb)
 
@@ -138,9 +150,12 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
         # right struct, then a cumulative max over STRICTLY earlier
         # buckets on the key x active-bucket spine (one row per active
         # bucket — the second window's partitions are bucket-count-
-        # sized, never event-sized). Derived from `within`, not `u`, so
-        # the (key, bucket) exchange is planned once and reused.
-        per_bucket = (within.groupBy(*on, "_b")
+        # sized, never event-sized). This branch re-reads the union
+        # with its columns pruned to key/ts/tiebreak/payload and
+        # collapses map-side (partial_max), so only spine-sized rows
+        # cross its shuffles — see the module docstring; the full-width
+        # event stream is shuffled exactly once, by the window above.
+        per_bucket = (u.groupBy(*on, "_b")
                       .agg(F.max(_right_struct(ts_col, payload_cols))
                            .alias("_best")))
         wprev = (Window.partitionBy(*on).orderBy("_b")
@@ -162,6 +177,6 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
             (F.col(ts_col) - F.col("_m.ts")) <= F.lit(int(tolerance)))
     sel = [*shared, *left_extra,
            F.when(valid, F.col("_m.ts")).alias(f"asof_{ts_col}")]
-    sel += [F.when(valid, F.col(f"_m.{p}")).alias(f"asof_{p}")
-            for p in payload_cols]
+    sel += [F.when(valid, F.col(f"_m.p{i}")).alias(f"asof_{p}")
+            for i, p in enumerate(payload_cols)]
     return out.select(*sel)

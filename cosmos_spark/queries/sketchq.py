@@ -233,22 +233,38 @@ def q_hll_distinct(spark, sf_dir):
     one). Registers, zero counts and the raw-estimator division are
     integer/IEEE-exact, so DuckDB reproduces every row bit-for-bit;
     the ln-based small-range correction is intentionally left
-    client-side (transcendental — the bigram-LM ulp hazard)."""
+    client-side (transcendental — the bigram-LM ulp hazard).
+
+    The corpus is deliberately split by doc_id parity into TWO register
+    relations that are unioned before `hll_finalize` — semantically a
+    no-op (HLL merge = element-wise register max), but it routes the
+    driver oracle through the MERGE path, so cross-engine parity covers
+    the mergeable-state semantics (per-partition/per-snapshot register
+    files rolled up later), not just the single-corpus composition.
+    Merge associativity itself is pinned by
+    `test_hll_merge_associativity`."""
     from ..operators import sketch
     docs = _t(spark, sf_dir, "documents")
-    base = docs.select(
-        "lang",
-        F.expr(r"regexp_extract_all(lower(text), '\\S+', 0)").alias("toks"))
-    uni = base.select(
-        F.concat("lang", F.lit("|uni")).alias("grp"),
-        F.explode("toks").alias("tok"))
-    bi = (base.where(F.size("toks") >= 2)
-          .select(F.concat("lang", F.lit("|bi")).alias("grp"),
-                  F.explode(F.expr(
-                      "transform(sequence(1, size(toks) - 1), "
-                      "i -> concat(toks[i - 1], ' ', toks[i]))"))
-                  .alias("tok")))
-    return sketch.hll_sketch(uni.unionByName(bi), "grp", "tok")
+
+    def grams(part):
+        base = part.select(
+            "lang",
+            F.expr(r"regexp_extract_all(lower(text), '\\S+', 0)")
+            .alias("toks"))
+        uni = base.select(
+            F.concat("lang", F.lit("|uni")).alias("grp"),
+            F.explode("toks").alias("tok"))
+        bi = (base.where(F.size("toks") >= 2)
+              .select(F.concat("lang", F.lit("|bi")).alias("grp"),
+                      F.explode(F.expr(
+                          "transform(sequence(1, size(toks) - 1), "
+                          "i -> concat(toks[i - 1], ' ', toks[i]))"))
+                      .alias("tok")))
+        return uni.unionByName(bi)
+
+    halves = [sketch.hll_registers(grams(docs.where(
+        F.col("doc_id") % 2 == par)), "grp", "tok") for par in (0, 1)]
+    return sketch.hll_finalize(halves[0].unionByName(halves[1]), "grp")
 
 
 SQL_HLL_DISTINCT = """

@@ -1796,10 +1796,11 @@ def test_asof_bucketed_matches_plain_and_bruteforce(spark):
     rrows = [r for r in rrows if r[0] != 4]
     # NULL payloads on matched rows (the per-column-last() chimera trap:
     # a stitched answer would take ts from these and payload from an
-    # older row) and NULL keys on both sides (SQL: never match)
+    # older row), NULL keys on both sides (SQL: never match), and NULL
+    # ordering values on both sides (SQL: r.ts <= l.ts never true)
     rrows += [(0, 390, None, 5000), (1, 395, None, 5001),
-              (None, 100, 9.9, 6000)]
-    lrows += [(None, 300, 900), (None, 100, 901)]
+              (None, 100, 9.9, 6000), (2, None, 7.7, 6001)]
+    lrows += [(None, 300, 900), (None, 100, 901), (2, None, 902)]
     left = spark.createDataFrame(lrows, "k: long, ts: long, lid: long")
     right = spark.createDataFrame(
         rrows, "k: long, ts: long, payload: double, rid: long")
@@ -1808,7 +1809,8 @@ def test_asof_bucketed_matches_plain_and_bruteforce(spark):
         exp = {}
         for k, t, lid in lrows:
             cands = [(rt, rid, p) for (rk, rt, p, rid) in rrows
-                     if k is not None and rk == k and rt <= t
+                     if k is not None and t is not None
+                     and rk == k and rt is not None and rt <= t
                      and (tol is None or t - rt <= tol)]
             exp[lid] = max(cands)[:3] if cands else None
         return exp
