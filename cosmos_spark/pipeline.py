@@ -324,6 +324,23 @@ CANON_TG_EXPR = ("array_distinct(filter(transform("
 CANON_SIG_EXPR = (f"transform(sequence(0, {CANON_NUM_HASHES - 1}), "
                   f"h -> array_min(transform(tg, t -> xxhash64(t, h))))")
 
+# The pair-generation/verification half of the same one-definition
+# contract: the upper-triangle enumeration over a bucket's sorted rows
+# and the exact trigram-Jaccard verify must also be IDENTICAL on both
+# sides, or a tweak to either silently breaks incremental-vs-rebuild
+# equality (pinned by test_incremental_canon_mode_matches_full).
+CANON_JACCARD_EXPR = ("size(array_intersect(tg_a, tg_b)) / "
+                      "cast(size(array_union(tg_a, tg_b)) as double)")
+
+
+def canon_pair_expr(field_map: str) -> str:
+    """Upper-triangle pair enumeration over the sorted ``rows`` array of
+    one blocking bucket: every (x, y) with x before y, projected through
+    ``field_map`` (a struct field list referencing x/y)."""
+    return ("flatten(transform(rows, (x, i) -> "
+            "transform(slice(rows, i + 2, size(rows) - i - 1), "
+            f"y -> struct({field_map}))))")
+
 
 def canonical_candidate_pairs(entities: DataFrame,
                               max_bucket: int = CANON_MAX_BUCKET) -> DataFrame:
@@ -356,17 +373,14 @@ def canonical_candidate_pairs(entities: DataFrame,
         .agg(F.sort_array(F.collect_list("row")).alias("rows"))
         .filter((F.size("rows") > 1) & (F.size("rows") <= max_bucket))
     )
-    pairs = buckets.select(F.explode(F.expr(
-        "flatten(transform(rows, (x, i) -> "
-        "transform(slice(rows, i + 2, size(rows) - i - 1), "
-        "y -> struct(x.entity_id as id_a, x.canonical_name as name_a, "
+    pairs = buckets.select(F.explode(F.expr(canon_pair_expr(
+        "x.entity_id as id_a, x.canonical_name as name_a, "
         "x.tg as tg_a, y.entity_id as id_b, y.canonical_name as name_b, "
-        "y.tg as tg_b))))"
-    )).alias("p")).select("p.*").distinct()
-    jac = ("size(array_intersect(tg_a, tg_b)) / "
-           "cast(size(array_union(tg_a, tg_b)) as double)")
+        "y.tg as tg_b"
+    ))).alias("p")).select("p.*").distinct()
     return (
-        pairs.filter(F.expr(f"({jac}) >= {K.CANON_THRESHOLD}"))
+        pairs.filter(F.expr(
+            f"({CANON_JACCARD_EXPR}) >= {K.CANON_THRESHOLD}"))
         .select("id_a", "name_a", "id_b", "name_b")
     )
 

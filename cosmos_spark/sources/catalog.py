@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.functions import col as F_col
@@ -227,6 +228,21 @@ class Catalog:
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(path)
+        if partition_by and not any(
+                f.endswith(".parquet")
+                for _r, _d, files in os.walk(path) for f in files):
+            # an empty PARTITIONED write emits only _SUCCESS (no
+            # schema-bearing part file, unlike the non-partitioned
+            # case), and a committed schema-less snapshot breaks every
+            # later read of the table with UNABLE_TO_INFER_SCHEMA —
+            # reachable via any empty staged frame (delete-only update,
+            # empty clustered append, empty streaming micro-batch).
+            # Write one zero-row file carrying the FULL schema
+            # (partition columns included as ordinary columns — valid
+            # here because the snapshot has no partition dirs to
+            # conflict with).
+            self.spark.createDataFrame([], df.schema) \
+                .write.mode("append").parquet(path)
 
     def write_bucketed(self, df: DataFrame, table: str,
                        bucket_by: tuple[str, ...], n_buckets: int,
@@ -343,8 +359,10 @@ class Catalog:
         log; returns the pending log entry for :meth:`commit_group`. The
         expensive parallel work (the Spark write) happens here —
         uncommitted dirs are invisible to readers and reclaimed by
-        ``expire_snapshots`` if the writer dies (Iceberg's orphan-file
-        semantics). Concurrent stages on DIFFERENT tables are safe; two
+        ``expire_snapshots`` once STALE (the id stays registered as
+        pending until commit — Iceberg's age-gated orphan-file
+        semantics, so a concurrent expire never deletes a live writer's
+        dir mid-write). Concurrent stages on DIFFERENT tables are safe; two
         concurrent stages of one table are not a supported pattern.
 
         ``sort_within_by`` is also the DATA-SKIPPING lever: stage a
@@ -388,6 +406,14 @@ class Catalog:
             sid = max(disk_ids + log_ids, default=0) + 1
             d = os.path.join(self._vdir(table), f"snap-{sid:05d}")
             os.makedirs(d)  # reserves the id before releasing the lock
+            # register the reservation as PENDING so expire_snapshots
+            # can tell an in-flight/awaiting-commit stage apart from a
+            # reclaimable orphan (rollback-dropped or stale-failed) —
+            # Iceberg age-gates orphan cleanup for the same reason
+            meta = self._read_catalog_meta()
+            meta.setdefault("pending", {}).setdefault(table, []).append(
+                {"id": sid, "ts": time.time()})
+            self._write_catalog_meta(meta)
             table_spec = self._vmeta(table).get("cluster_by")
             table_stats = self._vmeta(table).get("stats_by")
         if cluster_by is not None and table_spec is not None \
@@ -644,16 +670,36 @@ class Catalog:
             for s in staged:
                 entry = meta["tables"].setdefault(
                     s["table"], {"table": s["table"], "snapshots": []})
-                spec = s["entry"].get("cluster_by")
-                if spec is not None:
-                    # first clustered commit declares the table property
-                    entry.setdefault("cluster_by", spec)
-                stats = s["entry"].get("stats_by")
-                if stats is not None:
-                    # first stats-carrying commit declares the property;
-                    # later stages inherit it so manifests never lapse
-                    entry.setdefault("stats_by", stats)
+                for prop in ("cluster_by", "stats_by"):
+                    spec = s["entry"].get(prop)
+                    if spec is None:
+                        continue
+                    cur = entry.get(prop)
+                    if cur is None:
+                        # first carrying commit declares the table
+                        # property; later stages inherit it
+                        entry[prop] = spec
+                    elif list(cur) != list(spec):
+                        # two stages validated before the first commit
+                        # landed can reach here with different specs —
+                        # silently keeping the first would commit MIXED
+                        # layouts that make pruned reads drop rows; the
+                        # raise aborts before anything is written
+                        raise CommitConflict(
+                            f"{s['table']} {prop} mismatch: table has "
+                            f"{cur}, staged snapshot carries {spec} — "
+                            "restage against the committed property")
                 entry["snapshots"].append(s["entry"])
+            # committed ids are no longer pending (in-flight-stage
+            # protection, see expire_snapshots)
+            pend = meta.get("pending", {})
+            for s in staged:
+                if s["table"] in pend:
+                    pend[s["table"]] = [
+                        p for p in pend[s["table"]]
+                        if p["id"] != s["entry"]["id"]]
+                    if not pend[s["table"]]:
+                        del pend[s["table"]]
             self._write_catalog_meta(meta)
         return {s["table"]: s["entry"]["id"] for s in staged}
 
@@ -893,11 +939,20 @@ class Catalog:
         return self.commit_group([staged],
                                  expect={table: expect_snap})[table]
 
-    def expire_snapshots(self, table: str, keep_last: int = 1) -> list[int]:
+    def expire_snapshots(self, table: str, keep_last: int = 1,
+                         orphan_grace_sec: float = 3600.0) -> list[int]:
         """Delete data dirs that are (a) no longer referenced by the log
-        (dropped by rollback) or (b) older than the last ``keep_last``
-        log entries AND not part of the current view. Returns expired ids.
-        Never touches the current view's data."""
+        (dropped by rollback, or left by a FAILED stage/commit attempt)
+        or (b) older than the last ``keep_last`` log entries AND not
+        part of the current view. Returns expired ids. Never touches the
+        current view's data — and never a PENDING stage: a dir whose id
+        is still registered as pending (reserved by :meth:`stage`,
+        cleared by :meth:`commit_group`) is an in-flight or
+        awaiting-commit write, not an orphan, and is skipped until it is
+        ``orphan_grace_sec`` old (the age gate Iceberg's orphan cleanup
+        uses — without it a concurrent expire deletes a live writer's
+        directory mid-write and the writer dies with an IO error instead
+        of the CommitConflict the OCC design promises)."""
         import shutil
         if keep_last < 1:
             # log[-0:] is the WHOLE log — 0 would silently keep
@@ -906,20 +961,37 @@ class Catalog:
         log = self._vmeta(table)["snapshots"]
         live_ids = {s["id"] for s in self._live_snaps(table, None)}
         keep_ids = {s["id"] for s in log[-keep_last:]} | live_ids
+        pending = {p["id"]: p["ts"] for p in
+                   self._read_catalog_meta().get("pending", {})
+                   .get(table, [])}
+        now = time.time()
         expired: list[int] = []
         vdir = self._vdir(table)
         for name in sorted(os.listdir(vdir)):
             if not name.startswith("snap-"):
                 continue
             sid = int(name.split("-")[1])
-            if sid not in keep_ids:
-                shutil.rmtree(os.path.join(vdir, name))
-                expired.append(sid)
+            if sid in keep_ids:
+                continue
+            if sid in pending and now - pending[sid] < orphan_grace_sec:
+                continue  # in-flight or awaiting commit — not an orphan
+            shutil.rmtree(os.path.join(vdir, name))
+            expired.append(sid)
 
-        def _drop(entry: dict) -> None:
-            entry["snapshots"] = [s for s in entry["snapshots"]
-                                  if s["id"] not in expired]
-        self._mutate_meta(table, _drop)
+        with self._meta_lock:
+            meta = self._read_catalog_meta()
+            entry = meta["tables"].get(table)
+            if entry is not None:
+                entry["snapshots"] = [s for s in entry["snapshots"]
+                                      if s["id"] not in expired]
+            pend = meta.get("pending", {})
+            if table in pend:
+                # reclaimed stale-pending dirs leave the pending list too
+                pend[table] = [p for p in pend[table]
+                               if p["id"] not in expired]
+                if not pend[table]:
+                    del pend[table]
+            self._write_catalog_meta(meta)
         return expired
 
     def merge(self, source: DataFrame, table: str, on: tuple[str, ...],

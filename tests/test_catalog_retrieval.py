@@ -744,3 +744,72 @@ def test_all_pruned_read_keeps_evolved_schema(spark, tmp_path):
     empty2 = cat.read_at("t.e", where={"k": (10_000, 10_001)})
     assert empty2.count() == 0
     assert sorted(empty2.columns) == sorted(full2.columns)
+
+
+def test_empty_partitioned_stage_keeps_table_readable(spark, tmp_path_factory):
+    """An empty PARTITIONED staged snapshot must not poison the table:
+    Spark writes no schema-bearing part file for an empty partitioned
+    frame, and a committed schema-less dir breaks every later read with
+    UNABLE_TO_INFER_SCHEMA — reachable via a delete-only update's empty
+    triples append or an empty clustered streaming micro-batch. The
+    catalog backfills one zero-row schema file."""
+    from cosmos_spark.sources.catalog import Catalog
+    cat = Catalog(spark, warehouse=str(tmp_path_factory.mktemp("wh_empty")))
+    df = spark.createDataFrame(
+        [("a", "p1", 1)], "pred: string, repo: string, n: long")
+    cat.commit_group([cat.stage(df, "g.t", "append",
+                                partition_by=("pred",))])
+    empty = df.limit(0)
+    cat.commit_group([cat.stage(empty, "g.t", "append",
+                                partition_by=("pred",))])
+    got = cat.read_at("g.t")
+    assert got.count() == 1
+    assert set(got.columns) == {"pred", "repo", "n"}
+    # clustered table, empty append (stage prepends _bucket to the
+    # partition spec — same empty-partitioned-write shape)
+    cat.commit_group([cat.stage(df, "g.c", "append",
+                                cluster_by=("repo", 4))])
+    cat.commit_group([cat.stage(empty, "g.c", "append")])
+    assert cat.read_at("g.c").count() == 1
+
+
+def test_expire_spares_pending_stage_until_stale(spark, tmp_path_factory):
+    """expire_snapshots must not reclaim an in-flight / awaiting-commit
+    staged dir (registered pending by stage, cleared by commit_group) —
+    only stale pending dirs fall to the age gate."""
+    from cosmos_spark.sources.catalog import Catalog
+    cat = Catalog(spark, warehouse=str(tmp_path_factory.mktemp("wh_pend")))
+    df = spark.createDataFrame([(1,)], "a: long")
+    cat.commit_group([cat.stage(df, "g.t", "append")])
+    staged = cat.stage(df, "g.t", "append")     # NOT committed
+    import os
+    d = os.path.join(cat._vdir("g.t"), staged["entry"]["dir"]
+                     if "entry" in staged else staged["dir"])
+    # default grace: the pending dir survives an expire
+    assert cat.expire_snapshots("g.t", keep_last=1) == []
+    assert os.path.isdir(d)
+    # commit still works after the expire
+    cat.commit_group([staged])
+    assert cat.read_at("g.t").count() == 2
+    # a failed/abandoned stage IS reclaimed once stale
+    staged2 = cat.stage(df, "g.t", "append")
+    sid2 = staged2["entry"]["id"] if "entry" in staged2 else staged2["id"]
+    assert cat.expire_snapshots("g.t", keep_last=2,
+                                orphan_grace_sec=0.0) == [sid2]
+
+
+def test_commit_group_rejects_conflicting_cluster_spec(spark,
+                                                       tmp_path_factory):
+    """Two stages that both validated before the first clustered commit
+    landed must not commit MIXED bucket layouts — commit_group raises
+    instead of silently keeping the first spec (pruned reads over a
+    mixed table would silently drop rows)."""
+    import pytest as _pytest
+    from cosmos_spark.sources.catalog import Catalog, CommitConflict
+    cat = Catalog(spark, warehouse=str(tmp_path_factory.mktemp("wh_mix")))
+    df = spark.createDataFrame([("k1", 1)], "k: string, v: long")
+    s16 = cat.stage(df, "g.t", "append", cluster_by=("k", 16))
+    s32 = cat.stage(df, "g.t", "append", cluster_by=("k", 32))
+    cat.commit_group([s16])
+    with _pytest.raises(CommitConflict, match="cluster_by"):
+        cat.commit_group([s32])

@@ -88,8 +88,12 @@ def test_incremental_matches_rebuild(spark, v0_pdf, v1_pdf,
 
     # idempotence: re-feeding the same snapshot is a no-op
     stats2 = inc.update_graph(spark, cat, v1)
+    # the no-op path returns the SAME key set as a real update (a
+    # monitor indexing canon_mode/n_affected_objs must not KeyError on a
+    # quiet poll)
     assert stats2 == {"n_delta_files": 0, "n_touched_old": 0,
-                      "n_affected_norms": 0, "n_triples_appended": 0}
+                      "n_affected_norms": 0, "n_affected_objs": 0,
+                      "n_triples_appended": 0, "canon_mode": "none"}
     assert _tuples(inc.triples_view(cat)) == want
 
     # compaction applies deletes physically; the view is unchanged and
