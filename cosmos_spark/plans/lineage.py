@@ -39,11 +39,10 @@ LINEAGE_COLUMNS = ["stage", "partition_id", "input_sha256_agg",
 
 
 def _digest_agg(df: DataFrame, col: str | None = None):
-    """Order-insensitive 60-bit xor digest of a DataFrame (or one column).
-
-    conv(hex-prefix of sha256) -> long -> bit_xor: commutative, so the digest
-    is stable across partitioning and row order.
-    """
+    """Per-row 60-bit digest column (hex-prefix of sha256 -> long);
+    combined by the caller with SUM (commutative — stable across row
+    order — and, unlike xor, duplicate rows cannot cancel pairwise:
+    the fingerprint_source lesson)."""
     if col is not None and col in df.columns:
         h = F.sha2(F.col(col).cast("string"), 256)
     else:
@@ -121,10 +120,17 @@ class Checkpointer:
         wall_ms = int((time.monotonic() - t0) * 1000)
 
         out = self.spark.read.parquet(os.path.join(data_dir, "data"))
+        # per-partition digest of the stage's MATERIALIZED output (= the
+        # next stage's input, hence the column name); per-row digests
+        # combine by SUM (decimal, no overflow) — xor would let
+        # duplicate rows cancel pairwise and report 'unchanged' on a
+        # duplicated-output defect (the fingerprint_source lesson)
         lineage = (
             out.groupBy(F.spark_partition_id().alias("partition_id"))
-            .agg(F.format_string("%016x", F.bit_xor(_digest_agg(out, "content_sha256"))
-                                 ).alias("input_sha256_agg"),
+            .agg(F.substring(F.sha2(F.sum(
+                _digest_agg(out, "content_sha256")
+                .cast("decimal(38,0)")).cast("string"), 256), 1, 16)
+                .alias("input_sha256_agg"),
                  F.count(F.lit(1)).alias("row_count"))
             .withColumn("stage", F.lit(name))
             .withColumn("wall_ms", F.lit(wall_ms))
@@ -143,8 +149,18 @@ class Checkpointer:
         return out
 
     def lineage(self) -> DataFrame:
-        return self.spark.read.parquet(
-            os.path.join(self.workdir, "*", "lineage"))
+        dirs = [os.path.join(self.workdir, n, "lineage")
+                for n in sorted(os.listdir(self.workdir))
+                if os.path.isdir(os.path.join(self.workdir, n, "lineage"))]
+        if not dirs:
+            # before any stage completes the glob matches nothing and
+            # spark.read would raise PATH_NOT_FOUND — return the empty
+            # relation with the contract schema instead
+            return self.spark.createDataFrame(
+                [], "stage string, partition_id int, "
+                    "input_sha256_agg string, row_count long, "
+                    "wall_ms int, run_id string")
+        return self.spark.read.parquet(*dirs)
 
 
 def run_resumable(
@@ -180,6 +196,15 @@ def run_resumable(
     for name in order:
         prev = Checkpointer.chain(prev, name)
         fps[name] = prev
+    # parameters that alter a stage's VALUES are part of that stage's
+    # fingerprint: source_unique_paths switches the triples' global
+    # family dedup on/off, so a rerun in the same workdir with the
+    # flag flipped must recompute rather than resume the stale rows.
+    # run_id is deliberately NOT mixed in: provenance records which run
+    # COMPUTED the data, and a resumed stage legitimately keeps the
+    # computing run's id (test_resume pins that a new run_id recomputes
+    # nothing — the reference's sha job cache behaves the same).
+    fps["triples"] = sha256_hex(f"{fps['triples']}|uniq={source_unique_paths}")
 
     out: dict[str, DataFrame | None] = {k: None for k in order}
 

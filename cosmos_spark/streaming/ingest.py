@@ -31,15 +31,26 @@ SOURCE_SCHEMA = T.StructType([
 ])
 
 
+def _read_source(spark: SparkSession, source_dir: str,
+                 hashed: bool = True,
+                 drop_ingested: bool = False) -> DataFrame:
+    """THE streaming source read — one definition of the
+    schema + parquet + content_sha256 block every stream starts from
+    (it was previously repeated per operator; a schema or hashing
+    change must hit all of them at once, not seven call sites)."""
+    src = spark.readStream.schema(SOURCE_SCHEMA).parquet(source_dir)
+    if drop_ingested:
+        src = src.drop("ingested_at")
+    if hashed:
+        src = src.withColumn("content_sha256",
+                             F.sha2(F.col("content"), 256))
+    return src
+
+
 def stream_segments(spark: SparkSession, source_dir: str) -> DataFrame:
     """File-source stream of source rows -> streaming segments DataFrame.
     The batch kernels apply verbatim: mapInPandas is stateless."""
-    src = (
-        spark.readStream.schema(SOURCE_SCHEMA)
-        .parquet(source_dir)
-        .withColumn("content_sha256", F.sha2(F.col("content"), 256))
-    )
-    return P.segments_of(src)
+    return P.segments_of(_read_source(spark, source_dir))
 
 
 def stream_mention_counts(spark: SparkSession, source_dir: str,
@@ -55,11 +66,7 @@ def stream_mention_counts(spark: SparkSession, source_dir: str,
     ``watermark`` behind the max observed ``ingested_at`` is dropped and
     its finalized window is never revised (asserted by the late-data
     pytest)."""
-    src = (
-        spark.readStream.schema(SOURCE_SCHEMA)
-        .parquet(source_dir)
-        .withColumn("content_sha256", F.sha2(F.col("content"), 256))
-    )
+    src = _read_source(spark, source_dir)
     segs = P.segments_of(src, passthrough=("ingested_at",))
     mentions = P.mentions_of(segs, passthrough=("ingested_at",))
     stamped = mentions.withColumn("event_time", F.col("ingested_at"))
@@ -91,10 +98,7 @@ def stream_sessions(spark: SparkSession, source_dir: str,
     quiet period splits (pinned by pytest and mirrored by the
     ``<= gap`` inequality in q_stream_sessions' gaps-and-islands
     oracle)."""
-    src = (
-        spark.readStream.schema(SOURCE_SCHEMA)
-        .parquet(source_dir)
-    )
+    src = _read_source(spark, source_dir, hashed=False)
     return (
         src.withWatermark("ingested_at", watermark)
         .groupBy(F.col("repo"),
@@ -133,35 +137,33 @@ def stream_triples(spark: SparkSession, source_dir: str,
     runs per partition with an O(segment)-memory carry across Arrow
     batch boundaries — zero streaming state, zero shuffle, and the
     output matches the batch family exactly (parity pytest)."""
-    import pyspark.sql.functions as F  # noqa: F811 (local alias clarity)
-
-    from .. import pipeline as P
-
-    src = (
-        spark.readStream.schema(SOURCE_SCHEMA)
-        .parquet(source_dir)
-        .drop("ingested_at")
-        .withColumn("content_sha256", F.sha2(F.col("content"), 256))
-    )
+    src = _read_source(spark, source_dir, drop_ingested=True)
     fused = P.fused_mentions_of(src)
     mentions = fused.filter(F.col("mention_kind") != P.SEG_MARKER)
-    markers = fused.filter(F.col("mention_kind") == P.SEG_MARKER)
 
     subj = F.concat_ws("", F.col("repo"), F.lit("/"), F.col("path"),
                        F.lit("#"), F.col("seg_id"))
     pred_map = F.create_map(*[
         F.lit(x) for kv in P._PRED_FOR_KIND.items() for x in kv])
-    base = (
-        mentions.filter(F.col("mention_kind").isin(*P._PRED_FOR_KIND))
+    # defines/imports/calls AND member_of in ONE pass over the kernel
+    # output: streaming plans have no subplan reuse, so a union of two
+    # filtered branches would re-run the fused mapInPandas kernel (the
+    # expensive Python/Arrow work) once per branch per micro-batch —
+    # each fused row maps to exactly one output row, so a row-local
+    # CASE projection expresses both families in a single subtree
+    is_marker = F.col("mention_kind") == P.SEG_MARKER
+    out = (
+        fused.filter(is_marker |
+                     F.col("mention_kind").isin(*P._PRED_FOR_KIND))
         .select(subj.alias("subj"),
-                pred_map[F.col("mention_kind")].alias("pred"),
-                F.col("mention_text").alias("obj"), "repo", "score")
+                F.when(is_marker, F.lit("member_of"))
+                .otherwise(pred_map[F.col("mention_kind")]).alias("pred"),
+                F.when(is_marker, F.concat_ws("/", "repo", "path"))
+                .otherwise(F.col("mention_text")).alias("obj"),
+                "repo",
+                F.when(is_marker, F.lit(1.0))
+                .otherwise(F.col("score")).alias("score"))
     )
-    member = markers.select(
-        subj.alias("subj"), F.lit("member_of").alias("pred"),
-        F.concat_ws("/", "repo", "path").alias("obj"),
-        "repo", F.lit(1.0).alias("score"))
-    out = base.unionByName(member)
     if aliases is not None:
         links = P.link_mentions(mentions, aliases)
         ment = (
@@ -192,15 +194,9 @@ def stream_mention_joins(spark: SparkSession, defs_dir: str,
     (state-cleanup contract of stream-stream joins). Inner joins emit
     eagerly on match, so results appear in the micro-batch where the
     second side arrives."""
-    from .. import pipeline as P
-
     def _side(src_dir: str, kind: str, repo_c: str, name_c: str,
               time_c: str) -> DataFrame:
-        src = (
-            spark.readStream.schema(SOURCE_SCHEMA)
-            .parquet(src_dir)
-            .withColumn("content_sha256", F.sha2(F.col("content"), 256))
-        )
+        src = _read_source(spark, src_dir)
         segs = P.segments_of(src, passthrough=("ingested_at",))
         m = P.mentions_of(segs, passthrough=("ingested_at",))
         return (m.filter(F.col("mention_kind") == kind)
@@ -318,11 +314,12 @@ def stream_first_seen(spark: SparkSession, source_dir: str,
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    src = (
-        spark.readStream.schema(SOURCE_SCHEMA)
-        .parquet(source_dir)
-        .withColumn("content_sha256", F.sha2(F.col("content"), 256))
-    )
+    if bloom_bytes is not None and bloom_bytes <= 0:
+        # fail fast on the driver: 0 would ZeroDivisionError inside the
+        # executor on the first probe of every batch (opaque
+        # StreamingQueryException), negatives crash bytearray()
+        raise ValueError(f"bloom_bytes must be > 0, got {bloom_bytes}")
+    src = _read_source(spark, source_dir)
 
     def fn_exact(key, pdfs, state: GroupState):
         hashes = list(state.get[0]) if state.exists else []
@@ -413,16 +410,22 @@ def stream_triples_to_catalog(stream_df: DataFrame, checkpoint_dir: str,
 
 
 def run_stream_once(stream_df: DataFrame, checkpoint_dir: str,
-                    out_dir: str | None = None) -> None:
+                    out_dir: str | None = None,
+                    query_name: str = "mention_counts",
+                    output_mode: str = "complete") -> None:
     """Drain all available input with availableNow (the test/catch-up
-    trigger), writing to memory or parquet."""
+    trigger), writing to parquet (``out_dir``) or a memory sink.
+    ``query_name``/``output_mode`` apply to the memory branch — the
+    defaults keep the historical aggregation-stream behavior, but a
+    second concurrent drain (name collision) or a non-aggregating
+    stream (complete mode unsupported) must override them."""
     writer = stream_df.writeStream.option("checkpointLocation", checkpoint_dir)
     if out_dir:
         q = (writer.outputMode("append").format("parquet")
              .option("path", out_dir).trigger(availableNow=True).start())
     else:
-        q = (writer.outputMode("complete").format("memory")
-             .queryName("mention_counts").trigger(availableNow=True).start())
+        q = (writer.outputMode(output_mode).format("memory")
+             .queryName(query_name).trigger(availableNow=True).start())
     q.awaitTermination()
 
 
@@ -448,8 +451,7 @@ def stream_dedup(spark: SparkSession, source_dir: str,
     delivery-invariant (the key itself and key-derived fields); the
     event-time column is NOT part of the contract output."""
     return (
-        spark.readStream.schema(SOURCE_SCHEMA)
-        .parquet(source_dir)
+        _read_source(spark, source_dir, hashed=False)
         .withWatermark(time_col, watermark)
         .dropDuplicatesWithinWatermark(list(key_cols))
     )

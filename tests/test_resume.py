@@ -199,3 +199,32 @@ def test_segments_passthrough_dedups_batch_duplicates(spark):
     n_plain = P.segments_of(src.drop("ingested_at")).count()
     n_pass = P.segments_of(src, passthrough=("ingested_at",)).count()
     assert n_pass == n_plain
+
+
+def test_resume_invalidates_on_unique_paths_flag(spark, source_df,
+                                                 tmp_path_factory):
+    """source_unique_paths changes the triples VALUES (global family
+    dedup), so flipping it in the same workdir must recompute triples
+    (and only triples) — resuming the stale rows would silently return
+    the wrong relation. run_id deliberately does NOT invalidate (pinned
+    by test_resume_after_kill's run3 assertion)."""
+    from cosmos_spark.plans.lineage import run_resumable
+    wd = str(tmp_path_factory.mktemp("wd_uniq"))
+    run_resumable(spark, source_df, wd, run_id="r1",
+                  source_unique_paths=True)
+    again = run_resumable(spark, source_df, wd, run_id="r1",
+                          source_unique_paths=False)
+    ck = again["_checkpointer"]
+    assert ck.computed == ["triples"]
+    assert set(ck.skipped) == {"segments", "mentions", "entities_aliases",
+                               "links", "entities_canon"}
+
+
+def test_lineage_empty_before_first_stage(spark, tmp_path_factory):
+    """Checkpointer.lineage() on a fresh workdir returns the empty
+    contract relation, not a PATH_NOT_FOUND AnalysisException."""
+    from cosmos_spark.plans.lineage import LINEAGE_COLUMNS, Checkpointer
+    ck = Checkpointer(spark, str(tmp_path_factory.mktemp("wd_fresh")), "r0")
+    lin = ck.lineage()
+    assert lin.count() == 0
+    assert lin.columns == LINEAGE_COLUMNS

@@ -495,3 +495,14 @@ def test_stream_dedup_suppresses_then_expires(spark, tmp_path):
     _write([_row("p", 55)])
     got = _drain()
     assert len(got[got["path"] == "p"]) == 2
+
+
+def test_first_seen_rejects_nonpositive_bloom(spark, tmp_path_factory):
+    """bloom_bytes <= 0 must fail fast on the driver, not
+    ZeroDivisionError inside the executor on the first probe."""
+    import pytest as _pytest
+    from cosmos_spark.streaming.ingest import stream_first_seen
+    d = str(tmp_path_factory.mktemp("src_bloom"))
+    for bad in (0, -1):
+        with _pytest.raises(ValueError, match="bloom_bytes"):
+            stream_first_seen(spark, d, bloom_bytes=bad)
